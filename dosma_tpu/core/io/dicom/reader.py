@@ -1,0 +1,254 @@
+"""DICOM Part-10 reader: Implicit & Explicit VR Little Endian.
+
+From-scratch binary parser (pydicom is unavailable in this environment).
+Supports the features the framework needs: file meta parsing, nested
+sequences (defined and undefined length), private tags, and uncompressed
+pixel data. Compressed transfer syntaxes raise a clear error.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from typing import BinaryIO, List, Optional, Union
+
+import numpy as np
+
+from dosma_tpu.core.io.dicom import tags as T
+from dosma_tpu.core.io.dicom.dataset import DataElement, Dataset, Tag
+
+__all__ = ["read_dicom", "read_dicom_bytes", "pixel_array"]
+
+_UNDEFINED_LENGTH = 0xFFFFFFFF
+_ITEM_TAG = 0xFFFEE000
+_ITEM_DELIM_TAG = 0xFFFEE00D
+_SEQ_DELIM_TAG = 0xFFFEE0DD
+
+
+def _parse_value(vr: str, raw: bytes):
+    if vr in T.BINARY_VR_FMT:
+        fmt, size = T.BINARY_VR_FMT[vr]
+        n = len(raw) // size
+        if n == 0:
+            return None
+        vals = list(struct.unpack(f"<{n}{fmt}", raw[: n * size]))
+        return vals[0] if n == 1 else vals
+    if vr in T.NUMERIC_STRING_VRS:
+        s = raw.decode("latin-1").strip("\x00 ")
+        if not s:
+            return None
+        parts = [p.strip() for p in s.split("\\")]
+        conv = float if vr == "DS" else int
+        try:
+            vals = [conv(p) for p in parts if p != ""]
+        except ValueError:
+            vals = parts
+        if not vals:
+            return None
+        return vals[0] if len(vals) == 1 else vals
+    if vr in T.STRING_VRS:
+        s = raw.decode("latin-1", errors="replace").rstrip("\x00 ")
+        if "\\" in s:
+            return s.split("\\")
+        return s
+    # OB / OW / UN / unknown: raw bytes
+    return raw
+
+
+def _read_exact(fp: BinaryIO, n: int) -> bytes:
+    data = fp.read(n)
+    if len(data) != n:
+        raise EOFError(f"Unexpected end of DICOM stream (wanted {n} bytes, got {len(data)})")
+    return data
+
+
+def _read_element_header(fp: BinaryIO, explicit: bool):
+    """Returns (tag_int, vr, length) or None at EOF."""
+    hdr = fp.read(8)
+    if len(hdr) < 8:
+        if len(hdr) == 0:
+            return None
+        raise EOFError("Truncated DICOM element header")
+    group, elem = struct.unpack("<HH", hdr[:4])
+    tag = (group << 16) | elem
+
+    if tag in (_ITEM_TAG, _ITEM_DELIM_TAG, _SEQ_DELIM_TAG):
+        (length,) = struct.unpack("<I", hdr[4:8])
+        return tag, None, length
+
+    if explicit:
+        vr = hdr[4:6].decode("ascii", errors="replace")
+        if vr in T.LONG_VRS:
+            (length,) = struct.unpack("<I", _read_exact(fp, 4))
+        else:
+            (length,) = struct.unpack("<H", hdr[6:8])
+    else:
+        vr = T.TAG_TO_VR.get(tag, "UN")
+        (length,) = struct.unpack("<I", hdr[4:8])
+    return tag, vr, length
+
+
+def _read_sequence(fp: BinaryIO, explicit: bool, length: int) -> List[Dataset]:
+    """Read SQ items. ``length`` may be undefined (0xFFFFFFFF)."""
+    items = []
+    end = None if length == _UNDEFINED_LENGTH else fp.tell() + length
+    while True:
+        if end is not None and fp.tell() >= end:
+            break
+        hdr = _read_element_header(fp, explicit)
+        if hdr is None:
+            break
+        tag, _vr, item_len = hdr
+        if tag == _SEQ_DELIM_TAG:
+            break
+        if tag != _ITEM_TAG:
+            raise ValueError(f"Expected Item tag in sequence, got {Tag(tag)!r}")
+        if item_len == _UNDEFINED_LENGTH:
+            items.append(_read_dataset(fp, explicit, stop_at_item_delim=True))
+        else:
+            sub = io.BytesIO(_read_exact(fp, item_len))
+            items.append(_read_dataset(sub, explicit))
+    return items
+
+
+def _read_dataset(
+    fp: BinaryIO,
+    explicit: bool,
+    stop_at_item_delim: bool = False,
+    stop_before_pixels: bool = False,
+) -> Dataset:
+    ds = Dataset()
+    while True:
+        hdr = _read_element_header(fp, explicit)
+        if hdr is None:
+            break
+        tag, vr, length = hdr
+        if tag == _ITEM_DELIM_TAG and stop_at_item_delim:
+            break
+        if tag in (_ITEM_DELIM_TAG, _SEQ_DELIM_TAG):
+            continue
+        if vr == "SQ" or (length == _UNDEFINED_LENGTH and vr in ("UN", None)):
+            value = _read_sequence(fp, explicit, length)
+            ds.add_new(tag, "SQ", value)
+            continue
+        if tag == T.DICT["PixelData"][0] and stop_before_pixels:
+            break
+        if length == _UNDEFINED_LENGTH:
+            # Encapsulated pixel data (compressed) — not supported.
+            raise NotImplementedError(
+                "Encapsulated (compressed) DICOM pixel data is not supported; "
+                "transcode to Explicit VR Little Endian first."
+            )
+        raw = _read_exact(fp, length)
+        if vr is None or vr == "UN":
+            vr = T.TAG_TO_VR.get(tag, "UN")
+        ds.add_new(tag, vr, _parse_value(vr, raw))
+    return ds
+
+
+def read_dicom_bytes(data: bytes, stop_before_pixels: bool = False) -> Dataset:
+    """Parse a DICOM Part-10 (or raw dataset) byte string."""
+    fp = io.BytesIO(data)
+
+    # Part-10 preamble.
+    preamble = fp.read(132)
+    if len(preamble) >= 132 and preamble[128:132] == b"DICM":
+        pass  # positioned after magic
+    else:
+        fp.seek(0)
+
+    # File meta group (0002): always Explicit VR LE.
+    file_meta = Dataset()
+    transfer_syntax = T.IMPLICIT_VR_LE
+    pos = fp.tell()
+    probe = fp.read(2)
+    fp.seek(pos)
+    if len(probe) == 2 and struct.unpack("<H", probe)[0] == 0x0002:
+        while True:
+            pos = fp.tell()
+            probe = fp.read(2)
+            if len(probe) < 2:
+                break
+            group = struct.unpack("<H", probe)[0]
+            fp.seek(pos)
+            if group != 0x0002:
+                break
+            hdr = _read_element_header(fp, explicit=True)
+            tag, vr, length = hdr
+            raw = _read_exact(fp, length)
+            file_meta.add_new(tag, vr, _parse_value(vr, raw))
+        ts = file_meta.get("TransferSyntaxUID")
+        if ts:
+            transfer_syntax = ts
+
+    if transfer_syntax == T.EXPLICIT_VR_BE:
+        raise NotImplementedError("Explicit VR Big Endian is not supported")
+    compressed = transfer_syntax not in (T.IMPLICIT_VR_LE, T.EXPLICIT_VR_LE)
+    if compressed:
+        raise NotImplementedError(
+            f"Compressed transfer syntax {transfer_syntax} is not supported"
+        )
+    explicit = transfer_syntax == T.EXPLICIT_VR_LE
+
+    # Heuristic fallback when no file meta: detect explicit VR by probing.
+    if len(file_meta) == 0:
+        pos = fp.tell()
+        probe = fp.read(6)
+        fp.seek(pos)
+        if len(probe) == 6:
+            maybe_vr = probe[4:6].decode("ascii", errors="replace")
+            explicit = maybe_vr.isalpha() and maybe_vr.isupper()
+
+    ds = _read_dataset(fp, explicit, stop_before_pixels=stop_before_pixels)
+    ds.file_meta = file_meta if len(file_meta) else None
+    return ds
+
+
+def read_dicom(path_or_file: Union[str, os.PathLike, BinaryIO], stop_before_pixels: bool = False) -> Dataset:
+    """Read a DICOM file from a path or file-like object."""
+    if hasattr(path_or_file, "read"):
+        return read_dicom_bytes(path_or_file.read(), stop_before_pixels=stop_before_pixels)
+    with open(path_or_file, "rb") as f:
+        return read_dicom_bytes(f.read(), stop_before_pixels=stop_before_pixels)
+
+
+def pixel_array(ds: Dataset) -> np.ndarray:
+    """Decode uncompressed PixelData into an ndarray of shape (Rows, Columns)
+    or (NumberOfFrames, Rows, Columns)."""
+    if "PixelData" not in ds:
+        raise AttributeError("Dataset has no PixelData")
+    raw = ds["PixelData"].value
+    bits = int(ds.get("BitsAllocated", 16))
+    signed = int(ds.get("PixelRepresentation", 0)) == 1
+    rows = int(ds.get("Rows"))
+    cols = int(ds.get("Columns"))
+    samples = int(ds.get("SamplesPerPixel", 1))
+    nframes = ds.get("NumberOfFrames")
+    nframes = int(nframes) if nframes else 1
+
+    if bits == 8:
+        dtype = np.int8 if signed else np.uint8
+    elif bits == 16:
+        dtype = np.int16 if signed else np.uint16
+    elif bits == 32:
+        dtype = np.int32 if signed else np.uint32
+    else:
+        raise ValueError(f"Unsupported BitsAllocated: {bits}")
+
+    arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
+    expected = rows * cols * samples * nframes
+    arr = arr[:expected]
+    if samples > 1:
+        shape = (nframes, rows, cols, samples) if nframes > 1 else (rows, cols, samples)
+    else:
+        shape = (nframes, rows, cols) if nframes > 1 else (rows, cols)
+    return arr.reshape(shape)
+
+
+# Attach pixel_array as a Dataset property (pydicom-compatible surface).
+def _pixel_array_prop(self):
+    return pixel_array(self)
+
+
+Dataset.pixel_array = property(_pixel_array_prop)

@@ -1,0 +1,147 @@
+"""DICOM Part-10 writer: Explicit VR Little Endian.
+
+Counterpart to :mod:`dosma_tpu.core.io.dicom.reader`. Serializes a
+:class:`Dataset` (including nested sequences and private tags) to a valid
+Part-10 file readable by pydicom/other toolkits.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+import struct
+from typing import BinaryIO, Union
+
+from dosma_tpu.core.io.dicom import tags as T
+from dosma_tpu.core.io.dicom.dataset import DataElement, Dataset, Tag
+
+__all__ = ["write_dicom", "generate_uid"]
+
+
+def generate_uid() -> str:
+    """Generate a DICOM UID under the 2.25 (UUID-derived) root."""
+    return f"{T.UID_ROOT}.{int.from_bytes(secrets.token_bytes(12), 'big')}"
+
+
+def _encode_value(vr: str, value) -> bytes:
+    if value is None:
+        return b""
+    if vr in T.BINARY_VR_FMT:
+        fmt, _size = T.BINARY_VR_FMT[vr]
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        return struct.pack(f"<{len(vals)}{fmt}", *[int(v) if fmt in "HhIi" else float(v) for v in vals])
+    if vr in T.NUMERIC_STRING_VRS:
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        if vr == "DS":
+            parts = []
+            for v in vals:
+                s = f"{float(v):.10g}"
+                parts.append(s[:16])
+            s = "\\".join(parts)
+        else:
+            s = "\\".join(str(int(v)) for v in vals)
+        raw = s.encode("ascii")
+    elif vr in T.STRING_VRS:
+        if isinstance(value, (list, tuple)):
+            s = "\\".join(str(v) for v in value)
+        else:
+            s = str(value)
+        raw = s.encode("latin-1")
+        if vr == "UI":
+            if len(raw) % 2:
+                raw += b"\x00"
+            return raw
+    elif isinstance(value, bytes):
+        raw = value
+    else:
+        raw = str(value).encode("latin-1")
+    if len(raw) % 2:
+        raw += b" "
+    return raw
+
+
+def _write_element(fp: BinaryIO, elem: DataElement):
+    tag = elem.tag
+    vr = elem.VR
+    fp.write(struct.pack("<HH", tag.group, tag.element))
+
+    if vr == "SQ":
+        body = b""
+        for item in elem.value:
+            item_bytes = _dataset_bytes(item)
+            body += struct.pack("<HHI", 0xFFFE, 0xE000, len(item_bytes)) + item_bytes
+        fp.write(b"SQ\x00\x00")
+        fp.write(struct.pack("<I", len(body)))
+        fp.write(body)
+        return
+
+    raw = _encode_value(vr, elem.value)
+    if vr in T.LONG_VRS:
+        fp.write(vr.encode("ascii") + b"\x00\x00")
+        fp.write(struct.pack("<I", len(raw)))
+    else:
+        if len(raw) > 0xFFFF:
+            # Fall back to UN long form for oversize values.
+            fp.write(b"UN\x00\x00")
+            fp.write(struct.pack("<I", len(raw)))
+        else:
+            fp.write(vr.encode("ascii"))
+            fp.write(struct.pack("<H", len(raw)))
+    fp.write(raw)
+
+
+def _dataset_bytes(ds: Dataset, include_group2: bool = False) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    for elem in ds:
+        if elem.tag.group == 0x0002 and not include_group2:
+            continue
+        _write_element(buf, elem)
+    return buf.getvalue()
+
+
+def _build_file_meta(ds: Dataset) -> Dataset:
+    fm = Dataset()
+    existing = ds.file_meta
+    sop_class = ds.get("SOPClassUID", T.MR_IMAGE_STORAGE)
+    sop_instance = ds.get("SOPInstanceUID") or generate_uid()
+    fm.add_new(T.DICT["FileMetaInformationVersion"][0], "OB", b"\x00\x01")
+    fm.add_new(T.DICT["MediaStorageSOPClassUID"][0], "UI", sop_class)
+    fm.add_new(T.DICT["MediaStorageSOPInstanceUID"][0], "UI", sop_instance)
+    fm.add_new(T.DICT["TransferSyntaxUID"][0], "UI", T.EXPLICIT_VR_LE)
+    fm.add_new(T.DICT["ImplementationClassUID"][0], "UI", f"{T.UID_ROOT}.1.999")
+    if existing is not None:
+        for elem in existing:
+            if elem.tag.element in (0x0000,):
+                continue
+            if int(elem.tag) == T.DICT["TransferSyntaxUID"][0]:
+                continue  # always write uncompressed LE
+            fm.add_new(elem.tag, elem.VR, elem.value)
+    return fm
+
+
+def write_dicom(ds: Dataset, path_or_file: Union[str, os.PathLike, BinaryIO]):
+    """Write ``ds`` as an Explicit VR Little Endian Part-10 file."""
+    own = False
+    if hasattr(path_or_file, "write"):
+        fp = path_or_file
+    else:
+        fp = open(path_or_file, "wb")
+        own = True
+    try:
+        fp.write(b"\x00" * 128 + b"DICM")
+
+        fm = _build_file_meta(ds)
+        fm_bytes = _dataset_bytes(fm, include_group2=True)
+        # Group length element first (required by Part 10).
+        fp.write(struct.pack("<HH", 0x0002, 0x0000))
+        fp.write(b"UL")
+        fp.write(struct.pack("<H", 4))
+        fp.write(struct.pack("<I", len(fm_bytes)))
+        fp.write(fm_bytes)
+
+        fp.write(_dataset_bytes(ds))
+    finally:
+        if own:
+            fp.close()

@@ -1,0 +1,373 @@
+"""NumPy-function registry for :class:`MedicalVolume`.
+
+Behavior-parity re-design of ``/root/reference/dosma/core/numpy_routines.py``
+(registry at ``:43-54``; op semantics cited per-function). Every op is
+device-aware: when the volume is a ``jax.Array`` the operation is performed
+by ``jax.numpy`` (staying in HBM), otherwise by ``numpy``.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Sequence, Union
+
+import numpy as np
+
+from dosma_tpu.core.med_volume import MedicalVolume, _NoValue
+
+__all__ = [
+    "amin", "amax", "argmin", "argmax", "sum_np", "mean_np", "std",
+    "nanmin", "nanmax", "nanargmin", "nanargmax", "nansum", "nanmean", "nanstd",
+    "nan_to_num", "around", "clip", "stack", "concatenate", "expand_dims",
+    "squeeze", "pad", "where", "all_np", "any_np", "zeros_like", "ones_like",
+    "shares_memory", "may_share_memory",
+]
+
+_HANDLED_NUMPY_FUNCTIONS = {}
+
+
+def implements(*np_functions):
+    """Register an ``__array_function__`` implementation for MedicalVolume."""
+
+    def decorator(func):
+        for np_func in np_functions:
+            _HANDLED_NUMPY_FUNCTIONS[np_func] = func
+        return func
+
+    return decorator
+
+
+def _xp(x: MedicalVolume):
+    return x.device.xp
+
+
+def reduce_array_op(fname, x, axis=None, **kwargs):
+    kwargs = {k: v for k, v in kwargs.items() if v is not _NoValue and v is not np._NoValue}
+    func = getattr(_xp(x), fname)
+    arr = x._extract_input_array_ufunc(x)
+    return x._reduce_array(func, arr, axis=axis, **kwargs)
+
+
+@implements(np.amin)
+def amin(x, axis=None, keepdims=False, initial=_NoValue, where=_NoValue):
+    return reduce_array_op("amin", x, axis=axis, keepdims=keepdims, initial=initial, where=where)
+
+
+@implements(np.amax)
+def amax(x, axis=None, keepdims=False, initial=_NoValue, where=_NoValue):
+    return reduce_array_op("amax", x, axis=axis, keepdims=keepdims, initial=initial, where=where)
+
+
+@implements(np.argmin)
+def argmin(x, axis=None):
+    return reduce_array_op("argmin", x, axis=axis)
+
+
+@implements(np.argmax)
+def argmax(x, axis=None):
+    return reduce_array_op("argmax", x, axis=axis)
+
+
+@implements(np.sum)
+def sum_np(x, axis=None, dtype=None, keepdims=False, initial=_NoValue, where=_NoValue):
+    return reduce_array_op(
+        "sum", x, axis=axis, dtype=dtype, keepdims=keepdims, initial=initial, where=where
+    )
+
+
+@implements(np.mean)
+def mean_np(x, axis=None, dtype=None, keepdims=False, where=_NoValue):
+    return reduce_array_op("mean", x, axis=axis, dtype=dtype, keepdims=keepdims, where=where)
+
+
+@implements(np.std)
+def std(x, axis=None, dtype=None, ddof=0, keepdims=False, where=_NoValue):
+    return reduce_array_op(
+        "std", x, axis=axis, dtype=dtype, ddof=ddof, keepdims=keepdims, where=where
+    )
+
+
+@implements(np.nanmin)
+def nanmin(x, axis=None, keepdims=False):
+    return reduce_array_op("nanmin", x, axis=axis, keepdims=keepdims)
+
+
+@implements(np.nanmax)
+def nanmax(x, axis=None, keepdims=False):
+    return reduce_array_op("nanmax", x, axis=axis, keepdims=keepdims)
+
+
+@implements(np.nanargmin)
+def nanargmin(x, axis=None):
+    return reduce_array_op("nanargmin", x, axis=axis)
+
+
+@implements(np.nanargmax)
+def nanargmax(x, axis=None):
+    return reduce_array_op("nanargmax", x, axis=axis)
+
+
+@implements(np.nansum)
+def nansum(x, axis=None, dtype=None, keepdims=False):
+    return reduce_array_op("nansum", x, axis=axis, dtype=dtype, keepdims=keepdims)
+
+
+@implements(np.nanmean)
+def nanmean(x, axis=None, dtype=None, keepdims=False):
+    return reduce_array_op("nanmean", x, axis=axis, dtype=dtype, keepdims=keepdims)
+
+
+@implements(np.nanstd)
+def nanstd(x, axis=None, dtype=None, ddof=0, keepdims=False):
+    return reduce_array_op("nanstd", x, axis=axis, dtype=dtype, ddof=ddof, keepdims=keepdims)
+
+
+@implements(np.nan_to_num)
+def nan_to_num(x, copy=True, nan=0.0, posinf=None, neginf=None):
+    vol = _xp(x).nan_to_num(x.A, copy=copy, nan=nan, posinf=posinf, neginf=neginf)
+    if copy or x.device != _cpu():
+        return x._partial_clone(volume=vol)
+    return x
+
+
+def _cpu():
+    from dosma_tpu.core.device import cpu_device
+
+    return cpu_device
+
+
+@implements(np.around, np.round)
+def around(x, decimals=0, affine=False):
+    """Round volume (and optionally affine)."""
+    affine_mat = np.around(x.affine, decimals) if affine else x.affine
+    vol = _xp(x).around(x.A, decimals)
+    return x._partial_clone(volume=vol, affine=affine_mat)
+
+
+@implements(np.clip)
+def clip(x, x_min=None, x_max=None, **kwargs):
+    if isinstance(x_min, MedicalVolume):
+        x_min = x_min.reformat_as(x).A
+    if isinstance(x_max, MedicalVolume):
+        x_max = x_max.reformat_as(x).A
+    arr = _xp(x).clip(x.A, x_min, x_max, **kwargs)
+    return x._partial_clone(volume=arr)
+
+
+@implements(np.stack)
+def stack(xs, axis: int = -1):
+    """Stack volumes across a NON-spatial axis (default ``-1``), auto-orienting
+    to the first volume (ref ``numpy_routines.py:223-268``)."""
+    if not isinstance(axis, int):
+        raise TypeError(f"'{type(axis)}' cannot be interpreted as int")
+
+    xs = [x.reformat(xs[0].orientation) for x in xs]
+    affine = xs[0].affine
+    for x in xs[1:]:
+        assert x.is_same_dimensions(xs[0], err=True)
+    try:
+        axis = _to_positive_axis(axis, len(xs[0].shape), grow=True, invalid_axis="spatial")
+    except ValueError:
+        raise ValueError(f"Cannot stack across spatial dimension (axis={axis})")
+
+    vol = _xp(xs[0]).stack([x.volume for x in xs], axis=axis)
+    headers = [x.headers() for x in xs]
+    if any(h is None for h in headers):
+        headers = None
+    else:
+        headers = np.stack(headers, axis=axis)
+    return MedicalVolume(vol, affine, headers=headers)
+
+
+@implements(np.concatenate)
+def concatenate(xs, axis: int = -1):
+    """Concatenate volumes. Spatial concat requires same direction/spacing and
+    contiguous origins; non-spatial requires equal affines
+    (ref ``numpy_routines.py:329-380``)."""
+    if not isinstance(axis, int):
+        raise TypeError(f"'{type(axis)}' cannot be interpreted as int")
+
+    xs = [x.reformat(xs[0].orientation) for x in xs]
+    axis = _to_positive_axis(axis, len(xs[0].shape), grow=False, invalid_axis=None)
+
+    if axis in range(3):
+        for i, x in enumerate(xs[1:]):
+            if not x._allclose_spacing(xs[0], precision=None, ignore_origin=True):
+                raise ValueError(
+                    "All the inputs must have the same direction and pixel spacing "
+                    "when concatenating spatial dimensions, but input at index 0 has "
+                    f"affine {xs[0].affine[:3, :3]} and the input at index {i} has "
+                    f"affine {x.affine[:3, :3]}"
+                )
+        for i, (x1, x2) in enumerate(zip(xs[:-1], xs[1:])):
+            ijk1 = np.array([0.0, 0, 0, 1])
+            ijk1[axis] = x1.shape[axis]
+            xyz = (x1.affine @ ijk1)[:3]
+            if not (np.asarray(x2.scanner_origin) == xyz).all():
+                raise ValueError(
+                    "All the inputs must be sequentially increasing in space "
+                    f"when concatenating spatial dimensions, but input at index {i} "
+                    f"ends at xyz location {xyz} and the input at index {i + 1} "
+                    f"starts at xyz location {x2.scanner_origin}"
+                )
+    else:
+        for i, x in enumerate(xs[1:]):
+            if not x._allclose_spacing(xs[0], precision=None):
+                raise ValueError(
+                    "All the inputs must have the same affine matrix when concatenating "
+                    f"non-spatial dimensions, but input at index 0 has affine {xs[0].affine} "
+                    f"and the input at index {i} has affine {x.affine}"
+                )
+
+    volume = _xp(xs[0]).concatenate([x.volume for x in xs], axis=axis)
+    headers = [x.headers() for x in xs]
+    if any(h is None for h in headers):
+        headers = None
+    else:
+        headers = np.concatenate(headers, axis=axis)
+        if headers.ndim != volume.ndim or any(
+            hs != 1 and hs != vs for hs, vs in zip(headers.shape, volume.shape)
+        ):
+            warnings.warn(
+                f"Got invalid headers shape ({headers.shape}) given concatenated output "
+                f"shape ({volume.shape}). Dropping all headers in concatenated output."
+            )
+            headers = None
+
+    return MedicalVolume(volume, xs[0].affine, headers=headers)
+
+
+@implements(np.expand_dims)
+def expand_dims(x, axis: Union[int, Sequence[int]]):
+    try:
+        axis = _to_positive_axis(axis, len(x.shape), grow=True, invalid_axis="spatial")
+    except ValueError:
+        raise ValueError(f"Cannot expand across spatial dimensions (axis={axis})")
+    vol = _xp(x).expand_dims(x.volume, axis)
+    headers = x.headers()
+    if headers is not None:
+        headers = np.expand_dims(headers, axis)
+    return x._partial_clone(volume=vol, headers=headers)
+
+
+@implements(np.squeeze)
+def squeeze(x, axis: Union[int, Sequence[int]] = None):
+    if axis is not None:
+        try:
+            axis = _to_positive_axis(axis, len(x.shape), grow=False, invalid_axis="spatial")
+        except ValueError:
+            raise ValueError(f"Cannot squeeze across spatial dimensions (axis={axis})")
+    else:
+        axis = tuple(i for i in range(3, len(x.shape)) if x.shape[i] == 1)
+        if not axis:
+            return x
+
+    vol = _xp(x).squeeze(x.volume, axis=axis)
+    headers = x.headers()
+    if headers is not None:
+        headers = np.squeeze(headers, axis=axis)
+    return x._partial_clone(volume=vol, headers=headers)
+
+
+@implements(np.pad)
+def pad(x: MedicalVolume, pad_width, mode="constant", **kwargs):
+    """Pad; spatial padding shifts the scanner origin; headers are dropped
+    (ref ``numpy_routines.py:449-516``)."""
+    if _is_int(pad_width):
+        pad_width = ((pad_width,),) * x.ndim
+    if len(pad_width) < x.ndim:
+        pad_width = ((0,),) * (x.ndim - len(pad_width)) + tuple(pad_width)
+    pad_width = tuple((0,) if p is None else (p,) if _is_int(p) else tuple(p) for p in pad_width)
+    pad_width = tuple(p * 2 if len(p) == 1 else p for p in pad_width)
+    assert all(len(p) == 2 for p in pad_width), pad_width
+
+    ijk = np.asarray([-p[0] for p in pad_width[:3]] + [0], dtype=np.float64)
+    origin = x.affine @ (ijk + np.array([0, 0, 0, 1.0]))
+    affine = x.affine.copy()
+    affine[:, 3] = origin
+
+    arr = _xp(x).pad(x.A, pad_width, mode=mode, **kwargs)
+    return x._partial_clone(volume=arr, affine=affine, headers=None)
+
+
+@implements(np.where)
+def where(*args, **kwargs):
+    return np.where(np.asarray(args[0]), *args[1:], **kwargs)
+
+
+@implements(np.all)
+def all_np(x, axis=None, keepdims=_NoValue):
+    return reduce_array_op("all", x, axis=axis, keepdims=keepdims)
+
+
+@implements(np.any)
+def any_np(x, axis=None, keepdims=_NoValue):
+    return reduce_array_op("any", x, axis=axis, keepdims=keepdims)
+
+
+@implements(np.zeros_like)
+def zeros_like(a, dtype=None, order="K", subok=True, shape=None):
+    if a.device == _cpu():
+        vol = np.zeros_like(a.A, dtype=dtype, order=order, subok=subok, shape=shape)
+    else:
+        vol = _xp(a).zeros_like(a.A, dtype=dtype, shape=shape)
+    return a._partial_clone(volume=vol)
+
+
+@implements(np.ones_like)
+def ones_like(a, dtype=None, order="K", subok=True, shape=None):
+    if a.device == _cpu():
+        vol = np.ones_like(a.A, dtype=dtype, order=order, subok=subok, shape=shape)
+    else:
+        vol = _xp(a).ones_like(a.A, dtype=dtype, shape=shape)
+    return a._partial_clone(volume=vol)
+
+
+@implements(np.shares_memory)
+def shares_memory(a, b, max_work=None):
+    vol = np.shares_memory(a.A, b.A, max_work=max_work)
+    headers = True
+    if a.headers() is not None or b.headers() is not None:
+        headers = np.shares_memory(a.headers(), b.headers(), max_work=max_work)
+    return vol and headers
+
+
+@implements(np.may_share_memory)
+def may_share_memory(a, b, max_work=None):
+    vol = np.may_share_memory(a.A, b.A, max_work=max_work)
+    headers = True
+    if a.headers() is not None or b.headers() is not None:
+        headers = np.may_share_memory(a.headers(), b.headers(), max_work=max_work)
+    return vol and headers
+
+
+def _to_positive_axis(
+    axis: Union[int, Sequence[int]],
+    ndim: int,
+    grow: bool = False,
+    invalid_axis: Union[str, int, Sequence[int]] = None,
+):
+    """Convert axis to positive form; ``grow=True`` treats out-of-range axes
+    as referring to the post-op (grown) dimensionality."""
+    original_axis = axis
+    is_sequence = isinstance(axis, Sequence)
+    if not is_sequence:
+        axis = (axis,)
+    if grow:
+        ndim += sum(x < 0 or x >= ndim for x in axis)
+    axis = tuple(x if x >= 0 else ndim + x for x in axis)
+
+    if invalid_axis is not None:
+        if invalid_axis == "spatial":
+            invalid_axis = tuple(range(3))
+        elif not isinstance(invalid_axis, Sequence):
+            invalid_axis = (invalid_axis,)
+        if any(x in invalid_axis for x in axis):
+            raise ValueError(
+                f"Invalid axes {original_axis}. Specified axes should not be in {invalid_axis}"
+            )
+    return axis if is_sequence else axis[0]
+
+
+def _is_int(x):
+    return isinstance(x, (int, np.integer))

@@ -1,0 +1,51 @@
+"""NIfTI I/O tests (model: reference tests/core/io/test_nifti_io.py)."""
+
+import numpy as np
+import pytest
+
+from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.core.orientation import AXIAL, CORONAL, SAGITTAL, to_affine
+
+
+@pytest.mark.parametrize("ext", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("ornt", [SAGITTAL, CORONAL, AXIAL])
+def test_roundtrip(tmp_path, ext, ornt):
+    rs = np.random.RandomState(1)
+    mv = MedicalVolume(
+        rs.rand(8, 9, 10).astype(np.float32),
+        to_affine(ornt, (0.5, 0.6, 0.7), (1.0, -2.0, 3.0)),
+    )
+    path = str(tmp_path / f"vol{ext}")
+    NiftiWriter().save(mv, path)
+    mv2 = NiftiReader().load(path)
+    assert np.allclose(mv2.A, mv.A)
+    assert np.allclose(mv2.affine, mv.affine, atol=1e-4)
+    assert mv2.orientation == mv.orientation
+
+
+def test_mmap(tmp_path):
+    mv = MedicalVolume(np.arange(60, dtype=np.int16).reshape(3, 4, 5), np.eye(4))
+    path = str(tmp_path / "v.nii")
+    NiftiWriter().save(mv, path)
+    mv2 = NiftiReader(mmap=True).load(path)
+    assert mv2.is_mmap
+    assert np.array_equal(np.asarray(mv2.A), mv.A)
+
+
+def test_bad_extension(tmp_path):
+    mv = MedicalVolume(np.zeros((2, 2, 2)), np.eye(4))
+    with pytest.raises(ValueError):
+        NiftiWriter().save(mv, str(tmp_path / "vol.txt"))
+    with pytest.raises(FileNotFoundError):
+        NiftiReader().load(str(tmp_path / "missing.nii"))
+
+
+def test_4d_roundtrip(tmp_path):
+    rs = np.random.RandomState(2)
+    mv = MedicalVolume(rs.rand(4, 5, 6, 3), to_affine(SAGITTAL))
+    path = str(tmp_path / "v4.nii.gz")
+    NiftiWriter().save(mv, path)
+    mv2 = NiftiReader().load(path)
+    assert mv2.shape == (4, 5, 6, 3)
+    assert np.allclose(mv2.A, mv.A)
