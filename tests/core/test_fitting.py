@@ -1,0 +1,223 @@
+"""Fitting engine tests (model: reference tests/core/test_fitting.py).
+
+Oracle pattern: the batched TPU LM kernel must match per-voxel
+``scipy.optimize.curve_fit`` results (ref ``test_fitting.py:71-84``) and
+``polyfit`` must match ``np.polyfit`` (ref ``:146-152``).
+"""
+
+import numpy as np
+import pytest
+import scipy.optimize as sop
+
+from dosma_tpu.core.fitting import (
+    CurveFitter,
+    MonoExponentialFit,
+    PolyFitter,
+    biexponential,
+    curve_fit,
+    monoexponential,
+    polyfit,
+)
+from dosma_tpu.core.med_volume import MedicalVolume
+from tests.util import generate_monoexp_data
+
+
+def _scipy_oracle(x, Y, p0=(1.0, -1 / 30)):
+    """Per-voxel scipy fits: Y is (T, N)."""
+    N = Y.shape[-1]
+    out = np.full((N, 2), np.nan)
+    for i in range(N):
+        try:
+            out[i], _ = sop.curve_fit(
+                lambda x, a, b: a * np.exp(b * x), x, Y[:, i], p0=p0, maxfev=500
+            )
+        except RuntimeError:
+            pass
+    return out
+
+
+class TestCurveFit:
+    def test_matches_scipy_clean(self):
+        ys, x, b = generate_monoexp_data((8, 8, 4))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        popt, r2 = curve_fit(monoexponential, x, Y, p0=(1.0, -1 / 30))
+        oracle = _scipy_oracle(x, Y)
+        # North-star parity: ≤1e-3 RMSE on the b (rate) parameter.
+        rmse = np.sqrt(np.mean((popt[:, 1] - oracle[:, 1]) ** 2))
+        assert rmse < 1e-3, rmse
+        assert np.all(r2 > 0.999)
+
+    def test_matches_scipy_noisy(self):
+        rs = np.random.RandomState(3)
+        ys, x, b = generate_monoexp_data((8, 8, 2))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        Y = Y * (1 + 0.02 * rs.randn(*Y.shape))
+        popt, r2 = curve_fit(monoexponential, x, Y, p0=(1.0, -1 / 30), maxfev=200)
+        oracle = _scipy_oracle(x, Y)
+        both = np.isfinite(popt[:, 1]) & np.isfinite(oracle[:, 1])
+        relerr = np.abs((popt[both, 1] - oracle[both, 1]) / oracle[both, 1])
+        assert np.percentile(relerr, 99) < 1e-2
+
+    def test_all_zero_sequence_nan(self):
+        ys, x, _ = generate_monoexp_data((4, 4, 2))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        Y[:, 5] = 0
+        popt, r2 = curve_fit(monoexponential, x, Y, p0=(1.0, -1 / 30))
+        assert np.all(np.isnan(popt[5]))
+        assert r2[5] == 0
+
+    def test_y_bounds(self):
+        ys, x, _ = generate_monoexp_data((4, 4, 2))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        Y[0, 3] = 100.0  # out of bounds observation
+        with pytest.warns(UserWarning):
+            popt, r2 = curve_fit(monoexponential, x, Y, y_bounds=(0, 10), p0=(1.0, -1 / 30))
+        assert np.all(np.isnan(popt[3]))
+        assert r2[3] == 0
+
+    def test_non_traceable_func_falls_back_to_scipy(self):
+        import math
+
+        def np_only_model(x, a, b):
+            # math.exp forces concrete values -> not jax traceable
+            return a * np.vectorize(math.exp)(b * x)
+
+        ys, x, _ = generate_monoexp_data((3, 3, 2))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        with pytest.warns(UserWarning, match="not jax-traceable"):
+            popt, r2 = curve_fit(np_only_model, x, Y, p0=(1.0, -1 / 30))
+        assert popt.shape == (Y.shape[1], 2)
+        assert np.all(np.isfinite(popt))
+
+    def test_biexponential_fit(self):
+        rs = np.random.RandomState(5)
+        N = 50
+        x = np.linspace(0, 10, 8)
+        a1, b1, a2, b2 = 1.0, -0.5, 0.5, -0.05
+        Y = (a1 * np.exp(b1 * x[:, None]) + a2 * np.exp(b2 * x[:, None])) * np.ones((1, N))
+        popt, r2 = curve_fit(
+            biexponential, x, Y, p0=(1.0, -0.4, 0.4, -0.04), maxfev=200
+        )
+        yhat = biexponential(x[:, None], *[popt[:, i][None] for i in range(4)])
+        assert np.allclose(yhat, Y, atol=1e-3)
+
+
+class TestPolyfit:
+    def test_matches_numpy(self):
+        rs = np.random.RandomState(0)
+        x = np.linspace(0, 5, 6)
+        Y = rs.rand(6, 100)
+        for deg in (1, 2):
+            popt, r2 = polyfit(x, Y, deg)
+            expected = np.polyfit(x, Y, deg)
+            assert np.allclose(popt.T, expected, atol=1e-4)
+
+    def test_r2_perfect_line(self):
+        x = np.arange(5, dtype=float)
+        Y = (2 * x + 1).reshape(-1, 1)
+        popt, r2 = polyfit(x, Y, 1)
+        assert np.allclose(popt[0], [2, 1], atol=1e-5)
+        assert r2[0] > 0.99999
+
+
+class TestCurveFitter:
+    def test_basic(self):
+        ys, x, b = generate_monoexp_data((8, 8, 4))
+        fitter = CurveFitter(monoexponential, p0=(1.0, -1 / 30), r2_threshold=None)
+        popt, r2 = fitter.fit(x, ys)
+        assert popt.shape == (8, 8, 4, 2)
+        assert np.allclose(np.asarray(popt.A)[..., 1], b, atol=1e-3)
+
+    def test_out_ufuncs_and_bounds(self):
+        ys, x, b = generate_monoexp_data((6, 6, 2))
+        fitter = CurveFitter(
+            monoexponential,
+            p0=(1.0, -1 / 30),
+            out_ufuncs=[None, lambda v: 1 / np.abs(v)],
+            out_bounds=((-np.inf, np.inf), (0, 50)),
+            r2_threshold=None,
+        )
+        popt, r2 = fitter.fit(x, ys)
+        tc = np.asarray(popt.A)[..., 1]
+        tc_true = 1 / np.abs(b)
+        valid = tc_true <= 50
+        assert np.allclose(tc[valid], tc_true[valid], atol=0.01)
+        assert np.all(np.isnan(tc[~valid]))
+
+    def test_p0_dict_and_per_voxel(self):
+        ys, x, b = generate_monoexp_data((6, 6, 2))
+        shape = ys[0].shape
+        # scalar dict
+        f1 = CurveFitter(monoexponential, r2_threshold=None)
+        p1, _ = f1.fit(x, ys, p0={"a": 1.0, "b": -1 / 30})
+        # per-voxel array dict
+        b0 = np.full(shape, -1 / 30)
+        p2, _ = f1.fit(x, ys, p0={"a": 1.0, "b": b0})
+        # per-voxel MedicalVolume dict
+        b0v = MedicalVolume(b0, ys[0].affine)
+        p3, _ = f1.fit(x, ys, p0={"a": 1.0, "b": b0v})
+        for p in (p2, p3):
+            assert np.allclose(np.asarray(p.A), np.asarray(p1.A), atol=1e-4)
+
+    def test_mask(self):
+        ys, x, b = generate_monoexp_data((6, 6, 2))
+        mask = np.zeros((6, 6, 2))
+        mask[2:4] = 1
+        fitter = CurveFitter(monoexponential, p0=(1.0, -1 / 30), r2_threshold=None)
+        popt, r2 = fitter.fit(x, ys, mask=mask)
+        arr = np.asarray(popt.A)
+        assert np.all(np.isnan(arr[mask == 0]))
+        assert np.allclose(arr[2:4, :, :, 1], b[2:4], atol=1e-3)
+
+    def test_matches_reference_workers_equivalence(self):
+        # Reference tests assert serial == parallel; our analog: repeated
+        # calls are deterministic.
+        ys, x, _ = generate_monoexp_data((5, 5, 2))
+        fitter = CurveFitter(monoexponential, p0=(1.0, -1 / 30), r2_threshold=None)
+        p1, r1 = fitter.fit(x, ys)
+        p2, r2 = fitter.fit(x, ys)
+        assert np.array_equal(np.asarray(p1.A), np.asarray(p2.A), equal_nan=True)
+
+
+class TestPolyFitter:
+    def test_log_linear_fit(self):
+        ys, x, b = generate_monoexp_data((6, 6, 2))
+        logys = [np.log(y) for y in ys]
+        fitter = PolyFitter(deg=1, r2_threshold=None)
+        popt, r2 = fitter.fit(x, logys)
+        assert np.allclose(np.asarray(popt.A)[..., 0], b, atol=1e-5)
+
+
+class TestMonoExponentialFit:
+    def test_fit_truth(self):
+        ys, x, b = generate_monoexp_data((10, 10, 4))
+        tc_true = 1 / np.abs(b)
+        fitter = MonoExponentialFit(bounds=(0, 100), tc0="polyfit", decimal_precision=3)
+        tc, r2 = fitter.fit(x, ys)
+        assert np.allclose(np.asarray(tc.A), tc_true, atol=0.05)
+        assert np.all(np.asarray(r2.A) > 0.99)
+
+    def test_fixed_tc0(self):
+        ys, x, b = generate_monoexp_data((6, 6, 2))
+        tc_true = 1 / np.abs(b)
+        tc, r2 = MonoExponentialFit(bounds=(0, 100), tc0=30.0, decimal_precision=3).fit(x, ys)
+        assert np.allclose(np.asarray(tc.A), tc_true, atol=0.1)
+
+    def test_bounds_nan_to_zero(self):
+        ys, x, b = generate_monoexp_data((6, 6, 2))
+        tc_true = 1 / np.abs(b)
+        ub = float(np.percentile(tc_true, 50))
+        tc, r2 = MonoExponentialFit(bounds=(0, ub), tc0="polyfit").fit(x, ys)
+        arr = np.asarray(tc.A)
+        assert np.all(arr[tc_true > ub + 0.2] == 0)  # nan_to_num=0 applied
+
+    def test_invalid_args(self):
+        with pytest.raises(ValueError):
+            MonoExponentialFit(tc0="bad")
+        with pytest.raises(ValueError):
+            MonoExponentialFit(bounds=(0, 1, 2))
+
+    def test_x_y_length_mismatch(self):
+        ys, x, _ = generate_monoexp_data((4, 4, 2))
+        with pytest.raises(ValueError):
+            MonoExponentialFit().fit(x[:-1], ys)
