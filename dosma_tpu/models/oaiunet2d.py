@@ -1,0 +1,111 @@
+"""OAI U-Net segmentation models (re-design of ``/root/reference/dosma/models/oaiunet2d.py``).
+
+Same architectures and channel orders as the reference so pretrained
+weights produce identical masks:
+
+- :class:`OAIUnet2D` — 1-channel sigmoid head (ref ``:24-175``)
+- :class:`IWOAIOAIUnet2D` — 4-channel head ordered {fc, tc, pc, men}
+  (ref ``:178-320``)
+- :class:`IWOAIOAIUnet2DNormalized` — adds whitening (ref ``:326-345``)
+"""
+
+from __future__ import annotations
+
+import os
+from copy import deepcopy
+
+import numpy as np
+
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.core.orientation import SAGITTAL
+from dosma_tpu.models.seg_model import JaxSegModel, whiten_volume
+from dosma_tpu.models.unet2d import Unet2D
+
+__all__ = ["OAIUnet2D", "IWOAIOAIUnet2D", "IWOAIOAIUnet2DNormalized"]
+
+
+class OAIUnet2D(JaxSegModel):
+    """2D U-Net from Chaudhari et al. IWOAI 2018 (single-class head)."""
+
+    ALIASES = ["oai-unet2d", "oai_unet2d"]
+    sigmoid_threshold = 0.5
+
+    def __load_model__(self, input_shape):
+        return Unet2D(input_shape, num_classes=1)
+
+    def generate_mask(self, volume: MedicalVolume):
+        """Sagittal reformat → preprocess → per-slice batched inference →
+        threshold 0.5 → reformat back (ref ``oaiunet2d.py:146-171``)."""
+        vol_copy = deepcopy(volume)
+        vol_copy.reformat(SAGITTAL, inplace=True)
+
+        vol = np.asarray(vol_copy.volume)
+        vol = self.__preprocess_volume__(vol)
+
+        # (slice, H, W, 1)
+        v = np.transpose(vol, (2, 0, 1))
+        v = np.expand_dims(v, axis=-1)
+
+        mask = self.seg_model.predict(v, batch_size=self.batch_size)
+        mask = (mask > self.sigmoid_threshold).astype(np.uint8)
+
+        mask = np.transpose(np.squeeze(mask, axis=-1), (1, 2, 0))
+        vol_copy.volume = mask
+        vol_copy.reformat(volume.orientation, inplace=True)
+        return vol_copy
+
+    def __preprocess_volume__(self, volume: np.ndarray):
+        return whiten_volume(volume, eps=1e-8)
+
+
+class IWOAIOAIUnet2D(OAIUnet2D):
+    """IWOAI 2019 Team 6 model: 4-class head {fc, tc, pc, men}."""
+
+    ALIASES = ["iwoai-2019-t6"]
+    _WEIGHTS_FILE = "iwoai-2019-unet2d_fc-tc-pc-men_weights.h5"
+    CATEGORIES = ["fc", "tc", "pc", "men"]
+
+    def __init__(self, input_shape, weights_path, force_weights=False):
+        if not force_weights and os.path.basename(weights_path) != self._WEIGHTS_FILE:
+            raise ValueError(f"Weights {weights_path} not supported for {type(self)}")
+        super().__init__(input_shape, weights_path)
+
+    def __load_model__(self, input_shape):
+        return Unet2D(input_shape, num_classes=4)
+
+    def generate_mask(self, volume: MedicalVolume):
+        vol_copy = deepcopy(volume)
+        vol_copy.reformat(SAGITTAL, inplace=True)
+
+        vol = np.asarray(vol_copy.volume)
+        vol = self.__preprocess_volume__(vol)
+
+        v = np.transpose(vol, (2, 0, 1))
+        v = np.expand_dims(v, axis=-1)
+
+        mask = self.seg_model.predict(v, batch_size=self.batch_size)
+        mask = (mask > self.sigmoid_threshold).astype(np.uint8)
+
+        # (H, W, slice, classes)
+        mask = np.transpose(mask, (1, 2, 0, 3))
+
+        vols = {}
+        for i, category in enumerate(self.CATEGORIES):
+            vol_cp = deepcopy(vol_copy)
+            vol_cp.volume = mask[..., i]
+            vol_cp.reformat(volume.orientation, inplace=True)
+            vols[category] = vol_cp
+        return vols
+
+    def __preprocess_volume__(self, volume: np.ndarray):
+        return volume
+
+
+class IWOAIOAIUnet2DNormalized(IWOAIOAIUnet2D):
+    """IWOAI 2019 Team 6 model with zero-mean/unit-std input normalization."""
+
+    ALIASES = ("iwoai-2019-t6-normalized",)
+    _WEIGHTS_FILE = "iwoai-2019-unet2d-normalized_fc-tc-pc-men_weights.h5"
+
+    def __preprocess_volume__(self, volume: np.ndarray):
+        return whiten_volume(volume)

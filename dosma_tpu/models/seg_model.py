@@ -1,0 +1,83 @@
+"""Segmentation model base classes.
+
+Re-design of ``/root/reference/dosma/models/seg_model.py``: the reference
+wraps Keras; here models are pure-JAX forward functions with parameter
+pytrees loaded from the same ``.h5`` weight files (see
+:mod:`dosma_tpu.models.weights`), jit-compiled and batched on TPU.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.defaults import preferences
+
+__all__ = ["SegModel", "JaxSegModel", "whiten_volume"]
+
+__VOLUME_DIMENSIONS__ = 3
+__EPSILON__ = 1e-8
+
+
+class SegModel(ABC):
+    """Abstract segmentation model (ref ``seg_model.py:14-80``).
+
+    Args:
+        input_shape: (height, width, channels) for model initialization.
+        weights_path: path to ``.h5`` weights.
+        force_weights: skip weight-filename validation.
+    """
+
+    ALIASES = [""]
+
+    def __init__(self, input_shape, weights_path, force_weights=False):
+        self.batch_size = preferences.segmentation_batch_size
+        self.seg_model = self.build_model(input_shape, weights_path)
+
+    @abstractmethod
+    def build_model(self, input_shape, weights_path):
+        pass  # pragma: no cover
+
+    @abstractmethod
+    def generate_mask(self, volume: MedicalVolume):
+        pass  # pragma: no cover
+
+    def __call__(self, *args, **kwargs):
+        return self.generate_mask(*args, **kwargs)
+
+    def __preprocess_volume__(self, volume: np.ndarray):
+        return volume
+
+    def __postprocess_volume__(self, volume: np.ndarray):
+        return volume
+
+
+class JaxSegModel(SegModel):
+    """Base for JAX models with Keras-h5-convertible weights.
+
+    Subclasses define ``__load_model__(input_shape)`` returning a
+    (params, forward_fn) pair; ``build_model`` loads/converts weights.
+    """
+
+    def build_model(self, input_shape, weights_path=None):
+        model = self.__load_model__(input_shape)
+        if weights_path:
+            model.load_weights(weights_path)
+        return model
+
+    @abstractmethod
+    def __load_model__(self, input_shape):
+        pass  # pragma: no cover
+
+
+# Backwards-compat alias matching the reference class name.
+KerasSegModel = JaxSegModel
+
+
+def whiten_volume(x: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """Zero-mean/unit-std normalization over all voxels (ref ``seg_model.py:114-127``)."""
+    if len(x.shape) != __VOLUME_DIMENSIONS__:
+        raise ValueError(f"Input has {x.ndim} dimensions. Expected {__VOLUME_DIMENSIONS__}")
+    return (x - np.mean(x)) / (np.std(x) + eps)

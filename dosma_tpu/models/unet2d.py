@@ -1,0 +1,207 @@
+"""2D U-Net forward pass in pure JAX (the DOSMA segmentation backbone).
+
+Exact functional re-implementation of the Keras graph in
+``/root/reference/dosma/models/oaiunet2d.py:56-144``:
+
+- 6 depths, features ``32 * 2^d``
+- per block: two 3x3 same convs (ReLU) then BatchNorm(momentum .95, eps .001)
+- odd-size-aware pooling: 2x2/stride-2 when the height is even, 3x3/stride-3
+  when odd (Keras MaxPooling2D default strides == pool_size)
+- decoder: 3x3 transpose-conv with matching stride, concat [up, skip],
+  two convs + BN
+- 1x1 sigmoid head with ``num_classes`` channels.
+
+Weights come from the reference's Keras ``.h5`` files via
+:mod:`dosma_tpu.models.weights` so pretrained models produce identical masks.
+Transpose convolution reproduces TF's ``SAME`` semantics via an
+input-dilated correlation with the spatially-flipped kernel (validated
+against ``torch.nn.functional.conv_transpose2d`` in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["init_unet2d_params", "unet2d_forward", "Unet2D"]
+
+DEPTH = 6
+FEATURES = [32 * 2**d for d in range(DEPTH)]
+
+
+def _conv_same(x, w, b):
+    """3x3 (or 1x1) SAME conv, NHWC x HWIO."""
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + b
+
+
+def _conv_transpose_same(x, w_keras, b, stride: int):
+    """TF/Keras ``Conv2DTranspose(k=3, strides=s, padding='same')``.
+
+    ``w_keras``: (kh, kw, out_ch, in_ch) — Keras transpose-conv layout.
+    Computed as the gradient-of-conv: dilate input by ``s``, full-pad,
+    correlate with the spatially flipped kernel, then crop to ``H*s``.
+    """
+    k = w_keras.shape[0]
+    # flip spatial dims; reorder to HWIO with in=x channels.
+    w = jnp.flip(w_keras, axis=(0, 1))  # (kh, kw, out, in)
+    w = jnp.transpose(w, (0, 1, 3, 2))  # (kh, kw, in, out)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=[(k - 1, k - 1), (k - 1, k - 1)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # Crop SAME region: pad_before = (k - s) // 2 (=0 for k=3, s in {2,3}).
+    pb = (k - stride) // 2
+    H = x.shape[1] * stride
+    W = x.shape[2] * stride
+    out = out[:, pb : pb + H, pb : pb + W, :]
+    return out + b
+
+
+def _batchnorm(x, bn):
+    """Inference-mode BN with stored moving statistics (eps=1e-3, Keras default)."""
+    gamma, beta, mean, var = bn["gamma"], bn["beta"], bn["mean"], bn["var"]
+    inv = jax.lax.rsqrt(var + 1e-3)
+    return (x - mean) * inv * gamma + beta
+
+
+def _maxpool(x, size: int):
+    """Keras MaxPooling2D(pool_size=s) — stride s, VALID padding."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, size, size, 1),
+        padding="VALID",
+    )
+
+
+def init_unet2d_params(
+    rng: jax.Array, in_channels: int = 1, num_classes: int = 1
+) -> Dict:
+    """He-normal initialized parameter pytree (for tests / training)."""
+
+    def he_conv(key, kh, kw, cin, cout):
+        fan_in = kh * kw * cin
+        return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * np.sqrt(2.0 / fan_in)
+
+    keys = iter(jax.random.split(rng, 64))
+    params = {"down": [], "up": [], "final": None}
+    cin = in_channels
+    for d in range(DEPTH):
+        f = FEATURES[d]
+        block = {
+            "conv1": {"w": he_conv(next(keys), 3, 3, cin, f), "b": jnp.zeros((f,))},
+            "conv2": {"w": he_conv(next(keys), 3, 3, f, f), "b": jnp.zeros((f,))},
+            "bn": {
+                "gamma": jnp.ones((f,)), "beta": jnp.zeros((f,)),
+                "mean": jnp.zeros((f,)), "var": jnp.ones((f,)),
+            },
+        }
+        params["down"].append(block)
+        cin = f
+    for d in range(DEPTH - 2, -1, -1):
+        f = FEATURES[d]
+        # The previous decoder (or bottleneck) block outputs FEATURES[d+1] ch.
+        f_in = FEATURES[d + 1]
+        # Keras transpose kernel layout: (kh, kw, out, in).
+        wt = jnp.transpose(he_conv(next(keys), 3, 3, f_in, f), (0, 1, 3, 2))
+        block = {
+            "convT": {"w": wt, "b": jnp.zeros((f,))},
+            "conv1": {"w": he_conv(next(keys), 3, 3, 2 * f, f), "b": jnp.zeros((f,))},
+            "conv2": {"w": he_conv(next(keys), 3, 3, f, f), "b": jnp.zeros((f,))},
+            "bn": {
+                "gamma": jnp.ones((f,)), "beta": jnp.zeros((f,)),
+                "mean": jnp.zeros((f,)), "var": jnp.ones((f,)),
+            },
+        }
+        params["up"].insert(0, block)
+    params["final"] = {
+        "w": he_conv(next(keys), 1, 1, FEATURES[0], num_classes),
+        "b": jnp.zeros((num_classes,)),
+    }
+    return params
+
+
+def unet2d_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Forward pass. ``x``: (B, H, W, C) → sigmoid probabilities (B, H, W, num_classes)."""
+    skips = []
+    h = x
+    for d in range(DEPTH):
+        blk = params["down"][d]
+        h = jax.nn.relu(_conv_same(h, blk["conv1"]["w"], blk["conv1"]["b"]))
+        h = jax.nn.relu(_conv_same(h, blk["conv2"]["w"], blk["conv2"]["b"]))
+        h = _batchnorm(h, blk["bn"])
+        skips.append(h)
+        if d < DEPTH - 1:
+            size = 2 if h.shape[1] % 2 == 0 else 3
+            h = _maxpool(h, size)
+
+    for d in range(DEPTH - 2, -1, -1):
+        blk = params["up"][d]
+        target = skips[d]
+        stride = 2 if target.shape[1] % 2 == 0 else 3
+        up = _conv_transpose_same(h, blk["convT"]["w"], blk["convT"]["b"], stride)
+        if up.shape[1] != target.shape[1] or up.shape[2] != target.shape[2]:
+            raise ValueError(
+                f"U-Net size mismatch at depth {d}: upsampled {up.shape[1:3]} vs skip "
+                f"{target.shape[1:3]}. Input spatial dims must survive the reference's "
+                f"even/odd pooling schedule (e.g. 256, 384, 288)."
+            )
+        h = jnp.concatenate([up, target], axis=3)
+        h = jax.nn.relu(_conv_same(h, blk["conv1"]["w"], blk["conv1"]["b"]))
+        h = jax.nn.relu(_conv_same(h, blk["conv2"]["w"], blk["conv2"]["b"]))
+        h = _batchnorm(h, blk["bn"])
+
+    logits = _conv_same(h, params["final"]["w"], params["final"]["b"])
+    return jax.nn.sigmoid(logits)
+
+
+class Unet2D:
+    """Holds U-Net params + a jitted forward; mirrors the Keras Model surface."""
+
+    def __init__(self, input_shape: Tuple[int, int, int], num_classes: int = 1):
+        if not isinstance(input_shape, tuple) or len(input_shape) != 3 or input_shape[2] != 1:
+            raise ValueError("input_size must be a tuple of size (height, width, 1)")
+        self.input_shape = input_shape
+        self.num_classes = num_classes
+        self.params = init_unet2d_params(
+            jax.random.PRNGKey(0), in_channels=input_shape[2], num_classes=num_classes
+        )
+        self._forward = jax.jit(unet2d_forward)
+
+    def load_weights(self, weights_path: str):
+        from dosma_tpu.models.weights import load_keras_unet2d_weights
+
+        self.params = load_keras_unet2d_weights(weights_path)
+
+    def predict(self, v: np.ndarray, batch_size: int = 16, verbose: int = 0) -> np.ndarray:
+        """Batched inference over the leading axis (Keras ``model.predict`` surface).
+
+        Chunks are padded to ``batch_size`` so only one XLA program is compiled.
+        """
+        n = v.shape[0]
+        outs = []
+        for start in range(0, n, batch_size):
+            chunk = v[start : start + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out = np.asarray(self._forward(self.params, jnp.asarray(chunk, jnp.float32)))
+            if pad:
+                out = out[:-pad]
+            outs.append(out)
+        return np.concatenate(outs, axis=0)

@@ -1,0 +1,158 @@
+"""Scan-sequence base classes (re-design of ``/root/reference/dosma/scan_sequences/scans.py``).
+
+``ScanSequence``: volumes + tissues + reference dicom + metadata fallback
+(ref ``:41-175``). ``NonTargetSequence``: interregister contract, reloading
+of interregistered volumes, gaussian mask dilation (ref ``:178-313``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from abc import abstractmethod
+from time import localtime, strftime
+from typing import Any, Sequence, Union
+
+import numpy as np
+
+from dosma_tpu.core.io import format_io_utils as fio_utils
+from dosma_tpu.core.io.nifti_io import NiftiReader
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.defaults import preferences
+from dosma_tpu.scan_sequences.scan_io import ScanIOMixin
+from dosma_tpu.utils import env, io_utils
+from dosma_tpu.utils.natsort import natsorted
+
+__all__ = ["ScanSequence", "NonTargetSequence"]
+
+_logger = logging.getLogger(__name__)
+
+
+class ScanSequence(ScanIOMixin):
+    """Base class for scan sequences and their analysis."""
+
+    NAME = ""
+    __DEFAULT_SPLIT_BY__ = "EchoNumbers"
+
+    def __init__(self, volumes: Union[MedicalVolume, Sequence[MedicalVolume]]):
+        self.volumes = volumes
+        self.series_number = None
+        self._from_file_args = {}
+        self.temp_path = os.path.join(
+            env.temp_dir(), self.NAME, strftime("%Y-%m-%d-%H-%M-%S", localtime())
+        )
+        self.tissues = []
+        self._metadata = {}
+
+    def __validate_scan__(self) -> bool:
+        return True
+
+    def get_metadata(self, key: Any, default=None):
+        """Metadata from scan dict or reference dicom (ref ``scans.py:88-116``)."""
+        metadata = self._metadata.get(key, None)
+        if metadata is None and self.ref_dicom is not None:
+            metadata = self.ref_dicom[key].value if key in self.ref_dicom else None
+        if metadata is None and default is False:
+            raise KeyError(f"Metadata '{key}' not found")
+        if metadata is None:
+            return default
+        return metadata
+
+    def set_metadata(self, key: Any, value: Any):
+        self._metadata[key] = value
+
+    def get_dimensions(self):
+        if isinstance(self.volumes, MedicalVolume):
+            return self.volumes.shape
+        return self.volumes[0].shape
+
+    @property
+    def ref_dicom(self):
+        """First header of the first volume (ref ``scans.py:130-139``)."""
+        vol = self.volumes[0] if isinstance(self.volumes, (list, tuple)) else self.volumes
+        headers = vol.headers(flatten=True)
+        return headers[0] if headers is not None else None
+
+    def __add_tissue__(self, new_tissue):
+        if any(tissue.ID == new_tissue.ID for tissue in self.tissues):
+            raise ValueError("Tissue already exists")
+        self.tissues.append(new_tissue)
+
+    def to(self, device):
+        """Move all volumes to ``device`` (in place)."""
+        if isinstance(self.volumes, MedicalVolume):
+            self.volumes = self.volumes.to(device)
+            return self
+        self.volumes = [v.to(device) for v in self.volumes]
+        return self
+
+    @classmethod
+    def cmd_line_actions(cls):
+        """Subclasses return [(method, ActionWrapper)] for CLI exposure."""
+        return []
+
+
+class NonTargetSequence(ScanSequence):
+    """Scans that must be registered (interregistered) to a target scan."""
+
+    @abstractmethod
+    def interregister(self, target_path: str, mask_path: str = None):
+        """Register this scan to the target scan (ref ``scans.py:187-209``)."""
+        pass  # pragma: no cover
+
+    def __load_interregistered_files__(self, interregistered_dirpath: str):
+        """Load interregistered subvolumes ``<idx>.nii.gz`` (ref ``scans.py:212-265``)."""
+        _logger.info("Loading interregistered files")
+        if "interregistered" not in interregistered_dirpath:
+            raise ValueError(f"Invalid path for loading {self.NAME} interregistered files")
+
+        subfiles = natsorted(os.listdir(interregistered_dirpath))
+        if len(subfiles) == 0:
+            raise ValueError("No interregistered files found")
+
+        indices = []
+        subvolumes = []
+        nifti_reader = NiftiReader()
+        for subfile in subfiles:
+            subfile_nums = re.findall(r"[-+]?\d*\.\d+|\d+", subfile)
+            if len(subfile_nums) == 0:
+                raise ValueError(f"{subfile} is not an interregistered '.gz.nii' file.")
+            indices.append(int(subfile_nums[0]))
+            subvolumes.append(nifti_reader.load(os.path.join(interregistered_dirpath, subfile)))
+
+        return {idx: sv for idx, sv in zip(indices, subvolumes)}
+
+    def __dilate_mask__(
+        self,
+        mask_path: str,
+        temp_path: str,
+        dil_rate: float = None,
+        dil_threshold: float = None,
+    ) -> str:
+        """Gaussian-blur dilation of a binary mask, written as NIfTI
+        (ref ``scans.py:267-313``)."""
+        import scipy.ndimage as sni
+
+        if dil_rate is None:
+            dil_rate = preferences.mask_dilation_rate
+        if dil_threshold is None:
+            dil_threshold = preferences.mask_dilation_threshold
+        if dil_threshold < 0 or dil_threshold > 1:
+            raise ValueError("'dil_threshold' must be in range [0, 1]")
+
+        if isinstance(mask_path, MedicalVolume):
+            mask = mask_path
+        elif os.path.isfile(mask_path):
+            mask = fio_utils.generic_load(mask_path, expected_num_volumes=1)
+        else:
+            raise FileNotFoundError(f"File {mask_path} not found")
+
+        dilated_mask = (
+            sni.gaussian_filter(np.asarray(mask.volume, dtype=np.float32), sigma=dil_rate)
+            > dil_threshold
+        )
+        fixed_mask = np.asarray(dilated_mask, dtype=np.int8)
+        fixed_mask_filepath = os.path.join(io_utils.mkdirs(temp_path), "dilated-mask.nii.gz")
+        MedicalVolume(fixed_mask, affine=mask.affine).save_volume(fixed_mask_filepath)
+        return fixed_mask_filepath

@@ -1,0 +1,151 @@
+"""U-Net model tests (model: reference tests/models/test_oaiunet2d.py).
+
+Oracles: transpose-conv vs torch.nn.functional.conv_transpose2d; h5
+round-trip produces bit-identical outputs (the reference compares against
+golden outputs of real weight files, which are not shipped in-repo).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.core.orientation import AXIAL, SAGITTAL, to_affine
+from dosma_tpu.models.unet2d import (
+    Unet2D,
+    _conv_transpose_same,
+    init_unet2d_params,
+    unet2d_forward,
+)
+
+
+class TestConvTranspose:
+    @pytest.mark.parametrize("stride", [2, 3])
+    def test_matches_torch(self, stride):
+        """TF-SAME transpose conv must equal torch conv_transpose2d with the
+        equivalent padding/cropping."""
+        import torch
+        import torch.nn.functional as F
+
+        rs = np.random.RandomState(0)
+        B, H, W, Cin, Cout, k = 2, 6, 6, 3, 5, 3
+        x = rs.rand(B, H, W, Cin).astype(np.float32)
+        w_keras = rs.rand(k, k, Cout, Cin).astype(np.float32)  # Keras layout
+        b = rs.rand(Cout).astype(np.float32)
+
+        out = np.asarray(_conv_transpose_same(jnp.asarray(x), jnp.asarray(w_keras), jnp.asarray(b), stride))
+
+        # torch: input NCHW, weight (in, out, kh, kw)
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        wt = torch.from_numpy(np.transpose(w_keras, (3, 2, 0, 1)))
+        full = F.conv_transpose2d(xt, wt, stride=stride, padding=0)
+        pb = (k - stride) // 2
+        crop = full[:, :, pb : pb + H * stride, pb : pb + W * stride]
+        expected = np.transpose(crop.numpy(), (0, 2, 3, 1)) + b
+        assert np.allclose(out, expected, atol=1e-4), np.abs(out - expected).max()
+
+
+class TestUnet2DForward:
+    def test_output_shape_and_range(self):
+        params = init_unet2d_params(jax.random.PRNGKey(0), num_classes=1)
+        x = jnp.asarray(np.random.RandomState(1).rand(2, 96, 96, 1), jnp.float32)
+        out = unet2d_forward(params, x)
+        assert out.shape == (2, 96, 96, 1)
+        out = np.asarray(out)
+        assert np.all((out >= 0) & (out <= 1))
+
+    def test_odd_size_pooling_path(self):
+        # 288 = 2*144=2*2*72=... schedule: 288(e)->144(e)->72(e)->36(e)->18(e)->9
+        params = init_unet2d_params(jax.random.PRNGKey(0), num_classes=4)
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 288, 288, 1), jnp.float32)
+        out = unet2d_forward(params, x)
+        assert out.shape == (1, 288, 288, 4)
+
+    def test_incompatible_size_raises(self):
+        params = init_unet2d_params(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 100, 100, 1), jnp.float32)
+        # 100->50->25->(3x3 pool)8 ; upsample 8*3=24 != 25 -> error
+        with pytest.raises(ValueError):
+            unet2d_forward(params, x)
+
+
+class TestWeightsRoundtrip:
+    def test_h5_roundtrip_identical_outputs(self, tmp_path):
+        from dosma_tpu.models.weights import load_keras_unet2d_weights, save_keras_unet2d_weights
+
+        params = init_unet2d_params(jax.random.PRNGKey(3), num_classes=4)
+        path = str(tmp_path / "w.h5")
+        save_keras_unet2d_weights(path, params)
+        params2 = load_keras_unet2d_weights(path)
+
+        x = jnp.asarray(np.random.RandomState(2).rand(1, 96, 96, 1), jnp.float32)
+        out1 = np.asarray(unet2d_forward(params, x))
+        out2 = np.asarray(unet2d_forward(params2, x))
+        assert np.array_equal(out1, out2)
+
+
+class TestSegModels:
+    def _mv(self, shape=(96, 96, 4)):
+        rs = np.random.RandomState(0)
+        return MedicalVolume(rs.rand(*shape) * 100, to_affine(SAGITTAL))
+
+    def test_oaiunet_generate_mask(self, tmp_path):
+        from dosma_tpu.models import OAIUnet2D
+
+        model = OAIUnet2D((96, 96, 1), weights_path=None)
+        mv = self._mv()
+        mask = model.generate_mask(mv)
+        assert isinstance(mask, MedicalVolume)
+        assert mask.shape == mv.shape
+        assert mask.orientation == mv.orientation
+        assert set(np.unique(np.asarray(mask.A))).issubset({0, 1})
+
+    def test_iwoai_generate_mask_categories(self):
+        from dosma_tpu.models import IWOAIOAIUnet2DNormalized
+
+        model = IWOAIOAIUnet2DNormalized((96, 96, 1), weights_path=None, force_weights=True)
+        mv = self._mv().reformat(AXIAL)
+        masks = model.generate_mask(mv)
+        assert list(masks.keys()) == ["fc", "tc", "pc", "men"]
+        for v in masks.values():
+            assert v.shape == mv.shape
+            assert v.orientation == mv.orientation
+
+    def test_stanford_head_order(self):
+        from dosma_tpu.models import StanfordQDessUNet2D
+
+        model = StanfordQDessUNet2D((96, 96, 1), weights_path=None)
+        masks = model.generate_mask(self._mv())
+        assert list(masks.keys()) == ["pc", "fc", "tc", "men"]
+
+    def test_weights_filename_validation(self, tmp_path):
+        from dosma_tpu.models import IWOAIOAIUnet2D
+
+        with pytest.raises(ValueError):
+            IWOAIOAIUnet2D((96, 96, 1), weights_path=str(tmp_path / "bad.h5"))
+
+    def test_get_model_registry(self):
+        from dosma_tpu.models import get_model
+
+        model = get_model("oai-unet2d", (96, 96, 1), weights_path=None)
+        assert model is not None
+        with pytest.raises(LookupError):
+            get_model("nope", (96, 96, 1), weights_path=None)
+
+    def test_model_from_config(self, tmp_path):
+        from dosma_tpu.models import model_from_config
+        from dosma_tpu.models.unet2d import init_unet2d_params
+        from dosma_tpu.models.weights import save_keras_unet2d_weights
+
+        wpath = str(tmp_path / "custom.h5")
+        save_keras_unet2d_weights(wpath, init_unet2d_params(jax.random.PRNGKey(0), num_classes=4))
+        cfg = {
+            "DOSMA_MODEL": "iwoai-2019-t6",
+            "CATEGORIES": ["a", "b", "c", "d"],
+            "WEIGHTS_FILE": wpath,
+        }
+        model = model_from_config(cfg, input_shape=(96, 96, 1))
+        masks = model.generate_mask(self._mv())
+        assert list(masks.keys()) == ["a", "b", "c", "d"]
