@@ -1,0 +1,383 @@
+"""Femoral cartilage analytics (re-design of
+``/root/reference/dosma/tissues/femoral_cartilage.py``).
+
+Region splitting via sagittal max-projection → least-squares circle fit →
+per-slice angular binning (72 bins of 5°) → bitmask regions across coronal
+(anterior/central/posterior at θ=-105°/-75°), sagittal (medial/lateral at
+the center-of-mass slice), and axial (deep/superficial at a per-bin radial
+threshold) — ref ``femoral_cartilage.py:86-194``.
+
+The reference's per-(slice, bin) Python loops (``:139-152``, ``:245-280``)
+are replaced with vectorized scatter reductions (``np.minimum.at`` /
+``np.add.at``) — same outputs, orders of magnitude faster.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+import pandas as pd
+
+from dosma_tpu.core.io.format_io import ImageDataFormat
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.core.quant_vals import QuantitativeValueType
+from dosma_tpu.defaults import preferences
+from dosma_tpu.tissues.tissue import Tissue, largest_cc
+from dosma_tpu.utils import img_utils, io_utils
+from dosma_tpu.utils.geometry_utils import cart2pol, circle_fit
+
+__all__ = ["FemoralCartilage"]
+
+# Visualization vmax bounds in milliseconds (ref ``femoral_cartilage.py:20-24``).
+BOUNDS = {
+    QuantitativeValueType.T2: 80.0,
+    QuantitativeValueType.T1_RHO: 100.0,
+    QuantitativeValueType.T2_STAR: 80.0,
+}
+
+
+class FemoralCartilage(Tissue):
+    """Femoral cartilage: region splitting, unrolling, and per-region metrics."""
+
+    ID = 1
+    STR_ID = "fc"
+    FULL_NAME = "femoral cartilage"
+    T1_EXPECTED = 1200  # ms
+
+    # Region bit keys (ref ``femoral_cartilage.py:53-67``).
+    _POSTERIOR_KEY = 2**0
+    _CENTRAL_KEY = 2**1
+    _ANTERIOR_KEY = 2**2
+    _CORONAL_KEYS = [_POSTERIOR_KEY, _CENTRAL_KEY, _ANTERIOR_KEY]
+
+    _MEDIAL_KEY = 2**3
+    _LATERAL_KEY = 2**4
+    _SAGITTAL_KEYS = [_MEDIAL_KEY, _LATERAL_KEY]
+
+    _DEEP_KEY = 2**5
+    _SUPERFICIAL_KEY = 2**6
+    _TOTAL_AXIAL_KEY = 2**7
+    _AXIAL_KEYS = [_DEEP_KEY, _SUPERFICIAL_KEY, _TOTAL_AXIAL_KEY]
+
+    _AXIAL_NAMES = ["deep", "superficial", "total"]
+    _SAGITTAL_NAMES = ["medial", "lateral"]
+    _CORONAL_NAMES = ["posterior", "central", "anterior"]
+
+    ML_BOUNDARY = None
+    ACP_BOUNDARY = None
+
+    def __init__(self, weights_dir=None, medial_to_lateral=None):
+        super().__init__(weights_dir=weights_dir)
+        self.regions_mask = None
+        self.theta_bins = None
+        self.medial_to_lateral = medial_to_lateral
+
+    # ------------------------------------------------------------------
+    def split_regions(self, base_map, thickness_divisor=0.5, num_bins=72, theta=(-270, 90)):
+        """Split mask into 3x2x3 anatomical regions (ref ``:86-194``)."""
+        import scipy.ndimage as sni
+
+        dtheta = 360 / num_bins
+        theta_min, theta_max = tuple(theta)
+
+        mask = np.asarray(self.__mask__.volume)
+        mask = mask * np.nan_to_num(np.asarray(base_map))
+        height, width, num_slices = mask.shape
+
+        # STEP 1: sagittal max-projection + circle fit.
+        projected = np.max(mask, 2)
+        nz = np.nonzero(projected)
+        xc_fit, yc_fit, _R = circle_fit(nz[1], nz[0])
+
+        # STEP 2: angular binning.
+        yv, xv = np.meshgrid(range(height), range(width), indexing="ij")
+        rho, th = cart2pol(xv - xc_fit, yc_fit - yv)
+        th = (th >= 90) * (th - 360) + (th < 90) * th  # range [-270, 90)
+        assert (np.min(th) >= theta_min) and (np.max(th) < theta_max)
+        theta_bins = np.floor((th - theta_min) / dtheta)
+
+        # STEP 3: per-(bin, slice) radial thresholds — vectorized scatter
+        # min/max over valid voxels (replaces ref ``:139-152`` loops).
+        valid = mask > 0
+        bin_idx3 = np.broadcast_to(theta_bins[..., None], mask.shape).astype(np.int64)
+        slice_idx3 = np.broadcast_to(
+            np.arange(num_slices)[None, None, :], mask.shape
+        )
+        keys = (bin_idx3 * num_slices + slice_idx3)[valid]
+        rho3 = np.broadcast_to(rho[..., None], mask.shape)
+        rho_valid = rho3[valid]
+
+        nkeys = num_bins * num_slices
+        rho_min = np.full(nkeys, np.inf)
+        rho_max = np.full(nkeys, -np.inf)
+        np.minimum.at(rho_min, keys, rho_valid)
+        np.maximum.at(rho_max, keys, rho_valid)
+        has_any = np.isfinite(rho_min)
+        thresholds = np.zeros(nkeys)
+        thresholds[has_any] = (
+            thickness_divisor * (rho_max[has_any] - rho_min[has_any]) + rho_min[has_any]
+        )
+        rhos_threshold_volume = thresholds[bin_idx3 * num_slices + slice_idx3]
+
+        regions_volume = np.zeros(mask.shape, dtype=np.uint16)
+
+        # anterior/central/posterior (θ thresholds -105 / -75).
+        acp_map = (
+            self._ANTERIOR_KEY * (th < -105)
+            + self._CENTRAL_KEY * np.logical_and(th >= -105, th < -75)
+            + self._POSTERIOR_KEY * (th >= -75)
+        )
+        regions_volume += np.asarray(
+            np.broadcast_to(acp_map[..., None], mask.shape), dtype=np.uint16
+        )
+
+        # medial/lateral at center-of-mass slice, honoring scan direction.
+        com_slicewise = sni.center_of_mass(mask)[-1]
+        ml_volume = np.zeros(mask.shape, dtype=np.uint16)
+        boundary = int(np.ceil(com_slicewise))
+        if self.medial_to_lateral:
+            ml_volume[..., :boundary] = self._MEDIAL_KEY
+            ml_volume[..., boundary:] = self._LATERAL_KEY
+        else:
+            ml_volume[..., :boundary] = self._LATERAL_KEY
+            ml_volume[..., boundary:] = self._MEDIAL_KEY
+        regions_volume += ml_volume
+
+        # deep/superficial at the radial threshold (note: both bits set on
+        # the threshold surface itself — reference parity).
+        deep_volume = (rho3 <= rhos_threshold_volume) * self._DEEP_KEY
+        superficial_volume = (rho3 >= rhos_threshold_volume) * self._SUPERFICIAL_KEY
+        regions_volume += np.asarray(
+            deep_volume + superficial_volume + self._TOTAL_AXIAL_KEY, dtype=np.uint16
+        )
+
+        acp_boundary = [
+            int(np.floor((-105 - theta_min) / dtheta)),
+            int(np.floor((-75 - theta_min) / dtheta)),
+        ]
+        return regions_volume, theta_bins, boundary, acp_boundary
+
+    # ------------------------------------------------------------------
+    def unroll(self, qv_map: np.ndarray, regions_mask: np.ndarray, theta_bins):
+        """Unroll 3D qv maps to 2D (θ-bin x slice) total/superficial/deep maps
+        (ref ``:196-285``) — vectorized with scatter-add accumulations."""
+        num_bins = len(np.unique(theta_bins))
+        mask = np.asarray(self.__mask__.volume)
+
+        qv_map = np.asarray(qv_map)
+        if qv_map.shape != mask.shape:
+            raise ValueError("t2_map and mask must have same shape")
+        if len(qv_map.shape) != 3:
+            raise ValueError("t2_map and mask must be 3D")
+
+        num_slices = qv_map.shape[-1]
+        qv = np.nan_to_num(qv_map) * mask
+        qv = np.where(qv <= 0, np.nan, qv)
+
+        bin_idx3 = np.broadcast_to(theta_bins[..., None].astype(np.int64), qv.shape)
+        slice_idx3 = np.broadcast_to(np.arange(num_slices)[None, None, :], qv.shape)
+        keys = bin_idx3 * num_slices + slice_idx3
+        nkeys = num_bins * num_slices
+
+        def scatter_mean(values, where):
+            sums = np.zeros(nkeys)
+            counts = np.zeros(nkeys)
+            k = keys[where]
+            v = values[where]
+            np.add.at(sums, k, v)
+            np.add.at(counts, k, 1)
+            with np.errstate(invalid="ignore"):
+                out = sums / counts
+            return out.reshape(num_bins, num_slices)
+
+        finite = np.isfinite(qv)
+        total = scatter_mean(qv, finite)
+
+        sup_bit = (regions_mask & self._SUPERFICIAL_KEY) == self._SUPERFICIAL_KEY
+        deep_bit = (regions_mask & self._DEEP_KEY) == self._DEEP_KEY
+        superficial = scatter_mean(qv, finite & sup_bit)
+        deep = scatter_mean(qv, finite & deep_bit)
+
+        for arr in (total, superficial, deep):
+            arr[arr == 0] = np.nan
+        return total, superficial, deep
+
+    # ------------------------------------------------------------------
+    def __calc_quant_vals__(self, quant_map: MedicalVolume, map_type):
+        """18-region (3x2x3) DataFrame + 2D map dicts (ref ``:287-404``)."""
+        super().__calc_quant_vals__(quant_map, map_type)
+
+        regions_mask, theta_bins, ml_boundary, acp_boundary = self.split_regions(
+            quant_map.volume
+        )
+        if self.ML_BOUNDARY is None:
+            self.ML_BOUNDARY = ml_boundary
+        if self.ACP_BOUNDARY is None:
+            self.ACP_BOUNDARY = acp_boundary
+
+        total, superficial, deep = self.unroll(
+            np.asarray(quant_map.volume), regions_mask, theta_bins
+        )
+
+        mask = np.asarray(self.__mask__.volume)
+        qvol = np.asarray(quant_map.volume)
+
+        pd_header = ["Subject", "Location", "Side", "Region", "Mean", "Std", "Median", "# Voxels"]
+        pd_list = []
+        for axial_ind, axial in enumerate(self._AXIAL_KEYS):
+            for sagittal_ind, sagittal in enumerate(self._SAGITTAL_KEYS):
+                for coronal_ind, coronal in enumerate(self._CORONAL_KEYS):
+                    roi = axial | coronal | sagittal
+                    region = self.__binarize_region_mask__(regions_mask, roi)
+                    vals = region * mask * np.nan_to_num(qvol)
+                    qv_region_vals = vals[vals > 0]
+                    num_voxels = len(qv_region_vals)
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        pd_list.append(
+                            [
+                                self.pid,
+                                self._AXIAL_NAMES[axial_ind],
+                                self._SAGITTAL_NAMES[sagittal_ind],
+                                self._CORONAL_NAMES[coronal_ind],
+                                np.nanmean(qv_region_vals) if num_voxels else np.nan,
+                                np.nanstd(qv_region_vals) if num_voxels else np.nan,
+                                np.nanmedian(qv_region_vals) if num_voxels else np.nan,
+                                num_voxels,
+                            ]
+                        )
+
+        df = pd.DataFrame(pd_list, columns=pd_header)
+        qv_name = map_type.name
+        maps = [
+            {
+                "title": f"{qv_name} {layer}",
+                "data": data,
+                "xlabel": "Slice",
+                "ylabel": "Angle (binned)",
+                "filename": f"{qv_name}_{layer}",
+                "raw_data_filename": f"{qv_name}_{layer}.data",
+            }
+            for layer, data in (("deep", deep), ("superficial", superficial), ("total", total))
+        ]
+        self.__store_quant_vals__(maps, df, map_type)
+
+    # ------------------------------------------------------------------
+    def set_mask(self, mask: MedicalVolume, use_largest_cc: bool = True, split_regions: bool = True):
+        """Set mask with largest-CC cleanup and eager region split (ref ``:406-434``)."""
+        if use_largest_cc:
+            msk = np.asarray(largest_cc(np.asarray(mask.A)), dtype=np.uint8)
+        else:
+            msk = np.asarray(mask.A, dtype=np.uint8)
+        mask_copy = mask._partial_clone(volume=msk)
+        super().set_mask(mask_copy)
+
+        if split_regions:
+            (
+                self.regions_mask,
+                self.theta_bins,
+                self.ML_BOUNDARY,
+                self.ACP_BOUNDARY,
+            ) = self.split_regions(np.asarray(self.__mask__.volume))
+
+    # ------------------------------------------------------------------
+    def __save_quant_data__(self, dirpath: str):
+        """jet maps with per-qv vmax + xlsx export (ref ``:436-501``)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        q_names = []
+        dfs = []
+        for quant_val in QuantitativeValueType:
+            if quant_val.name not in self.quant_vals.keys():
+                continue
+            q_names.append(quant_val.name)
+            q_val = self.quant_vals[quant_val.name]
+            dfs.append(q_val[1])
+
+            q_name_dirpath = io_utils.mkdirs(os.path.join(dirpath, quant_val.name.lower()))
+            for q_map_data in q_val[0]:
+                filepath = os.path.join(q_name_dirpath, q_map_data["filename"])
+                data_map = q_map_data["data"]
+
+                plt.clf()
+                upper_bound = BOUNDS[quant_val]
+                if preferences.visualization_use_vmax or np.sum(data_map <= upper_bound) == 0:
+                    plt.imshow(data_map, cmap="jet", vmin=0.0, vmax=upper_bound)
+                else:
+                    plt.imshow(data_map, cmap="jet")
+                plt.xlabel(q_map_data["xlabel"])
+                plt.ylabel(q_map_data["ylabel"])
+                plt.title(q_map_data["title"])
+                clb = plt.colorbar()
+                clb.ax.set_title("(ms)")
+                plt.savefig(filepath)
+                plt.close()
+
+                raw_path = os.path.join(
+                    q_name_dirpath, "raw_data", q_map_data["raw_data_filename"]
+                )
+                io_utils.save_pik(raw_path, data_map)
+
+        if dfs:
+            io_utils.save_tables(os.path.join(dirpath, "data.xlsx"), dfs, q_names)
+
+    def save_data(self, save_dirpath, data_format: ImageDataFormat = None):
+        if data_format is None:
+            data_format = preferences.image_data_format
+        super().save_data(save_dirpath, data_format=data_format)
+        save_dirpath = self.__save_dirpath__(save_dirpath)
+
+        if self.regions_mask is None:
+            return
+
+        sagittal_region_mask, coronal_region_mask = self.__split_mask__()
+        coronal_region_mask = (coronal_region_mask + 1) * 10
+        sagittal_region_mask = sagittal_region_mask + 1
+        joined_mask = coronal_region_mask + sagittal_region_mask
+        labels = [
+            "medial posterior", "medial central", "medial anterior",
+            "lateral posterior", "lateral central", "lateral anterior",
+        ]
+        plt_dict = {
+            "labels": labels, "xlabel": "Slice", "ylabel": "Angle (binned)",
+            "title": "Unrolled Regions",
+        }
+        try:
+            img_utils.write_regions(
+                os.path.join(save_dirpath, "region_map"), joined_mask, plt_dict=plt_dict
+            )
+        except ValueError:
+            warnings.warn("Could not write region map figure (region count mismatch).")
+
+    def __binarize_region_mask__(self, region_mask, roi):
+        return np.asarray(np.bitwise_and(region_mask, roi) == roi, dtype=bool)
+
+    def __split_mask__(self):
+        assert self.ML_BOUNDARY is not None and self.ACP_BOUNDARY is not None
+
+        unrolled_total, _, _ = self.unroll(
+            np.asarray(self.__mask__.volume, dtype=np.float32), self.regions_mask, self.theta_bins
+        )
+
+        acp_division = np.zeros(unrolled_total.shape)
+        ac_threshold, cp_threshold = self.ACP_BOUNDARY
+        acp_division[:ac_threshold, :] = self._ANTERIOR_KEY
+        acp_division[ac_threshold:cp_threshold, :] = self._CENTRAL_KEY
+        acp_division[cp_threshold:, :] = self._POSTERIOR_KEY
+
+        ml_division = np.zeros(unrolled_total.shape)
+        if self.medial_to_lateral:
+            ml_division[..., : self.ML_BOUNDARY] = self._MEDIAL_KEY
+            ml_division[..., self.ML_BOUNDARY :] = self._LATERAL_KEY
+        else:
+            ml_division[..., : self.ML_BOUNDARY] = self._LATERAL_KEY
+            ml_division[..., self.ML_BOUNDARY :] = self._MEDIAL_KEY
+
+        acp_division[np.isnan(unrolled_total)] = np.nan
+        ml_division[np.isnan(unrolled_total)] = np.nan
+        return acp_division, ml_division

@@ -1,0 +1,194 @@
+"""Tissue analytics tests (model: reference tests/tissues/)."""
+
+import numpy as np
+import pytest
+
+from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.core.orientation import SAGITTAL, to_affine
+from dosma_tpu.core.quant_vals import T2
+from dosma_tpu.tissues import (
+    FemoralCartilage,
+    Meniscus,
+    PatellarCartilage,
+    TibialCartilage,
+    largest_cc,
+)
+
+
+def _fc_mask_and_map(shape=(64, 64, 16), seed=0):
+    """Synthetic condyle-like mask: an annular arc in each sagittal slice."""
+    rs = np.random.RandomState(seed)
+    h, w, d = shape
+    yv, xv = np.meshgrid(range(h), range(w), indexing="ij")
+    cx, cy, R = w / 2, h / 2, h / 3
+    rad = np.sqrt((xv - cx) ** 2 + (yv - cy) ** 2)
+    annulus = (rad > R * 0.8) & (rad < R * 1.1) & (yv > cy - R)  # inferior arc
+    mask = np.repeat(annulus[..., None], d, axis=2).astype(np.uint8)
+    qmap = (rs.rand(*shape) * 40 + 20) * mask
+    affine = to_affine(SAGITTAL)
+    return (
+        MedicalVolume(mask, affine),
+        MedicalVolume(qmap, affine),
+    )
+
+
+class TestLargestCC:
+    def test_keeps_biggest(self):
+        mask = np.zeros((10, 10, 4), np.uint8)
+        mask[0:6, 0:6] = 1  # big
+        mask[8:9, 8:9] = 1  # small
+        out = largest_cc(mask)
+        assert out[1, 1, 1] and not out[8, 8, 0]
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            largest_cc(np.zeros((4, 4, 2)))
+
+
+class TestFemoralCartilage:
+    def test_set_mask_and_split(self):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        assert fc.regions_mask is not None
+        assert fc.regions_mask.shape == mask.shape
+        assert fc.ML_BOUNDARY is not None
+        assert len(fc.ACP_BOUNDARY) == 2
+        # every masked voxel must have exactly one coronal, one sagittal key
+        rm = fc.regions_mask[np.asarray(mask.A) > 0]
+        acp = rm & (fc._ANTERIOR_KEY | fc._CENTRAL_KEY | fc._POSTERIOR_KEY)
+        assert np.all(np.isin(acp, [fc._ANTERIOR_KEY, fc._CENTRAL_KEY, fc._POSTERIOR_KEY]))
+        ml = rm & (fc._MEDIAL_KEY | fc._LATERAL_KEY)
+        assert np.all(np.isin(ml, [fc._MEDIAL_KEY, fc._LATERAL_KEY]))
+
+    def test_unroll_shapes(self):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        total, superficial, deep = fc.unroll(
+            np.asarray(qmap.A), fc.regions_mask, fc.theta_bins
+        )
+        nbins = len(np.unique(fc.theta_bins))
+        assert total.shape == (nbins, mask.shape[-1])
+        assert superficial.shape == total.shape and deep.shape == total.shape
+        # where total defined, must be within map range
+        vals = total[np.isfinite(total)]
+        assert len(vals) > 0
+        assert np.all((vals >= 20) & (vals <= 60))
+
+    def test_calc_quant_vals_regions(self):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        fc.add_quantitative_value(T2(qmap))
+        fc.calc_quant_vals()
+        assert "T2" in fc.quant_vals
+        maps, df = fc.quant_vals["T2"]
+        assert len(df) == 18  # 3 axial x 2 sagittal x 3 coronal
+        assert set(df.columns) >= {"Mean", "Std", "Median", "# Voxels"}
+        assert len(maps) == 3
+
+    def test_save_data(self, tmp_path):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        fc.add_quantitative_value(T2(qmap))
+        fc.calc_quant_vals()
+        fc.save_data(str(tmp_path))
+        import os
+
+        assert os.path.isfile(tmp_path / "fc" / "fc.nii.gz")
+        assert os.path.isfile(tmp_path / "fc" / "t2" / "t2.nii.gz")
+        assert os.path.isfile(tmp_path / "fc" / "data.xlsx")
+
+    def test_load_data_roundtrip(self, tmp_path):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        fc.add_quantitative_value(T2(qmap))
+        fc.calc_quant_vals()
+        fc.save_data(str(tmp_path))
+
+        fc2 = FemoralCartilage(medial_to_lateral=True)
+        fc2.load_data(str(tmp_path))
+        assert fc2.get_mask() is not None
+        assert np.array_equal(np.asarray(fc2.get_mask().A), np.asarray(fc.get_mask().A))
+        assert len(fc2.quantitative_values) == 1
+
+
+class TestTibialCartilage:
+    def test_regions_and_metrics(self, tmp_path):
+        tc = TibialCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map(seed=2)
+        tc.set_mask(mask)
+        assert tc.regions_mask.shape == mask.shape + (3,)
+        tc.add_quantitative_value(T2(qmap))
+        tc.calc_quant_vals()
+        maps, df = tc.quant_vals["T2"]
+        assert len(df) == 18  # 3 x 2 x 3
+        tc.save_data(str(tmp_path))
+
+
+class TestPatellarCartilage:
+    def test_regions_and_metrics(self, tmp_path):
+        pc = PatellarCartilage(medial_to_lateral=False)
+        mask, qmap = _fc_mask_and_map(seed=3)
+        pc.set_mask(mask)
+        assert pc.regions_mask.shape == mask.shape + (2,)
+        pc.add_quantitative_value(T2(qmap))
+        pc.calc_quant_vals()
+        maps, df = pc.quant_vals["T2"]
+        assert len(df) == 6  # 3 x 2
+        pc.save_data(str(tmp_path))
+
+
+class TestMeniscus:
+    def test_regions_and_metrics(self, tmp_path):
+        men = Meniscus(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map(seed=4)
+        men.set_mask(mask)
+        men.add_quantitative_value(T2(qmap))
+        men.calc_quant_vals()
+        maps, df = men.quant_vals["T2"]
+        assert len(df) > 0
+        assert "Subject" in df.columns
+        men.save_data(str(tmp_path))
+
+    def test_split_ml_only(self):
+        men = Meniscus(medial_to_lateral=True, split_ml_only=True)
+        mask, qmap = _fc_mask_and_map(seed=5)
+        men.set_mask(mask)
+        men.add_quantitative_value(T2(qmap))
+        men.calc_quant_vals()
+        maps, df = men.quant_vals["T2"]
+        # Only total-total-{medial, lateral} + "total" row from to_metrics
+        assert len(df) == 3
+
+
+class TestKneeWorkflow:
+    def test_handle_knee(self, tmp_path):
+        from dosma_tpu.msk import knee
+
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        fc.add_quantitative_value(T2(qmap))
+        fc.calc_quant_vals()
+        load_dir = tmp_path / "load"
+        fc.save_data(str(load_dir))
+
+        vargin = {
+            knee.TISSUES_KEY: [FemoralCartilage()],
+            knee.LOAD_KEY: str(load_dir),
+            knee.SAVE_KEY: str(tmp_path / "save"),
+            knee.MEDIAL_TO_LATERAL_KEY: True,
+            knee.PID_KEY: "test-pid",
+            "t2": True,
+            "t1_rho": False,
+            "t2_star": False,
+        }
+        tissues = knee.handle_knee(vargin)
+        assert len(tissues) == 1
+        import os
+
+        assert os.path.isdir(tmp_path / "save" / "fc")
