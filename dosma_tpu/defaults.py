@@ -149,19 +149,26 @@ class _Preferences:
         return self.get("logging/nipype")
 
     def cmd_line_flags(self) -> Dict[str, Dict]:
-        """Leaf prefs as argparse-kwargs dicts keyed by ``--flag`` name."""
+        """Leaf prefs as argparse-kwargs dicts keyed by preference path.
+
+        Each value carries ``aliases`` (the ``--flag`` strings) and ``name``
+        which the CLI pops before ``add_argument`` (reference contract,
+        ``defaults.py:272-297`` / ``cli.py:742-749``).
+        """
         flags = {}
         for path, leaf in _walk_leaves(self._config):
             flag = "--" + path.replace("/", ".").replace("..", ".")
             spec = {
-                "dest": path,
+                "aliases": [flag],
+                "name": path,
                 "default": leaf["value"],
                 "type": _TYPES[leaf["type"]],
                 "help": leaf.get("help", ""),
+                "nargs": "?",
             }
             if "choices" in leaf:
                 spec["choices"] = leaf["choices"]
-            flags[flag] = spec
+            flags[path] = spec
         return flags
 
     def __repr__(self):

@@ -15,6 +15,7 @@ import numpy as np
 
 from dosma_tpu.core import quant_vals as qv
 from dosma_tpu.core.io.dicom import Dataset, Tag
+from dosma_tpu.models.seg_model import SegModel
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.scan_sequences.scans import ScanSequence
 from dosma_tpu.tissues.tissue import Tissue
@@ -50,7 +51,7 @@ class QDess(ScanSequence):
         return len(self.volumes) == self.__NUM_ECHOS__
 
     # ------------------------------------------------------------------
-    def segment(self, model, tissue: Union[Tissue, Sequence[Tissue]], use_rss: bool = False):
+    def segment(self, model: SegModel, tissue: Tissue, use_rss: bool = False):
         """Segment tissue(s) with ``model`` (ref ``qdess.py:64-103``)."""
         tissue_names = (
             ", ".join([t.FULL_NAME for t in tissue])

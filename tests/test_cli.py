@@ -1,0 +1,66 @@
+"""CLI conformance tests (model: reference ``tests/util.py:216-269`` ScanTest
+pattern — every CLI-exposed scan has cmd_line_actions and real command
+strings run through parse_args)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dosma_tpu.cli import SUPPORTED_SCAN_TYPES, parse_args
+from dosma_tpu.core.io.dicom import Tag
+from tests.util import write_dicom_series
+
+
+class TestCmdLineDeclarations:
+    def test_all_scans_have_actions(self):
+        for scan in SUPPORTED_SCAN_TYPES:
+            actions = scan.cmd_line_actions()
+            assert len(actions) > 0, scan.NAME
+            for method, wrapper in actions:
+                assert wrapper.name == method.__name__
+                assert isinstance(wrapper.help, str)
+
+    def test_help_does_not_crash(self, capsys):
+        with pytest.raises(SystemExit):
+            parse_args(["--help"])
+
+    def test_requires_input_path(self):
+        with pytest.raises(ValueError):
+            parse_args(["qdess"])
+
+
+class TestQDessCommandLine:
+    def test_qdess_t2_end_to_end(self, tmp_path):
+        src = tmp_path / "dicoms"
+        save = tmp_path / "out"
+        write_dicom_series(
+            str(src),
+            shape=(32, 32, 4),
+            n_echos=2,
+            echo_times=[8.0, 42.0],
+            extra={
+                Tag(0x0019, 0x10B6): 3132.0,
+                Tag(0x0019, 0x10B7): 1560.0,
+                "RepetitionTime": 25.0,
+                "FlipAngle": 30.0,
+            },
+        )
+        cmd = f"--d {src} --s {save} qdess --fc generate_t2_map --t1 1200"
+        parse_args(cmd.split())
+
+        assert os.path.isdir(save / "qdess")
+        assert os.path.isfile(save / "qdess" / "qdess.data")
+        # T2 map saved under the tissue's analytics dir.
+        assert os.path.isdir(save / "fc")
+
+    def test_load_after_save(self, tmp_path):
+        src = tmp_path / "dicoms"
+        save = tmp_path / "out"
+        write_dicom_series(
+            str(src), shape=(16, 16, 2), n_echos=2,
+            extra={Tag(0x0019, 0x10B6): 3132.0, Tag(0x0019, 0x10B7): 1560.0},
+        )
+        parse_args(f"--d {src} --s {save} qdess".split())
+        # Reload from the saved state (no dicom path).
+        parse_args(f"--l {save} qdess".split())
