@@ -605,6 +605,18 @@ def curve_fit(
     if y_bounds is not None and ((y < y_bounds[0]).any() or (y > y_bounds[1]).any()):
         warnings.warn("Out of bounds values found. Failure in fit will result in np.nan")
 
+    # Fast path: the fused Pallas kernel for the monoexponential model on TPU
+    # keeps each voxel tile VMEM-resident for the whole LM loop.
+    if func is monoexponential and nparams == 2:
+        from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas, pallas_supported
+
+        if pallas_supported():
+            popt, r2, _converged = monoexp_lm_pallas(
+                x, np.ascontiguousarray(y.T), p0_mat,
+                max_iter=int(maxfev), ftol=ftol, y_bounds=y_bounds,
+            )
+            return np.asarray(popt), np.asarray(r2)
+
     popt, r2, _converged = lm_fit(
         model,
         x,

@@ -36,7 +36,9 @@ from dosma_tpu.ops.registration import (
     RegistrationParams,
     compose_transforms,
     register_pair,
+    register_pair_bspline,
     warp_volume,
+    warp_volume_chain,
 )
 from dosma_tpu.utils import env
 
@@ -83,6 +85,11 @@ def _load_stage_params(path_or_name: str) -> RegistrationParams:
             cfg = yaml.safe_load(f)
         return RegistrationParams(**cfg)
 
+    return _parse_elastix_txt(name)
+
+
+def _parse_elastix_txt(name: str) -> RegistrationParams:
+
     # elastix DSL: parse the handful of keys that map onto our engine.
     cfg = {}
     with open(name) as f:
@@ -102,11 +109,12 @@ def _load_stage_params(path_or_name: str) -> RegistrationParams:
     elif "translation" in tf:
         transform = "translation"
     elif "bspline" in tf:
-        warnings.warn("BSplineTransform approximated by affine in this build")
-        transform = "affine"
+        transform = "bspline"
     else:
         transform = "affine"
     kwargs = {"transform": transform}
+    if transform == "bspline" and "FinalGridSpacingInPhysicalUnits" in cfg:
+        kwargs["grid_spacing_mm"] = float(cfg["FinalGridSpacingInPhysicalUnits"][0])
     if "NumberOfResolutions" in cfg:
         kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
     if "MaximumNumberOfIterations" in cfg:
@@ -122,17 +130,23 @@ def _load_stage_params(path_or_name: str) -> RegistrationParams:
     return RegistrationParams(**kwargs)
 
 
-def _save_transform_file(path: str, M: np.ndarray, stage_cfg: RegistrationParams,
+def _save_transform_file(path: str, stage, stage_cfg: RegistrationParams,
                          fixed: MedicalVolume, moving: MedicalVolume):
+    """Write one stage transform file. ``stage`` is ("matrix", M) or
+    ("bspline", ctrl, spacing_vox)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     data = {
         "format": "dosma_tpu-transform-v1",
         "transform": stage_cfg.transform,
-        "matrix": np.asarray(M).tolist(),
         "fixed_affine": np.asarray(fixed.affine).tolist(),
         "fixed_shape": list(fixed.shape[:3]),
         "moving_affine": np.asarray(moving.affine).tolist(),
     }
+    if stage[0] == "matrix":
+        data["matrix"] = np.asarray(stage[1]).tolist()
+    else:
+        data["ctrl"] = np.asarray(stage[1]).tolist()
+        data["spacing_vox"] = np.asarray(stage[2]).tolist()
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
 
@@ -140,6 +154,12 @@ def _save_transform_file(path: str, M: np.ndarray, stage_cfg: RegistrationParams
 def _load_transform_file(path: str) -> Dict:
     with open(path) as f:
         return json.load(f)
+
+
+def _stage_from_tdata(tdata: Dict):
+    if "matrix" in tdata:
+        return ("matrix", np.asarray(tdata["matrix"]))
+    return ("bspline", np.asarray(tdata["ctrl"], np.float32), np.asarray(tdata["spacing_vox"]))
 
 
 def register(
@@ -205,7 +225,7 @@ def register(
         reg_dir = os.path.join(output_path, f"moving-{idx}")
         os.makedirs(reg_dir, exist_ok=True)
 
-        matrices = []
+        stages = []
         transform_paths = []
         warped_files = []
         stage_outputs = []
@@ -216,27 +236,33 @@ def register(
                 else None
             )
             # Stages after the first register the already-warped image.
-            if matrices:
+            if stages:
                 cur_moving = np.asarray(
-                    warp_volume(moving_arr, compose_transforms(matrices), fixed_affine,
-                                moving_affine, fixed_arr.shape)
+                    warp_volume_chain(moving_arr, stages, fixed_affine,
+                                      moving_affine, fixed_arr.shape)
                 )
                 cur_affine = fixed_affine
             else:
                 cur_moving, cur_affine = moving_arr, moving_affine
 
-            M, theta, info = register_pair(
-                fixed_arr, fixed_affine, cur_moving, cur_affine, cfg, fixed_mask=mask_arr
-            )
-            matrices.append(M)
+            if cfg.transform == "bspline":
+                ctrl, spacing_vox, info = register_pair_bspline(
+                    fixed_arr, fixed_affine, cur_moving, cur_affine, cfg, fixed_mask=mask_arr
+                )
+                stages.append(("bspline", ctrl, spacing_vox))
+            else:
+                M, theta, info = register_pair(
+                    fixed_arr, fixed_affine, cur_moving, cur_affine, cfg, fixed_mask=mask_arr
+                )
+                stages.append(("matrix", M))
 
             tpath = os.path.join(reg_dir, f"TransformParameters.{s_idx}.json")
-            _save_transform_file(tpath, M, cfg, target_mv, moving_mv)
+            _save_transform_file(tpath, stages[-1], cfg, target_mv, moving_mv)
             transform_paths.append(tpath)
 
             warped = np.asarray(
-                warp_volume(moving_arr, compose_transforms(matrices), fixed_affine,
-                            moving_affine, fixed_arr.shape)
+                warp_volume_chain(moving_arr, stages, fixed_affine,
+                                  moving_affine, fixed_arr.shape)
             )
             wpath = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
             warped_mv = MedicalVolume(warped, fixed_affine)
@@ -283,11 +309,11 @@ def _apply_warp_single(
 
     fixed_affine = np.asarray(tdata[0]["fixed_affine"])
     fixed_shape = tuple(tdata[0]["fixed_shape"])
-    M = compose_transforms([np.asarray(t["matrix"]) for t in tdata])
+    stages = [_stage_from_tdata(t) for t in tdata]
 
     warped = np.asarray(
-        warp_volume(
-            np.asarray(moving_mv.volume, np.float32), M, fixed_affine,
+        warp_volume_chain(
+            np.asarray(moving_mv.volume, np.float32), stages, fixed_affine,
             moving_mv.affine, fixed_shape,
         )
     )

@@ -1,0 +1,233 @@
+"""Pallas TPU kernel: fused monoexponential Levenberg–Marquardt fit.
+
+The generic engine (:mod:`dosma_tpu.ops.nlls`) re-reads data from HBM every
+LM iteration. For the dominant model — ``y = a * exp(b x)``, P=2 — this
+kernel keeps each voxel tile resident in VMEM and runs the ENTIRE LM loop
+on it: residuals, the two closed-form Jacobian columns, the 2x2 damped
+normal equations (Cramer solve), acceptance and damping updates are all
+per-lane VPU ops. HBM traffic is one read of y and one write of the packed
+result — the speed-of-light bound for this fit.
+
+Layout: ``y`` arrives as (T_pad, N) with the voxel axis on lanes (T padded
+to the 8-row sublane tile, padded rows masked). The packed output is
+(8, N): rows [a, b, r2, converged, cost, 0, 0, 0].
+
+Semantics match :func:`dosma_tpu.ops.nlls.lm_fit` (same damping policy,
+ftol/xtol convergence flags, NaN handling applied by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["monoexp_lm_pallas", "pallas_supported"]
+
+_SUBLANES = 8
+_BLOCK_N = 8192  # lanes per tile: 8192 * 8 rows * 4 B = 256 KB per buffer
+
+
+def pallas_supported() -> bool:
+    """True when the default backend can run compiled Pallas TPU kernels."""
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
+            ftol: float, xtol: float):
+    y = y_ref[:]  # (8, B)
+    x = x_ref[:]  # (8, 1)
+    row_mask = row_mask_ref[:]  # (8, 1): 1 for valid echo rows, 0 for padding
+
+    a = p0_ref[0:1, :]  # (1, B)
+    b = p0_ref[1:2, :]
+
+    def model(a, b):
+        return a * jnp.exp(b * x)  # (8, B)
+
+    def cost_of(a, b):
+        r = (model(a, b) - y) * row_mask
+        return jnp.sum(r * r, axis=0, keepdims=True), r  # (1, B)
+
+    ym = y * row_mask
+    e0 = jnp.exp(b * x) * row_mask
+    r0 = a * e0 - ym
+    cost0 = jnp.sum(r0 * r0, axis=0, keepdims=True)
+    bad_init = (~jnp.isfinite(cost0)).astype(jnp.float32)
+    cost = jnp.where(bad_init > 0, jnp.inf, cost0)
+    lam = jnp.full(cost.shape, 1e-3, jnp.float32)
+    converged = jnp.zeros(cost.shape, jnp.float32)  # float flag (Mosaic-friendly carry)
+
+    def cond(carry):
+        it, a, b, e, cost, lam, converged = carry
+        # Early exit once every lane in the tile has converged — with
+        # polyfit seeding this cuts the loop from max_iter to ~8 iterations.
+        return (it < max_iter) & (jnp.min(converged) < 0.5)
+
+    def body(carry):
+        it, a, b, e, cost, lam, converged = carry
+        # `e` = exp(b*x)*row_mask at the CURRENT accepted params (carried to
+        # halve the transcendental count: one fresh exp per iteration).
+        r = a * e - ym
+        # Jacobian columns: d/da = e, d/db = a * x * e.
+        jb = a * (x * e)
+        # 2x2 normal equations, per-lane scalars (1, B).
+        jaa = jnp.sum(e * e, axis=0, keepdims=True)
+        jab = jnp.sum(e * jb, axis=0, keepdims=True)
+        jbb = jnp.sum(jb * jb, axis=0, keepdims=True)
+        ra = jnp.sum(e * r, axis=0, keepdims=True)
+        rb = jnp.sum(jb * r, axis=0, keepdims=True)
+
+        # Marquardt damping on the diagonal.
+        A00 = jaa + lam * jnp.maximum(jaa, 1e-12)
+        A11 = jbb + lam * jnp.maximum(jbb, 1e-12)
+        det = A00 * A11 - jab * jab
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        da = (A11 * ra - jab * rb) * inv_det
+        db = (A00 * rb - jab * ra) * inv_det
+
+        new_a = a - da
+        new_b = b - db
+        new_e = jnp.exp(new_b * x) * row_mask
+        new_r = new_a * new_e - ym
+        new_cost = jnp.sum(new_r * new_r, axis=0, keepdims=True)
+        new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
+
+        accept = new_cost < cost
+        rel_decrease = (cost - new_cost) <= ftol * jnp.maximum(cost, 1e-30)
+        step_ratio = jnp.maximum(
+            jnp.abs(da) / jnp.maximum(jnp.abs(a), 1e-12),
+            jnp.abs(db) / jnp.maximum(jnp.abs(b), 1e-12),
+        )
+        small_step = step_ratio <= xtol
+        # A tiny PROPOSED step in the low-damping (≈Gauss-Newton) regime
+        # means we are at the optimum even if the step is rejected — without
+        # this, pinned voxels wait ~16 iterations for the lam blow-up exit.
+        gn_small = small_step & (lam <= 1e-2)
+        at_floor = (~accept) & (lam >= 1e2)
+        newly = (accept & (rel_decrease | small_step)) | gn_small | at_floor
+
+        a = jnp.where(accept, new_a, a)
+        b = jnp.where(accept, new_b, b)
+        e = jnp.where(accept, new_e, e)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12),
+                        jnp.minimum(lam * 3.0, 1e10))
+        converged = jnp.maximum(converged, newly.astype(jnp.float32))
+        return it + 1, a, b, e, cost, lam, converged
+
+    _, a, b, _e, cost, lam, converged = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), a, b, e0, cost, lam, converged)
+    )
+
+    finite = (jnp.isfinite(a) & jnp.isfinite(b)).astype(jnp.float32)
+    converged = converged * finite * (1.0 - bad_init)
+
+    # r² goodness of fit over valid rows.
+    _, r = cost_of(a, b)
+    ss_res = jnp.sum(r * r, axis=0, keepdims=True)
+    n_valid = jnp.sum(row_mask)
+    y_mean = jnp.sum(y * row_mask, axis=0, keepdims=True) / n_valid
+    ss_tot = jnp.sum(((y - y_mean) * row_mask) ** 2, axis=0, keepdims=True)
+    r2 = 1.0 - ss_res / (ss_tot + 1e-8)
+
+    zero = jnp.zeros_like(a)
+    out_ref[:] = jnp.concatenate(
+        [a, b, r2, converged, cost, zero, zero, zero], axis=0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "ftol", "xtol"))
+def _monoexp_impl(y_pad, x_pad, row_mask, p0, max_iter, ftol, xtol):
+    N = y_pad.shape[1]
+    grid = (N // _BLOCK_N,)
+    kernel = functools.partial(_kernel, max_iter=max_iter, ftol=ftol, xtol=xtol)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((_SUBLANES, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_SUBLANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANES, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_SUBLANES, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * max_iter * N,
+            bytes_accessed=y_pad.size * 4 + _SUBLANES * N * 4,
+            transcendentals=2 * max_iter * N,
+        ),
+    )(x_pad, row_mask, y_pad, p0)
+    return out
+
+
+def monoexp_lm_pallas(
+    x,
+    y,
+    p0,
+    max_iter: int = 50,
+    ftol: float = 1e-5,
+    xtol: float = 1e-6,
+    y_bounds: Optional[Tuple[float, float]] = None,
+    nan_policy: str = "scipy",
+):
+    """Fused Pallas monoexponential LM fit.
+
+    Same contract as :func:`dosma_tpu.ops.nlls.lm_fit` specialized to the
+    monoexponential model: ``y`` (N, T) → (popt (N, 2), r2 (N,), converged).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y)
+    if y.dtype != jnp.float32:
+        y = y.astype(jnp.float32)
+    N, T = y.shape
+    if T > _SUBLANES:
+        raise ValueError(f"monoexp pallas kernel supports T<= {_SUBLANES}, got {T}")
+
+    # Pad voxel axis to the lane block; pad echo axis to the sublane tile.
+    N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
+    yT = jnp.zeros((_SUBLANES, N_pad), jnp.float32)
+    yT = yT.at[:T, :N].set(y.T)
+    # Padded voxels get y=1 on valid rows so they fit trivially (a=1, b=0).
+    if N_pad > N:
+        yT = yT.at[:T, N:].set(1.0)
+
+    x_pad = jnp.zeros((_SUBLANES, 1), jnp.float32).at[:T, 0].set(x)
+    row_mask = jnp.zeros((_SUBLANES, 1), jnp.float32).at[:T, 0].set(1.0)
+
+    p0 = jnp.asarray(p0, jnp.float32)
+    if p0.ndim == 1:
+        p0_mat = jnp.broadcast_to(p0[:, None], (2, N_pad))
+    else:
+        p0_mat = jnp.ones((2, N_pad), jnp.float32).at[:, :N].set(p0.T)
+
+    out = _monoexp_impl(yT, x_pad, row_mask, p0_mat, int(max_iter), float(ftol), float(xtol))
+
+    a = out[0, :N]
+    b = out[1, :N]
+    r2 = out[2, :N]
+    converged = out[3, :N] > 0.5
+    popt = jnp.stack([a, b], axis=-1)
+
+    all_zero = jnp.all(y == 0, axis=-1)
+    invalid = all_zero
+    if y_bounds is not None:
+        oob = jnp.any((y < y_bounds[0]) | (y > y_bounds[1]), axis=-1)
+        invalid = invalid | oob
+    bad = invalid | (~converged if nan_policy == "scipy" else False)
+    popt = jnp.where(bad[:, None], jnp.nan, popt)
+    r2 = jnp.where(bad, 0.0, r2)
+    return popt, r2, converged

@@ -161,8 +161,11 @@ def _lm_fit_impl(
                 step_ratio, jnp.abs(delta[i]) / jnp.maximum(jnp.abs(params[i]), 1e-12)
             )
         small_step = step_ratio <= xtol
-        at_floor = ~accept & (lam >= 1e4)
-        newly_converged = accept & (rel_decrease | small_step) | at_floor
+        # Tiny proposed step under low damping = pinned at the optimum,
+        # whether or not the step is accepted.
+        gn_small = small_step & (lam <= 1e-2)
+        at_floor = ~accept & (lam >= 1e2)
+        newly_converged = accept & (rel_decrease | small_step) | gn_small | at_floor
 
         params = tuple(jnp.where(accept, new_params[i], params[i]) for i in range(P))
         cost = jnp.where(accept, new_cost, cost)

@@ -30,7 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["RegistrationParams", "register_pair", "warp_volume", "compose_transforms"]
+__all__ = [
+    "RegistrationParams",
+    "register_pair",
+    "register_pair_bspline",
+    "warp_volume",
+    "warp_volume_chain",
+    "compose_transforms",
+]
 
 
 @dataclass(frozen=True)
@@ -38,7 +45,7 @@ class RegistrationParams:
     """Configuration for one registration stage (analog of one elastix
     parameter file)."""
 
-    transform: str = "rigid"  # translation | rigid | affine
+    transform: str = "rigid"  # translation | rigid | affine | bspline
     metric: str = "mi"  # mi | mse | ncc
     resolutions: int = 3
     iterations: int = 300
@@ -46,6 +53,9 @@ class RegistrationParams:
     num_samples: int = 2048
     learning_rate: float = 0.01
     seed: int = 0
+    # B-spline (FFD) stage options.
+    grid_spacing_mm: float = 32.0
+    bending_weight: float = 1e-2
 
     @property
     def nparams(self) -> int:
@@ -346,6 +356,177 @@ def register_pair(
 
     M = np.asarray(_params_to_matrix(jnp.asarray(theta), jnp.asarray(center), params.transform))
     return M, theta, info
+
+
+def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_shape):
+    """Resample through a mixed transform chain (matrices + B-spline FFDs).
+
+    ``stages``: sequence of ``("matrix", M)`` or ``("bspline", ctrl, spacing_vox)``
+    in estimation order (stage 1 first). The fixed-world point passes through
+    the stages innermost-last: ``y = T1(T2(...Tn(x)))`` — matching the
+    sequential-registration composition, with ONE final interpolation.
+    """
+    from dosma_tpu.ops.bspline import bspline_displacement
+
+    fixed_shape = tuple(int(s) for s in fixed_shape)
+    moving_arr = jnp.asarray(moving_arr, jnp.float32)
+    fixed_affine = jnp.asarray(fixed_affine, jnp.float32)
+    inv_fixed = jnp.linalg.inv(fixed_affine)
+    inv_moving = jnp.linalg.inv(jnp.asarray(moving_affine, jnp.float32))
+
+    d0, d1, d2 = fixed_shape
+    i, j, k = jnp.meshgrid(
+        jnp.arange(d0, dtype=jnp.float32),
+        jnp.arange(d1, dtype=jnp.float32),
+        jnp.arange(d2, dtype=jnp.float32),
+        indexing="ij",
+    )
+    n = d0 * d1 * d2
+    idx = jnp.stack([i.ravel(), j.ravel(), k.ravel(), jnp.ones(n, jnp.float32)])
+    world = fixed_affine @ idx
+
+    for kind, *payload in reversed(list(stages)):
+        if kind == "matrix":
+            world = jnp.asarray(payload[0], jnp.float32) @ world
+        elif kind == "bspline":
+            ctrl, spacing_vox = payload
+            fidx = (inv_fixed @ world)[:3]
+            disp = bspline_displacement(
+                jnp.asarray(ctrl, jnp.float32), fidx, jnp.asarray(spacing_vox, jnp.float32)
+            )
+            world = world.at[:3].add(disp)
+        else:  # pragma: no cover
+            raise ValueError(f"Unknown stage kind {kind}")
+
+    m_idx = inv_moving @ world
+    out = _trilinear_sample(moving_arr, m_idx[:3])
+    return out.reshape(fixed_shape)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "iterations", "num_samples", "num_bins"),
+)
+def _optimize_bspline_level(
+    fixed_arr, fixed_affine, fixed_mask,
+    moving_arr, moving_affine,
+    ctrl0, spacing_vox, level_factor,
+    metric: str,
+    iterations: int, num_samples: int, num_bins: int,
+    learning_rate, bending_weight, seed,
+):
+    """One pyramid level of FFD optimization. The control grid lives in
+    FULL-resolution fixed index space; level coords convert via
+    ``idx_full = idx_level * f + (f-1)/2``."""
+    import optax
+
+    from dosma_tpu.ops.bspline import bending_energy, bspline_displacement
+
+    fshape = fixed_arr.shape
+    f_lo, f_hi = jnp.min(fixed_arr), jnp.max(fixed_arr)
+    m_lo, m_hi = jnp.min(moving_arr), jnp.max(moving_arr)
+    inv_moving = jnp.linalg.inv(moving_affine)
+
+    def loss_fn(ctrl, key):
+        u = jax.random.uniform(key, (3, num_samples))
+        idx_level = u * (jnp.array(fshape, jnp.float32)[:, None] - 1)
+        idx_full = idx_level * level_factor + (level_factor - 1) / 2.0
+
+        fixed_vals = _trilinear_sample(fixed_arr, idx_level)
+        weights = (
+            _trilinear_sample(fixed_mask, idx_level) if fixed_mask is not None
+            else jnp.ones(num_samples)
+        )
+
+        idx_h = jnp.concatenate([idx_level, jnp.ones((1, num_samples))], axis=0)
+        world = fixed_affine @ idx_h
+        disp = bspline_displacement(ctrl, idx_full, spacing_vox)
+        world = world.at[:3].add(disp)
+        m_idx = (inv_moving @ world)[:3]
+        moving_vals = _trilinear_sample(moving_arr, m_idx)
+        inside = jnp.all(
+            (m_idx >= 0) & (m_idx <= jnp.array(moving_arr.shape, jnp.float32)[:, None] - 1),
+            axis=0,
+        )
+        weights = weights * (0.01 + 0.99 * inside)
+
+        if metric == "mi":
+            data_loss = _soft_mi(fixed_vals, moving_vals, weights, num_bins, f_lo, f_hi, m_lo, m_hi)
+        elif metric == "ncc":
+            data_loss = _ncc(fixed_vals, moving_vals, weights)
+        else:
+            data_loss = _mse(fixed_vals, moving_vals, weights)
+        return data_loss + bending_weight * bending_energy(ctrl)
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(ctrl0)
+
+    def step(carry, it):
+        ctrl, opt_state = carry
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), it)
+        loss, grads = jax.value_and_grad(loss_fn)(ctrl, key)
+        updates, opt_state = opt.update(grads, opt_state)
+        ctrl = optax.apply_updates(ctrl, updates)
+        return (ctrl, opt_state), loss
+
+    (ctrl, _), losses = jax.lax.scan(step, (ctrl0, opt_state), jnp.arange(iterations))
+    return ctrl, losses
+
+
+def register_pair_bspline(
+    fixed_arr: np.ndarray,
+    fixed_affine: np.ndarray,
+    moving_arr: np.ndarray,
+    moving_affine: np.ndarray,
+    params: RegistrationParams,
+    fixed_mask: Optional[np.ndarray] = None,
+):
+    """Multi-resolution B-spline FFD registration.
+
+    Returns ``(ctrl (3, gx, gy, gz), spacing_vox (3,), info)`` — the control
+    displacements in world mm over the full-resolution fixed index grid.
+    """
+    from dosma_tpu.ops.bspline import make_control_grid
+
+    fixed_arr = np.asarray(fixed_arr, np.float32)
+    moving_arr = np.asarray(moving_arr, np.float32)
+
+    grid_shape, spacing_vox = make_control_grid(
+        fixed_arr.shape, fixed_affine, params.grid_spacing_mm
+    )
+    ctrl = np.zeros((3, *grid_shape), np.float32)
+
+    # Deformable stages use a larger physical learning rate (displacements
+    # are in mm, not normalized units).
+    lr = params.learning_rate * float(np.mean(spacing_vox))
+
+    factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
+    info = {"losses": []}
+    for factor in factors:
+        f_arr = np.asarray(_downsample(jnp.asarray(fixed_arr), factor))
+        m_arr = np.asarray(_downsample(jnp.asarray(moving_arr), factor))
+        f_aff = _scale_affine(fixed_affine, factor)
+        m_aff = _scale_affine(moving_affine, factor)
+        f_mask = None
+        if fixed_mask is not None:
+            f_mask = np.asarray(
+                _downsample(jnp.asarray(np.asarray(fixed_mask, np.float32)), factor)
+            )
+
+        ctrl_j, losses = _optimize_bspline_level(
+            jnp.asarray(f_arr), jnp.asarray(f_aff, jnp.float32),
+            jnp.asarray(f_mask) if f_mask is not None else None,
+            jnp.asarray(m_arr), jnp.asarray(m_aff, jnp.float32),
+            jnp.asarray(ctrl), jnp.asarray(spacing_vox, jnp.float32),
+            jnp.asarray(float(factor), jnp.float32),
+            params.metric,
+            params.iterations, params.num_samples, params.num_bins,
+            lr, params.bending_weight, params.seed,
+        )
+        ctrl = np.asarray(ctrl_j)
+        info["losses"].append(np.asarray(losses))
+
+    return ctrl, np.asarray(spacing_vox), info
 
 
 def compose_transforms(matrices: Sequence[np.ndarray]) -> np.ndarray:

@@ -146,13 +146,15 @@ class TestParamFiles:
         from dosma_tpu import file_constants
         from dosma_tpu.core.registration import _load_stage_params
 
-        for path in (
-            file_constants.ELASTIX_RIGID_PARAMS_FILE,
-            file_constants.ELASTIX_AFFINE_PARAMS_FILE,
-            file_constants.ELASTIX_BSPLINE_PARAMS_FILE,
+        for path, expected in (
+            (file_constants.ELASTIX_RIGID_PARAMS_FILE, "rigid"),
+            (file_constants.ELASTIX_AFFINE_PARAMS_FILE, "affine"),
+            (file_constants.ELASTIX_BSPLINE_PARAMS_FILE, "bspline"),
+            (file_constants.ELASTIX_RIGID_INTERREGISTER_PARAMS_FILE, "rigid"),
+            (file_constants.ELASTIX_AFFINE_INTERREGISTER_PARAMS_FILE, "affine"),
         ):
             cfg = _load_stage_params(path)
-            assert cfg.transform in ("rigid", "affine")
+            assert cfg.transform == expected
 
     def test_elastix_txt_parsing(self, tmp_path):
         from dosma_tpu.core.registration import _load_stage_params
