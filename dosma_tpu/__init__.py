@@ -58,6 +58,14 @@ def __getattr__(name):
         "CubeQuant": ("dosma_tpu.scan_sequences.mri", "CubeQuant"),
         "Mapss": ("dosma_tpu.scan_sequences.mri", "Mapss"),
         "Cones": ("dosma_tpu.scan_sequences.mri", "Cones"),
+        # Tissues
+        "Tissue": ("dosma_tpu.tissues.tissue", "Tissue"),
+        "FemoralCartilage": ("dosma_tpu.tissues.femoral_cartilage", "FemoralCartilage"),
+        "TibialCartilage": ("dosma_tpu.tissues.tibial_cartilage", "TibialCartilage"),
+        "PatellarCartilage": ("dosma_tpu.tissues.patellar_cartilage", "PatellarCartilage"),
+        "Meniscus": ("dosma_tpu.tissues.meniscus", "Meniscus"),
+        # Prefetch / parallel
+        "load_to_device": ("dosma_tpu.core.io.prefetch", "load_to_device"),
         # Utils
         "collect_env_info": ("dosma_tpu.utils.collect_env", "collect_env_info"),
     }

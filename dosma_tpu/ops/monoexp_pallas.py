@@ -10,7 +10,7 @@ result — the speed-of-light bound for this fit.
 
 Layout: ``y`` arrives as (T_pad, N) with the voxel axis on lanes (T padded
 to the 8-row sublane tile, padded rows masked). The packed output is
-(8, N): rows [a, b, r2, converged, cost, 0, 0, 0].
+(8, N): rows [a, b, r2, converged, cost, iterations, 0, 0].
 
 Semantics match :func:`dosma_tpu.ops.nlls.lm_fit` (same damping policy,
 ftol/xtol convergence flags, NaN handling applied by the caller).
@@ -126,7 +126,7 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
         converged = jnp.maximum(converged, newly.astype(jnp.float32))
         return it + 1, a, b, e, cost, lam, converged
 
-    _, a, b, _e, cost, lam, converged = jax.lax.while_loop(
+    it_final, a, b, _e, cost, lam, converged = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), a, b, e0, cost, lam, converged)
     )
 
@@ -142,8 +142,9 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
     r2 = 1.0 - ss_res / (ss_tot + 1e-8)
 
     zero = jnp.zeros_like(a)
+    iters = jnp.full_like(a, it_final.astype(jnp.float32))
     out_ref[:] = jnp.concatenate(
-        [a, b, r2, converged, cost, zero, zero, zero], axis=0
+        [a, b, r2, converged, cost, iters, zero, zero], axis=0
     )
 
 
@@ -180,7 +181,7 @@ def monoexp_lm_pallas(
     p0,
     max_iter: int = 50,
     ftol: float = 1e-5,
-    xtol: float = 1e-6,
+    xtol: float = 1e-5,
     y_bounds: Optional[Tuple[float, float]] = None,
     nan_policy: str = "scipy",
 ):

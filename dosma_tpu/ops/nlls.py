@@ -199,7 +199,7 @@ def lm_fit(
     p0,
     max_iter: int = 50,
     ftol: float = 1e-5,
-    xtol: float = 1e-6,
+    xtol: float = 1e-5,
     y_bounds: Optional[Tuple[float, float]] = None,
     nan_policy: str = "scipy",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
