@@ -13,9 +13,15 @@ locally on a subsample and extrapolated.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: first-ever run pays the (slow, tunneled)
+# TPU compiles; later processes reuse them.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dosma_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def _bench_tpu(N: int, T: int, iters: int = 3):

@@ -181,3 +181,42 @@ class TestParamFiles:
             symlink_elastix()
         with pytest.warns(UserWarning):
             unlink_elastix()
+
+
+class TestCrossGridRegistration:
+    def test_recovers_world_shift_across_grids(self, tmp_path):
+        """Fixed sagittal anisotropic grid vs moving axial grid with
+        different spacing/origin + a known 4mm world shift — exercises the
+        full world-space coordinate plumbing (the CubeQuant<->qDESS case)."""
+        from dosma_tpu.core.orientation import AXIAL, SAGITTAL, to_affine
+        from dosma_tpu.ops.registration import warp_volume
+
+        rs = np.random.RandomState(0)
+        fixed_arr = np.zeros((40, 40, 20), np.float32)
+        fixed_arr[12:28, 12:28, 6:14] = 1.0
+        fixed_arr[16:24, 16:24, 8:12] = 2.0
+        fixed_arr += 0.02 * rs.rand(*fixed_arr.shape).astype(np.float32)
+        fixed_aff = to_affine(SAGITTAL, (1.0, 1.0, 1.5), (5, -10, 3))
+        fixed = MedicalVolume(fixed_arr, fixed_aff)
+
+        mov_aff = to_affine(AXIAL, (1.25, 1.25, 1.25), (0, 0, 0))
+        M_true = np.eye(4)
+        M_true[:3, 3] = [4.0, -2.0, 1.0]
+        mov_arr = np.asarray(
+            warp_volume(fixed_arr, np.linalg.inv(M_true), mov_aff, fixed_aff, (36, 36, 36))
+        )
+        moving = MedicalVolume(mov_arr, mov_aff)
+
+        params = RegistrationParams(
+            transform="rigid", metric="mi", resolutions=3, iterations=300,
+            num_samples=4096, learning_rate=0.02,
+        )
+        out = register(fixed, moving, params, output_path=str(tmp_path), return_volumes=True)
+        warped = np.asarray(out["volumes"][0].A)
+
+        ident = np.asarray(
+            warp_volume(mov_arr, np.eye(4), fixed_aff, mov_aff, fixed_arr.shape)
+        )
+        err_before = np.abs(ident - fixed_arr).mean()
+        err_after = np.abs(warped - fixed_arr).mean()
+        assert err_after < 0.4 * err_before

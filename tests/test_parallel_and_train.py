@@ -94,3 +94,17 @@ class TestDicePlusBce:
         bad = dice_bce_loss(1 - (labels * 0.999 + 5e-4), labels)
         assert float(good) < 0.05
         assert float(bad) > 1.0
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from dosma_tpu.models.unet2d import init_unet2d_params
+        from dosma_tpu.train.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
+        params = init_unet2d_params(jax.random.PRNGKey(0))
+        save_checkpoint(str(tmp_path), 10, params)
+        save_checkpoint(str(tmp_path), 20, params)
+        assert latest_step(str(tmp_path)) == 20
+        out = restore_checkpoint(str(tmp_path))
+        leaf = out["params"]["down"][0]["conv1"]["w"]
+        assert np.allclose(np.asarray(leaf), np.asarray(params["down"][0]["conv1"]["w"]))
