@@ -215,10 +215,29 @@ def register(
     fixed_arr = np.asarray(target_mv.volume, np.float32)
     fixed_affine = target_mv.affine
 
+    moving_mvs = [_load_volume(m) for m in moving]
+
+    # Batched fast path (SURVEY §2.10): multiple moving images with the same
+    # grid and matrix-only stages are registered in ONE vmapped optimization
+    # per stage (the intra-registration case).
+    batchable = (
+        len(moving_mvs) > 1
+        and all(cfg.transform != "bspline" for cfg in stage_cfgs)
+        and all(tuple(m.shape[:3]) == tuple(moving_mvs[0].shape[:3]) for m in moving_mvs)
+        and all(np.allclose(m.affine, moving_mvs[0].affine) for m in moving_mvs)
+    )
+
+    if batchable:
+        per_image_stages = _register_stages_batched(
+            fixed_arr, fixed_affine, moving_mvs, stage_cfgs, use_mask,
+            target_mv, target_mask_mv,
+        )
+    else:
+        per_image_stages = None
+
     outputs = []
     volumes = []
-    for idx, mvg in enumerate(moving):
-        moving_mv = _load_volume(mvg)
+    for idx, moving_mv in enumerate(moving_mvs):
         moving_arr = np.asarray(moving_mv.volume, np.float32)
         moving_affine = moving_mv.affine
 
@@ -230,31 +249,36 @@ def register(
         warped_files = []
         stage_outputs = []
         for s_idx, cfg in enumerate(stage_cfgs):
-            mask_arr = (
-                np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
-                if (use_mask[s_idx] and target_mask_mv is not None)
-                else None
-            )
-            # Stages after the first register the already-warped image.
-            if stages:
-                cur_moving = np.asarray(
-                    warp_volume_chain(moving_arr, stages, fixed_affine,
-                                      moving_affine, fixed_arr.shape)
-                )
-                cur_affine = fixed_affine
+            if per_image_stages is not None:
+                stages.append(per_image_stages[idx][s_idx])
             else:
-                cur_moving, cur_affine = moving_arr, moving_affine
+                mask_arr = (
+                    np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
+                    if (use_mask[s_idx] and target_mask_mv is not None)
+                    else None
+                )
+                # Stages after the first register the already-warped image.
+                if stages:
+                    cur_moving = np.asarray(
+                        warp_volume_chain(moving_arr, stages, fixed_affine,
+                                          moving_affine, fixed_arr.shape)
+                    )
+                    cur_affine = fixed_affine
+                else:
+                    cur_moving, cur_affine = moving_arr, moving_affine
 
-            if cfg.transform == "bspline":
-                ctrl, spacing_vox, info = register_pair_bspline(
-                    fixed_arr, fixed_affine, cur_moving, cur_affine, cfg, fixed_mask=mask_arr
-                )
-                stages.append(("bspline", ctrl, spacing_vox))
-            else:
-                M, theta, info = register_pair(
-                    fixed_arr, fixed_affine, cur_moving, cur_affine, cfg, fixed_mask=mask_arr
-                )
-                stages.append(("matrix", M))
+                if cfg.transform == "bspline":
+                    ctrl, spacing_vox, info = register_pair_bspline(
+                        fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
+                        fixed_mask=mask_arr,
+                    )
+                    stages.append(("bspline", ctrl, spacing_vox))
+                else:
+                    M, theta, info = register_pair(
+                        fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
+                        fixed_mask=mask_arr,
+                    )
+                    stages.append(("matrix", M))
 
             tpath = os.path.join(reg_dir, f"TransformParameters.{s_idx}.json")
             _save_transform_file(tpath, stages[-1], cfg, target_mv, moving_mv)
@@ -295,6 +319,52 @@ def register(
             result["volumes"] = volumes
         return result
     return (outputs, volumes if return_volumes else None)
+
+
+def _register_stages_batched(
+    fixed_arr, fixed_affine, moving_mvs, stage_cfgs, use_mask, target_mv, target_mask_mv
+):
+    """Run each stage for ALL moving images in one vmapped optimization.
+
+    Preconditions (checked by the caller): identical moving grids and
+    matrix-only stages. Returns ``per_image_stages[i][s] = ("matrix", M)``.
+    """
+    from dosma_tpu.ops.registration import register_pair_batch
+
+    moving_affine = moving_mvs[0].affine
+    m_arrs = np.stack([np.asarray(m.volume, np.float32) for m in moving_mvs])
+    n_img = m_arrs.shape[0]
+    per_image_stages = [[] for _ in range(n_img)]
+
+    for s_idx, cfg in enumerate(stage_cfgs):
+        mask_arr = (
+            np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
+            if (use_mask[s_idx] and target_mask_mv is not None)
+            else None
+        )
+        if s_idx == 0:
+            cur = m_arrs
+            cur_affine = moving_affine
+        else:
+            cur = np.stack(
+                [
+                    np.asarray(
+                        warp_volume_chain(
+                            m_arrs[i], per_image_stages[i], fixed_affine,
+                            moving_affine, fixed_arr.shape,
+                        )
+                    )
+                    for i in range(n_img)
+                ]
+            )
+            cur_affine = fixed_affine
+
+        Ms, _thetas, _info = register_pair_batch(
+            fixed_arr, fixed_affine, cur, cur_affine, cfg, fixed_mask=mask_arr
+        )
+        for i in range(n_img):
+            per_image_stages[i].append(("matrix", Ms[i]))
+    return per_image_stages
 
 
 def _apply_warp_single(

@@ -529,6 +529,75 @@ def register_pair_bspline(
     return ctrl, np.asarray(spacing_vox), info
 
 
+def register_pair_batch(
+    fixed_arr: np.ndarray,
+    fixed_affine: np.ndarray,
+    moving_arrs: np.ndarray,
+    moving_affine: np.ndarray,
+    params: RegistrationParams,
+    fixed_mask: Optional[np.ndarray] = None,
+):
+    """Register a BATCH of moving images to one fixed image in a single
+    vmapped optimization (SURVEY §2.10: "batch registrations as a
+    vmapped/jitted optimization").
+
+    ``moving_arrs``: (M, d0, d1, d2), all sharing ``moving_affine`` — the
+    intra-registration case (e.g. CubeQuant spin locks). Returns
+    ``(Ms (M, 4, 4), thetas (M, P), info)``.
+    """
+    fixed_arr = np.asarray(fixed_arr, np.float32)
+    moving_arrs = np.asarray(moving_arrs, np.float32)
+    M_count = moving_arrs.shape[0]
+
+    center_idx = (np.asarray(fixed_arr.shape) - 1) / 2.0
+    center = (np.asarray(fixed_affine) @ np.array([*center_idx, 1.0]))[:3].astype(np.float32)
+    spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
+
+    thetas = np.zeros((M_count, params.nparams), np.float32)
+
+    factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
+    info = {"losses": []}
+    for factor in factors:
+        f_arr = jnp.asarray(np.asarray(_downsample(jnp.asarray(fixed_arr), factor)))
+        m_arrs = jnp.stack(
+            [_downsample(jnp.asarray(moving_arrs[i]), factor) for i in range(M_count)]
+        )
+        f_aff = jnp.asarray(_scale_affine(fixed_affine, factor), jnp.float32)
+        m_aff = jnp.asarray(_scale_affine(moving_affine, factor), jnp.float32)
+        f_mask = None
+        if fixed_mask is not None:
+            f_mask = jnp.asarray(
+                np.asarray(_downsample(jnp.asarray(np.asarray(fixed_mask, np.float32)), factor))
+            )
+
+        scale = jnp.asarray(_param_scale(params.transform, f_arr.shape, spacing * factor))
+
+        def _one(m_arr, theta, seed_offset):
+            return _optimize_level(
+                f_arr, f_aff, f_mask, m_arr, m_aff,
+                theta, scale, jnp.asarray(center),
+                params.transform, params.metric,
+                params.iterations, params.num_samples, params.num_bins,
+                params.learning_rate, params.seed + seed_offset,
+            )
+
+        thetas_j, losses = jax.vmap(_one)(
+            m_arrs, jnp.asarray(thetas), jnp.arange(M_count)
+        )
+        thetas = np.asarray(thetas_j)
+        info["losses"].append(np.asarray(losses))
+
+    Ms = np.stack(
+        [
+            np.asarray(
+                _params_to_matrix(jnp.asarray(thetas[i]), jnp.asarray(center), params.transform)
+            )
+            for i in range(M_count)
+        ]
+    )
+    return Ms, thetas, info
+
+
 def compose_transforms(matrices: Sequence[np.ndarray]) -> np.ndarray:
     """Compose sequential stage transforms into one world map.
 
