@@ -96,12 +96,34 @@ def _bench_scipy_baseline(T: int, n_sample: int = 200):
     return n_sample / dt  # voxels/sec
 
 
+def _bench_unet(B: int = 16, H: int = 384, W: int = 384, iters: int = 4):
+    """Second headline metric: U-Net segmentation slices/sec (ref keras
+    ``model.predict`` with batch 16, ``oaiunet2d.py:160``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dosma_tpu.models.unet2d import init_unet2d_params, unet2d_forward
+
+    params = init_unet2d_params(jax.random.PRNGKey(0), num_classes=4)
+    x = jnp.asarray(np.random.RandomState(0).rand(B, H, W, 1), jnp.float32)
+    fwd = jax.jit(unet2d_forward)
+    out = fwd(params, x)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / iters
+    return B / dt
+
+
 def main():
     N = 512 * 512 * 64
     T = 4
 
     dt, conv_rate, err = _bench_tpu(N, T)
     voxels_per_sec = N / dt
+    unet_slices_per_sec = _bench_unet()
 
     scipy_rate = _bench_scipy_baseline(T)
     vs_baseline = voxels_per_sec / scipy_rate
@@ -119,6 +141,7 @@ def main():
                     "converged_fraction": round(conv_rate, 4),
                     "max_param_err_vs_truth": err,
                     "scipy_baseline_voxels_per_sec": round(scipy_rate, 1),
+                    "unet_seg_slices_per_sec_384x384_b16": round(unet_slices_per_sec, 1),
                 },
             }
         )

