@@ -89,6 +89,11 @@ class FemoralCartilage(Tissue):
         # STEP 1: sagittal max-projection + circle fit.
         projected = np.max(mask, 2)
         nz = np.nonzero(projected)
+        if len(nz[0]) < 3:
+            raise ValueError(
+                f"Mask for {self.FULL_NAME} has too few voxels ({len(nz[0])} projected "
+                f"points) to fit the condyle circle."
+            )
         xc_fit, yc_fit, _R = circle_fit(nz[1], nz[0])
 
         # STEP 2: angular binning.
@@ -275,12 +280,21 @@ class FemoralCartilage(Tissue):
         super().set_mask(mask_copy)
 
         if split_regions:
-            (
-                self.regions_mask,
-                self.theta_bins,
-                self.ML_BOUNDARY,
-                self.ACP_BOUNDARY,
-            ) = self.split_regions(np.asarray(self.__mask__.volume))
+            try:
+                (
+                    self.regions_mask,
+                    self.theta_bins,
+                    self.ML_BOUNDARY,
+                    self.ACP_BOUNDARY,
+                ) = self.split_regions(np.asarray(self.__mask__.volume))
+            except (ValueError, TypeError) as e:
+                warnings.warn(
+                    f"Region splitting failed for {self.FULL_NAME} mask "
+                    f"({e}); regional analytics unavailable until a valid "
+                    f"mask is set."
+                )
+                self.regions_mask = None
+                self.theta_bins = None
 
     # ------------------------------------------------------------------
     def __save_quant_data__(self, dirpath: str):

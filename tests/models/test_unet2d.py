@@ -149,3 +149,28 @@ class TestSegModels:
         model = model_from_config(cfg, input_shape=(96, 96, 1))
         masks = model.generate_mask(self._mv())
         assert list(masks.keys()) == ["a", "b", "c", "d"]
+
+
+class TestGoldenOutputs:
+    """Golden-output regression (the reference's stored-.npy pattern,
+    ``tests/models/test_oaiunet2d.py:18-41``): fixed-seed weights + input
+    must reproduce stored masks exactly and probabilities to float32
+    tolerance."""
+
+    def test_mask_matches_golden(self):
+        import os
+
+        data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
+        golden_mask = np.load(os.path.join(data_dir, "unet2d_golden_mask.npy"))
+        golden_probs = np.load(os.path.join(data_dir, "unet2d_golden_probs_sample.npy"))
+
+        params = init_unet2d_params(jax.random.PRNGKey(7), num_classes=4)
+        rs = np.random.RandomState(11)
+        x = jnp.asarray(rs.rand(2, 96, 96, 1), jnp.float32)
+        probs = np.asarray(unet2d_forward(params, x))
+        mask = (probs > 0.5).astype(np.uint8)
+
+        assert np.allclose(probs[:, ::16, ::16, :], golden_probs, atol=1e-5)
+        # Mask may differ only at probabilities within tolerance of 0.5.
+        disagree = mask != golden_mask
+        assert np.all(np.abs(probs[disagree] - 0.5) < 1e-5)

@@ -64,3 +64,32 @@ class TestQDessCommandLine:
         parse_args(f"--d {src} --s {save} qdess".split())
         # Reload from the saved state (no dicom path).
         parse_args(f"--l {save} qdess".split())
+
+
+class TestSegmentCommandLine:
+    def test_qdess_segment_e2e(self, tmp_path):
+        """Full CLI segmentation flow with synthetic weights: load dicoms,
+        find the tissue weight file, build the model, write the mask."""
+        import jax
+
+        from dosma_tpu.models.unet2d import init_unet2d_params
+        from dosma_tpu.models.weights import save_keras_unet2d_weights
+
+        src = tmp_path / "dicoms"
+        save = tmp_path / "out"
+        weights = tmp_path / "weights"
+        weights.mkdir()
+        save_keras_unet2d_weights(
+            str(weights / "iwoai-2019-unet2d_fc-tc-pc-men_weights.h5"),
+            init_unet2d_params(jax.random.PRNGKey(0), num_classes=4),
+        )
+        write_dicom_series(
+            str(src), shape=(96, 96, 4), n_echos=2, plane="sagittal",
+            extra={Tag(0x0019, 0x10B6): 3132.0, Tag(0x0019, 0x10B7): 1560.0},
+        )
+        cmd = (
+            f"--d {src} --s {save} qdess --fc segment "
+            f"--weights_dir {weights} --model iwoai-2019-t6 --rss"
+        )
+        parse_args(cmd.split())
+        assert os.path.isfile(save / "fc" / "fc.nii.gz")

@@ -98,10 +98,13 @@ def write_dicom_series(
     echo_times=None,
     extra=None,
     seed=7,
+    plane="axial",
 ):
     """Write a synthetic multi-echo DICOM series to ``dir_path``.
 
-    Slices stacked along z; axial LPS orientation. Returns the raw 4D array
+    ``plane='axial'``: in-plane identity direction, slices along z.
+    ``plane='sagittal'``: in-plane (AP, SI), slices along x (the acquisition
+    geometry the segmentation models expect). Returns the raw 4D array
     (rows, cols, slices, echos).
     """
     import os
@@ -115,10 +118,21 @@ def write_dicom_series(
     os.makedirs(dir_path, exist_ok=True)
     arr = (rs.rand(rows, cols, nslices, n_echos) * 1000).astype(np.uint16)
     series_uid = generate_uid()
+
+    if plane == "axial":
+        orientation = (1, 0, 0, 0, 1, 0)  # cols→x, rows→y; slices step +z
+        step = np.array([0.0, 0.0, spacing[2]])
+    elif plane == "sagittal":
+        # cols→A-P (+y), rows→S-I (-z); slices step +x (L-R in LPS).
+        orientation = (0, 1, 0, 0, 0, -1)
+        step = np.array([spacing[2], 0.0, 0.0])
+    else:
+        raise ValueError(plane)
+
     i = 0
     for e in range(n_echos):
         for s in range(nslices):
-            pos = (origin[0], origin[1], origin[2] + s * spacing[2])
+            pos = tuple(np.asarray(origin, float) + s * step)
             ds = build_dicom_dataset(
                 arr[:, :, s, e],
                 instance_number=i + 1,
@@ -126,6 +140,7 @@ def write_dicom_series(
                 echo_time=echo_times[e],
                 position=pos,
                 spacing=spacing[:2],
+                orientation=orientation,
                 series_uid=series_uid,
                 extra=extra,
             )
