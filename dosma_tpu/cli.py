@@ -22,7 +22,6 @@ import warnings
 from collections import defaultdict
 from typing import Sequence
 
-from dosma_tpu.core.io.format_io import ImageDataFormat
 from dosma_tpu.core.quant_vals import QuantitativeValueType as QV
 from dosma_tpu.defaults import preferences
 from dosma_tpu.models.seg_model import SegModel

@@ -10,7 +10,7 @@ exactly like the reference's ``get_array_module`` pattern.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Union
 
 import numpy as np
 

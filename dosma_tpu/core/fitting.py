@@ -29,7 +29,6 @@ from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from dosma_tpu import defaults
-from dosma_tpu.core.device import cpu_device, get_device
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.defaults import preferences
 

@@ -9,7 +9,7 @@ provides that surface without pydicom.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Optional, Union
+from typing import Any, Iterator, Optional
 
 from dosma_tpu.core.io.dicom import tags as T
 

@@ -11,12 +11,12 @@ from __future__ import annotations
 import io
 import os
 import struct
-from typing import BinaryIO, List, Optional, Union
+from typing import BinaryIO, List, Union
 
 import numpy as np
 
 from dosma_tpu.core.io.dicom import tags as T
-from dosma_tpu.core.io.dicom.dataset import DataElement, Dataset, Tag
+from dosma_tpu.core.io.dicom.dataset import Dataset, Tag
 
 __all__ = ["read_dicom", "read_dicom_bytes", "pixel_array"]
 

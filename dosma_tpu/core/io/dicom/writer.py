@@ -13,7 +13,7 @@ import struct
 from typing import BinaryIO, Union
 
 from dosma_tpu.core.io.dicom import tags as T
-from dosma_tpu.core.io.dicom.dataset import DataElement, Dataset, Tag
+from dosma_tpu.core.io.dicom.dataset import DataElement, Dataset
 
 __all__ = ["write_dicom", "generate_uid"]
 

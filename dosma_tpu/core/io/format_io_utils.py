@@ -9,9 +9,6 @@ between dicom directories and ``.nii.gz`` (ref ``:51-85``), and
 from __future__ import annotations
 
 import os
-from pathlib import Path
-from typing import Union
-
 from dosma_tpu.core.io.dicom_io import DicomReader, DicomWriter
 from dosma_tpu.core.io.format_io import DataReader, DataWriter, ImageDataFormat
 from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter

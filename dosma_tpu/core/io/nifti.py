@@ -10,9 +10,8 @@ uncompressed files.
 from __future__ import annotations
 
 import gzip
-import os
 import struct
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

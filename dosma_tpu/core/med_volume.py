@@ -25,7 +25,7 @@ from __future__ import annotations
 import warnings
 from copy import deepcopy
 from numbers import Number
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 from numpy.lib.mixins import NDArrayOperatorsMixin

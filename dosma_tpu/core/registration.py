@@ -30,7 +30,7 @@ import numpy as np
 import yaml
 
 from dosma_tpu.core.io import format_io_utils as fio_utils
-from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter
+from dosma_tpu.core.io.nifti_io import NiftiWriter
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.ops.registration import (
     RegistrationParams,

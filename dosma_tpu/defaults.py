@@ -10,7 +10,7 @@ Leaves also generate CLI flags (see :meth:`_Preferences.cmd_line_flags`).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict
 
 import yaml
 

@@ -21,7 +21,7 @@ against ``torch.nn.functional.conv_transpose2d`` in tests).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,10 +9,6 @@ jit/grad-friendly, so the same code serves optimization and resampling.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -32,7 +32,6 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["lm_fit", "batched_polyfit", "r_squared"]
 

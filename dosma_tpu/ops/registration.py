@@ -23,7 +23,7 @@ Transforms compose linearly in world space, so sequential-stage chains
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
 import jax

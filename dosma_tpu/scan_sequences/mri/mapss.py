@@ -19,7 +19,6 @@ from dosma_tpu.core import quant_vals as qv
 from dosma_tpu.core.fitting import MonoExponentialFit
 from dosma_tpu.core.io import format_io_utils as fio_utils
 from dosma_tpu.core.med_volume import MedicalVolume
-from dosma_tpu.core.quant_vals import QuantitativeValueType
 from dosma_tpu.core.registration import register
 from dosma_tpu.scan_sequences.scans import ScanSequence
 from dosma_tpu.tissues.tissue import Tissue

@@ -14,7 +14,7 @@ import inspect
 import os
 import warnings
 from pathlib import Path
-from typing import Any, Dict, Mapping, Sequence, Set, Union
+from typing import Any, Dict, Mapping, Set, Union
 
 from dosma_tpu.core.io.dicom_io import DicomReader
 from dosma_tpu.core.io.format_io import ImageDataFormat

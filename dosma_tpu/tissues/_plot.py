@@ -8,7 +8,6 @@ reference tissue classes (e.g. ``femoral_cartilage.py:436-501``,
 from __future__ import annotations
 
 import os
-import warnings
 
 import numpy as np
 

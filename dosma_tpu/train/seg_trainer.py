@@ -16,7 +16,7 @@ so one ``jit`` of the train step compiles to SPMD across the whole mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
