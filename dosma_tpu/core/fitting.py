@@ -490,6 +490,45 @@ class MonoExponentialFit(_Fit):
             mask = MedicalVolume(mask, affine=y[0].affine)
         mask = mask.reformat(orientation) if mask is not None else None
 
+        # Fully device-resident fast path on TPU: seed + LM kernel + all
+        # post-processing fused in one program (one H2D, one D2H) instead
+        # of the per-stage host round trips of the facade path.
+        from dosma_tpu.ops.monoexp_pallas import pallas_supported
+
+        if pallas_supported():
+            return self._fit_device(x, y, mask)
+
+        return self._fit_host(x, y, mask)
+
+    def _fit_device(self, x, y, mask):
+        from copy import deepcopy
+
+        from dosma_tpu.ops.monoexp_pipeline import monoexp_fit_full
+
+        shape = y[0].shape
+        yT = np.stack([np.asarray(sv.volume, np.float32).reshape(-1) for sv in y], axis=0)
+        mask_flat = (
+            np.asarray(mask.volume).reshape(-1) if mask is not None else None
+        )
+        r2_threshold = self.r2_threshold
+        if isinstance(r2_threshold, str):
+            r2_threshold = preferences.fitting_r2_threshold
+
+        tc_flat, r2_flat = monoexp_fit_full(
+            np.asarray(x, np.float32), yT,
+            bounds=self.bounds, tc0=self.tc0, r2_threshold=r2_threshold,
+            decimal_precision=self.decimal_precision, mask_flat=mask_flat,
+        )
+        tc_arr = np.asarray(tc_flat).reshape(shape)
+        r2_arr = np.asarray(r2_flat).reshape(shape)
+
+        headers = y[0].headers()
+        headers = deepcopy(headers) if headers is not None else None
+        tc_map = y[0]._partial_clone(volume=tc_arr, headers=headers)
+        r_squared = y[0]._partial_clone(volume=r2_arr, headers=True)
+        return tc_map, r_squared
+
+    def _fit_host(self, x, y, mask):
         if self.tc0 == "polyfit":
             polyfitter = PolyFitter(
                 1, r2_threshold=0, num_workers=None, nan_to_num=0.0, verbose=self.verbose
@@ -611,8 +650,9 @@ def curve_fit(
 
         if pallas_supported():
             popt, r2, _converged = monoexp_lm_pallas(
-                x, np.ascontiguousarray(y.T), p0_mat,
+                x, y, p0_mat,
                 max_iter=int(maxfev), ftol=ftol, y_bounds=y_bounds,
+                y_layout="tn",  # y is (T, N) — transpose on device, not host
             )
             return np.asarray(popt), np.asarray(r2)
 

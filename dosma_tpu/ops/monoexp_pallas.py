@@ -183,16 +183,21 @@ def monoexp_lm_pallas(
     xtol: float = 1e-5,
     y_bounds: Optional[Tuple[float, float]] = None,
     nan_policy: str = "scipy",
+    y_layout: str = "nt",
 ):
     """Fused Pallas monoexponential LM fit.
 
     Same contract as :func:`dosma_tpu.ops.nlls.lm_fit` specialized to the
     monoexponential model: ``y`` (N, T) → (popt (N, 2), r2 (N,), converged).
+    Pass ``y_layout="tn"`` when ``y`` is already (T, N) — avoids a host
+    transpose on the facade path (the device relayout is nearly free).
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y)
     if y.dtype != jnp.float32:
         y = y.astype(jnp.float32)
+    if y_layout == "tn":
+        y = y.T
     N, T = y.shape
     if T > _SUBLANES:
         raise ValueError(f"monoexp pallas kernel supports T<= {_SUBLANES}, got {T}")
