@@ -36,28 +36,28 @@ def _bench_tpu(N: int, T: int, iters: int = 3):
     Y = np.exp(b[:, None] * x[None, :]).astype(np.float32)
 
     p0 = np.array([1.0, -1 / 30], np.float32)
-    Yd = jax.device_put(jnp.asarray(Y))
+    # Canonical device layout: echoes x voxels (voxel axis on lanes).
+    Yd = jax.device_put(jnp.asarray(np.ascontiguousarray(Y.T)))
 
     # Production path: log-linear polyfit seed + fused Pallas LM kernel
     # (falls back to the generic vmapped engine off-TPU).
     from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas, pallas_supported
 
     @jax.jit
-    def seed(Yd):
-        logY = jnp.log(jnp.maximum(Yd.T, 1e-10))
-        coef, _ = batched_polyfit(jnp.asarray(x), logY, 1)
+    def seed(yT):
+        coef, _ = batched_polyfit(jnp.asarray(x), jnp.log(jnp.maximum(yT, 1e-10)), 1)
         return jnp.stack([jnp.exp(coef[1]), coef[0]], axis=-1)
 
     if pallas_supported():
         def run():
             p0v = seed(Yd)
-            return monoexp_lm_pallas(x, Yd, p0v, max_iter=50)
+            return monoexp_lm_pallas(x, Yd, p0v, max_iter=50, y_layout="tn")
     else:  # pragma: no cover - bench runs on TPU
         def mono(x_col, params):
             return params[0] * jnp.exp(params[1] * x_col)
 
         def run():
-            return lm_fit(mono, x, Yd, p0, max_iter=50)
+            return lm_fit(mono, x, Yd.T, p0, max_iter=50)
 
     # Warmup/compile (forced materialization via scalar readback —
     # block_until_ready alone is unreliable through remote-execution tunnels).

@@ -8,9 +8,9 @@ normal equations (Cramer solve), acceptance and damping updates are all
 per-lane VPU ops. HBM traffic is one read of y and one write of the packed
 result — the speed-of-light bound for this fit.
 
-Layout: ``y`` arrives as (T_pad, N) with the voxel axis on lanes (T padded
-to the 8-row sublane tile, padded rows masked). The packed output is
-(8, N): rows [a, b, r2, converged, cost, iterations, 0, 0].
+Layout: ``y`` is consumed as (T, N) blocks with the voxel axis on lanes
+(Mosaic pads the T sublanes internally — no materialized padding pass).
+The packed output is (8, N): rows [a, b, r2, converged, cost, iterations].
 
 Semantics match :func:`dosma_tpu.ops.nlls.lm_fit` (same damping policy,
 ftol/xtol convergence flags, NaN handling applied by the caller).
@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["monoexp_lm_pallas", "pallas_supported"]
 
-_SUBLANES = 8
+_OUT_ROWS = 8
 _BLOCK_N = 8192  # lanes per tile: 8192 * 8 rows * 4 B = 256 KB per buffer
 
 
@@ -42,25 +42,15 @@ def pallas_supported() -> bool:
         return False
 
 
-def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
-            ftol: float, xtol: float):
-    y = y_ref[:]  # (8, B)
-    x = x_ref[:]  # (8, 1)
-    row_mask = row_mask_ref[:]  # (8, 1): 1 for valid echo rows, 0 for padding
+def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: float):
+    y = y_ref[:]  # (T, B)
+    x = x_ref[:]  # (T, 1)
 
     a = p0_ref[0:1, :]  # (1, B)
     b = p0_ref[1:2, :]
 
-    def model(a, b):
-        return a * jnp.exp(b * x)  # (8, B)
-
-    def cost_of(a, b):
-        r = (model(a, b) - y) * row_mask
-        return jnp.sum(r * r, axis=0, keepdims=True), r  # (1, B)
-
-    ym = y * row_mask
-    e0 = jnp.exp(b * x) * row_mask
-    r0 = a * e0 - ym
+    e0 = jnp.exp(b * x)
+    r0 = a * e0 - y
     cost0 = jnp.sum(r0 * r0, axis=0, keepdims=True)
     bad_init = (~jnp.isfinite(cost0)).astype(jnp.float32)
     cost = jnp.where(bad_init > 0, jnp.inf, cost0)
@@ -70,14 +60,14 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
     def cond(carry):
         it, a, b, e, cost, lam, converged = carry
         # Early exit once every lane in the tile has converged — with
-        # polyfit seeding this cuts the loop from max_iter to ~8 iterations.
+        # polyfit seeding this cuts the loop to ~3 iterations.
         return (it < max_iter) & (jnp.min(converged) < 0.5)
 
     def body(carry):
         it, a, b, e, cost, lam, converged = carry
-        # `e` = exp(b*x)*row_mask at the CURRENT accepted params (carried to
-        # halve the transcendental count: one fresh exp per iteration).
-        r = a * e - ym
+        # `e` = exp(b*x) at the CURRENT accepted params (carried to halve
+        # the transcendental count: one fresh exp per iteration).
+        r = a * e - y
         # Jacobian columns: d/da = e, d/db = a * x * e.
         jb = a * (x * e)
         # 2x2 normal equations, per-lane scalars (1, B).
@@ -97,8 +87,8 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
 
         new_a = a - da
         new_b = b - db
-        new_e = jnp.exp(new_b * x) * row_mask
-        new_r = new_a * new_e - ym
+        new_e = jnp.exp(new_b * x)
+        new_r = new_a * new_e - y
         new_cost = jnp.sum(new_r * new_r, axis=0, keepdims=True)
         new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
 
@@ -111,7 +101,7 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
         small_step = step_ratio <= xtol
         # A tiny PROPOSED step in the low-damping (≈Gauss-Newton) regime
         # means we are at the optimum even if the step is rejected — without
-        # this, pinned voxels wait ~16 iterations for the lam blow-up exit.
+        # this, pinned voxels wait ~10 iterations for the lam blow-up exit.
         gn_small = small_step & (lam <= 1e-2)
         at_floor = (~accept) & (lam >= 1e2)
         newly = (accept & (rel_decrease | small_step)) | gn_small | at_floor
@@ -125,19 +115,18 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
         converged = jnp.maximum(converged, newly.astype(jnp.float32))
         return it + 1, a, b, e, cost, lam, converged
 
-    it_final, a, b, _e, cost, lam, converged = jax.lax.while_loop(
+    it_final, a, b, e_f, cost, lam, converged = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), a, b, e0, cost, lam, converged)
     )
 
     finite = (jnp.isfinite(a) & jnp.isfinite(b)).astype(jnp.float32)
     converged = converged * finite * (1.0 - bad_init)
 
-    # r² goodness of fit over valid rows.
-    _, r = cost_of(a, b)
+    # r² goodness of fit.
+    r = a * e_f - y
     ss_res = jnp.sum(r * r, axis=0, keepdims=True)
-    n_valid = jnp.sum(row_mask)
-    y_mean = jnp.sum(y * row_mask, axis=0, keepdims=True) / n_valid
-    ss_tot = jnp.sum(((y - y_mean) * row_mask) ** 2, axis=0, keepdims=True)
+    y_mean = jnp.mean(y, axis=0, keepdims=True)
+    ss_tot = jnp.sum((y - y_mean) ** 2, axis=0, keepdims=True)
     r2 = 1.0 - ss_res / (ss_tot + 1e-8)
 
     zero = jnp.zeros_like(a)
@@ -148,29 +137,28 @@ def _kernel(x_ref, row_mask_ref, y_ref, p0_ref, out_ref, *, max_iter: int,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "ftol", "xtol"))
-def _monoexp_impl(y_pad, x_pad, row_mask, p0, max_iter, ftol, xtol):
-    N = y_pad.shape[1]
+def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol):
+    T, N = yT.shape
     grid = (N // _BLOCK_N,)
     kernel = functools.partial(_kernel, max_iter=max_iter, ftol=ftol, xtol=xtol)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((_SUBLANES, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, N), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_SUBLANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANES, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANES, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_SUBLANES, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM
+            (_OUT_ROWS, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=30 * max_iter * N,
-            bytes_accessed=y_pad.size * 4 + _SUBLANES * N * 4,
+            bytes_accessed=yT.size * 4 + _OUT_ROWS * N * 4,
             transcendentals=2 * max_iter * N,
         ),
-    )(x_pad, row_mask, y_pad, p0)
+    )(x_col, yT, p0)
     return out
 
 
@@ -189,37 +177,33 @@ def monoexp_lm_pallas(
 
     Same contract as :func:`dosma_tpu.ops.nlls.lm_fit` specialized to the
     monoexponential model: ``y`` (N, T) → (popt (N, 2), r2 (N,), converged).
-    Pass ``y_layout="tn"`` when ``y`` is already (T, N) — avoids a host
-    transpose on the facade path (the device relayout is nearly free).
+    Pass ``y_layout="tn"`` when ``y`` is already (T, N) — the kernel
+    consumes that layout natively (no transpose at all).
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y)
     if y.dtype != jnp.float32:
         y = y.astype(jnp.float32)
-    if y_layout == "tn":
-        y = y.T
-    N, T = y.shape
-    if T > _SUBLANES:
-        raise ValueError(f"monoexp pallas kernel supports T<= {_SUBLANES}, got {T}")
+    yT = y if y_layout == "tn" else y.T  # (T, N)
+    T, N = yT.shape
 
-    # Pad voxel axis to the lane block; pad echo axis to the sublane tile.
+    # Pad the voxel axis to the lane block. Padded voxels get y=1 so they
+    # fit trivially (a=1, b=0) and never stall a tile's early exit.
     N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
-    yT = jnp.zeros((_SUBLANES, N_pad), jnp.float32)
-    yT = yT.at[:T, :N].set(y.T)
-    # Padded voxels get y=1 on valid rows so they fit trivially (a=1, b=0).
     if N_pad > N:
-        yT = yT.at[:T, N:].set(1.0)
+        yT = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0)
 
-    x_pad = jnp.zeros((_SUBLANES, 1), jnp.float32).at[:T, 0].set(x)
-    row_mask = jnp.zeros((_SUBLANES, 1), jnp.float32).at[:T, 0].set(1.0)
+    x_col = x[:, None]  # (T, 1)
 
     p0 = jnp.asarray(p0, jnp.float32)
     if p0.ndim == 1:
         p0_mat = jnp.broadcast_to(p0[:, None], (2, N_pad))
     else:
-        p0_mat = jnp.ones((2, N_pad), jnp.float32).at[:, :N].set(p0.T)
+        p0_mat = p0.T
+        if N_pad > N:
+            p0_mat = jnp.pad(p0_mat, ((0, 0), (0, N_pad - N)), constant_values=1.0)
 
-    out = _monoexp_impl(yT, x_pad, row_mask, p0_mat, int(max_iter), float(ftol), float(xtol))
+    out = _monoexp_impl(yT, x_col, p0_mat, int(max_iter), float(ftol), float(xtol))
 
     a = out[0, :N]
     b = out[1, :N]
@@ -227,11 +211,12 @@ def monoexp_lm_pallas(
     converged = out[3, :N] > 0.5
     popt = jnp.stack([a, b], axis=-1)
 
-    all_zero = jnp.all(y == 0, axis=-1)
+    all_zero = jnp.all(yT[:, :N] == 0, axis=0)
     invalid = all_zero
     if y_bounds is not None:
-        oob = jnp.any((y < y_bounds[0]) | (y > y_bounds[1]), axis=-1)
+        oob = jnp.any((yT[:, :N] < y_bounds[0]) | (yT[:, :N] > y_bounds[1]), axis=0)
         invalid = invalid | oob
+
     bad = invalid | (~converged if nan_policy == "scipy" else False)
     popt = jnp.where(bad[:, None], jnp.nan, popt)
     r2 = jnp.where(bad, 0.0, r2)
