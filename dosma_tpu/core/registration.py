@@ -34,10 +34,8 @@ from dosma_tpu.core.io.nifti_io import NiftiWriter
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.ops.registration import (
     RegistrationParams,
-    compose_transforms,
     register_pair,
     register_pair_bspline,
-    warp_volume,
     warp_volume_chain,
 )
 from dosma_tpu.utils import env
