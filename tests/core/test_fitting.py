@@ -221,3 +221,59 @@ class TestMonoExponentialFit:
         ys, x, _ = generate_monoexp_data((4, 4, 2))
         with pytest.raises(ValueError):
             MonoExponentialFit().fit(x[:-1], ys)
+
+
+class TestDevicePipelineEquivalence:
+    def test_monoexp_fit_full_matches_host_path(self):
+        """The fused device pipeline (interpret-mode Pallas on CPU) must
+        match the host facade path MonoExponentialFit takes off-TPU."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.core.med_volume import MedicalVolume
+        from dosma_tpu.ops.monoexp_pipeline import monoexp_fit_full
+
+        rs = np.random.RandomState(0)
+        shape = (8, 8, 4)
+        x = [10.0, 20.0, 30.0, 40.0]
+        tc = rs.rand(*shape).astype(np.float32) * 70 + 10
+        ys = [
+            MedicalVolume(np.exp(-t / tc).astype(np.float32), np.eye(4)) for t in x
+        ]
+
+        fitter = MonoExponentialFit(bounds=(0, 100), tc0="polyfit", decimal_precision=3)
+        tc_host, r2_host = fitter.fit(x, ys)  # CPU backend -> host path
+
+        yT = np.stack([np.asarray(sv.A, np.float32).reshape(-1) for sv in ys], axis=0)
+        with pltpu.force_tpu_interpret_mode():
+            tc_dev, r2_dev = monoexp_fit_full(
+                np.asarray(x, np.float32), yT, bounds=(0, 100), tc0="polyfit",
+                r2_threshold=0.9, decimal_precision=3, max_iter=51,
+            )
+        tc_dev = np.asarray(tc_dev).reshape(shape)
+        assert np.allclose(tc_dev, np.asarray(tc_host.A), atol=0.2)
+
+    def test_monoexp_fit_full_mask_and_bounds(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.ops.monoexp_pipeline import monoexp_fit_full
+
+        rs = np.random.RandomState(1)
+        N = 64
+        x = np.array([10.0, 20.0, 30.0, 40.0], np.float32)
+        tc = rs.rand(N).astype(np.float32) * 70 + 10
+        yT = np.exp(-x[:, None] / tc[None, :]).astype(np.float32)
+        mask = np.zeros(N, np.float32)
+        mask[: N // 2] = 1
+
+        with pltpu.force_tpu_interpret_mode():
+            tc_out, r2 = monoexp_fit_full(
+                x, yT, bounds=(0, 50), tc0=30.0, r2_threshold=0.9,
+                decimal_precision=3, mask_flat=mask, max_iter=53,
+            )
+        tc_out = np.asarray(tc_out)
+        assert np.all(tc_out[N // 2 :] == 0)  # outside mask -> nan_fill
+        inside = (tc[: N // 2] < 49) & (tc[: N // 2] > 1)
+        assert np.allclose(tc_out[: N // 2][inside], tc[: N // 2][inside], atol=0.1)
+        # tc above the 50ms bound -> NaN -> filled with 0
+        over = tc[: N // 2] > 51
+        assert np.all(tc_out[: N // 2][over] == 0)
