@@ -1,10 +1,11 @@
 """Command-line interface for dosma_tpu.
 
-Behavior-parity re-design of ``/root/reference/dosma/cli.py``: a
-reflection-driven argparse where each scan's ``cmd_line_actions()`` becomes
-a subparser whose arguments come from method signature type annotations
-(ref ``cli.py:482-540``), with segmentation weight-file grouping
-(ref ``:543-565, 589-647``) and preference flags (ref ``:742-749``).
+Behavior-parity re-design of ``/root/reference/dosma/cli.py``: each scan's
+``cmd_line_actions()`` metadata is reflected into argparse subparsers whose
+arguments come from method signature type annotations (ref
+``cli.py:482-540``), with segmentation weight-file grouping (ref
+``:543-565, 589-647``) and preference-derived global flags (ref
+``:742-749``).
 
 Run: ``python -m dosma_tpu.cli --dicom D --save S qdess --fc segment ...``
 """
@@ -62,6 +63,13 @@ BASIC_TYPES = [bool, str, float, int, list, tuple]
 
 _logger = logging.getLogger(__name__)
 
+# Declarative global-flag table: (short, dest, help).
+_GLOBAL_PATH_FLAGS = [
+    ("--d", DICOM_KEY, "path to directory storing dicom files"),
+    ("--l", LOAD_KEY, "path to data directory to load from"),
+    ("--s", SAVE_KEY, "path to data directory to save to. Default: L/D"),
+]
+
 
 def _signature(fn):
     """Signature with string annotations evaluated (scan modules use
@@ -69,6 +77,9 @@ def _signature(fn):
     return inspect.signature(fn, eval_str=True)
 
 
+# ======================================================================
+# Scan container
+# ======================================================================
 class CommandLineScanContainer:
     """CLI wrapper around a scan: loads from dicoms or saved data, proxies
     attribute access, and auto-injects num_workers/verbose/show_pbar
@@ -86,24 +97,25 @@ class CommandLineScanContainer:
     ):
         self.scan_type = scan_type
 
-        if (dicom_path is not None) and (not os.path.isdir(dicom_path)):
-            if load_path is not None:
-                warnings.warn(
-                    f"Dicom_path {dicom_path} not found. Will load data from {load_path}"
-                )
-            else:
+        dicom_exists = dicom_path is not None and os.path.isdir(dicom_path)
+        if dicom_path is not None and not dicom_exists:
+            if load_path is None:
                 raise NotADirectoryError(f"{dicom_path} is not a directory")
+            warnings.warn(
+                f"Dicom_path {dicom_path} not found. Will load data from {load_path}"
+            )
 
-        is_dicom_available = (dicom_path is not None) and os.path.isdir(dicom_path)
-        group_by = group_by if group_by is not None else scan_type.__DEFAULT_SPLIT_BY__
-        if is_dicom_available:
-            scan = scan_type.from_dicom(
-                dicom_path, group_by=group_by, ignore_ext=ignore_ext, num_workers=num_workers
+        if dicom_exists:
+            # Fresh start from dicoms; load_path is ignored.
+            self.scan = scan_type.from_dicom(
+                dicom_path,
+                group_by=group_by or scan_type.__DEFAULT_SPLIT_BY__,
+                ignore_ext=ignore_ext,
+                num_workers=num_workers,
             )
         else:
-            scan = self.load(load_path, num_workers=num_workers)
+            self.scan = self.load(load_path, num_workers=num_workers)
 
-        self.scan = scan
         self.generic_args = {
             "num_workers": num_workers,
             "max_workers": num_workers,
@@ -114,38 +126,32 @@ class CommandLineScanContainer:
     def __getattr__(self, name):
         attr = getattr(self.scan, name)
         if callable(attr):
-            params = inspect.signature(attr).parameters
-            common = params.keys() & self.generic_args.keys()
-            kwargs = {k: self.generic_args[k] for k in common}
-            if kwargs:
-                attr = functools.partial(attr, **kwargs)
+            accepted = inspect.signature(attr).parameters.keys()
+            injected = {k: self.generic_args[k] for k in accepted & self.generic_args.keys()}
+            if injected:
+                attr = functools.partial(attr, **injected)
         return attr
 
     def load(self, path: str, num_workers: int = 0):
+        """Locate and load a saved scan (pickle file or directory)."""
         scan_type = self.scan_type
-        file_path = None
+        candidates = []
         if os.path.isfile(path):
-            file_path = path
+            candidates.append(path)
         elif os.path.isdir(path) and scan_type.NAME:
             fname = f"{scan_type.NAME}.data"
-            for _path in (
-                os.path.join(path, fname),
-                os.path.join(self._save_dir(path, create_dir=False), fname),
-            ):
-                if os.path.isfile(_path):
-                    file_path = _path
-                    break
-        if file_path is None:
-            raise ValueError(f"Cannot load {scan_type.__name__} data from path '{path}'")
-        return scan_type.load(file_path, num_workers)
+            candidates.append(os.path.join(path, fname))
+            candidates.append(os.path.join(self._save_dir(path, create_dir=False), fname))
+        for candidate in candidates:
+            if os.path.isfile(candidate):
+                return scan_type.load(candidate, num_workers)
+        raise ValueError(f"Cannot load {scan_type.__name__} data from path '{path}'")
 
     def _save_dir(self, dir_path: str, create_dir: bool = True):
-        folder_id = self.scan_type.NAME
-        name_len = len(folder_id) + 2
-        if folder_id not in dir_path[-name_len:]:
-            scan_dirpath = os.path.join(dir_path, folder_id)
-        else:
-            scan_dirpath = dir_path
+        """``dir_path/NAME`` (idempotent when dir_path already ends in NAME)."""
+        name = self.scan_type.NAME
+        suffix_window = dir_path[-(len(name) + 2):]
+        scan_dirpath = dir_path if name in suffix_window else os.path.join(dir_path, name)
         if create_dir:
             os.makedirs(scan_dirpath, exist_ok=True)
         return scan_dirpath
@@ -155,45 +161,106 @@ class CommandLineScanContainer:
         return self.scan.save(path, save_custom, image_data_format, num_workers)
 
 
+# ======================================================================
+# Argument reflection
+# ======================================================================
 def get_nargs_for_basic_type(base_type: type):
-    if base_type in (str, float, int):
-        return 1
     if base_type in (list, tuple):
         return "+"
+    if base_type in (str, float, int):
+        return 1
+    return None
 
 
-def add_tissues(parser: argparse.ArgumentParser):
-    for tissue in knee.SUPPORTED_TISSUES:
+def extract_basic_type(param_type):
+    """Basic type from ``typing`` aliases (e.g. Tuple → tuple)."""
+    return param_type.__origin__
+
+
+def add_base_argument(
+    parser, param_name, param_type, param_default, param_help, additional_param_names=None
+):
+    try:
+        if param_type not in BASIC_TYPES:
+            param_type = extract_basic_type(param_type)
+    except (AttributeError, TypeError):
+        raise TypeError(f"Parameter '{param_name}' - type '{param_type}' not in BASIC_TYPES")
+
+    has_default = param_default is not inspect._empty
+    if has_default:
+        param_help = f"{param_help}. Default: {param_default}"
+
+    names = [f"--{n}" for n in (additional_param_names or [])] + [f"--{param_name}"]
+
+    if param_type is bool:
+        if not has_default:
+            raise ValueError("All boolean parameters must have a default value.")
         parser.add_argument(
-            f"--{tissue.STR_ID}",
+            *names,
+            action=f"store_{str(not param_default).lower()}",
+            dest=param_name,
+            help=param_help,
+        )
+        return
+
+    parser.add_argument(
+        *names,
+        nargs="?" if has_default else get_nargs_for_basic_type(param_type),
+        default=param_default if has_default else None,
+        dest=param_name,
+        help=param_help,
+        required=not has_default,
+    )
+
+
+def parse_basic_type(val, param_type):
+    if param_type not in BASIC_TYPES:
+        param_type = extract_basic_type(param_type)
+    if type(val) is param_type:
+        return val
+    if param_type in (list, tuple):
+        return param_type(val) if val is not None else val
+    if type(val) is list and get_nargs_for_basic_type(param_type) == 1:
+        return val[0]
+    return param_type(val) if val else val
+
+
+# ======================================================================
+# Tissues
+# ======================================================================
+def add_tissues(parser: argparse.ArgumentParser):
+    for tissue_cls in knee.SUPPORTED_TISSUES:
+        parser.add_argument(
+            f"--{tissue_cls.STR_ID}",
             action="store_const",
             default=False,
             const=True,
-            help=f"analyze {tissue.FULL_NAME}",
+            help=f"analyze {tissue_cls.FULL_NAME}",
         )
 
 
 def parse_tissues(vargin: dict):
-    tissues = []
-    for tissue in knee.SUPPORTED_TISSUES:
-        t = tissue()
-        if t.STR_ID in vargin and vargin[t.STR_ID] and t.STR_ID not in [x.STR_ID for x in tissues]:
-            if vargin[LOAD_KEY]:
-                t.load_data(vargin[LOAD_KEY])
-            tissues.append(t)
+    load_path = vargin[LOAD_KEY]
 
-    if len(tissues) == 0:
+    def _make(tissue_cls):
+        t = tissue_cls()
+        if load_path:
+            t.load_data(load_path)
+        return t
+
+    selected = [cls for cls in knee.SUPPORTED_TISSUES if vargin.get(cls.STR_ID)]
+    if not selected:
         _logger.info("No tissues specified, computing for all supported tissues...")
-        for tissue in knee.SUPPORTED_TISSUES:
-            t = tissue()
-            if vargin[LOAD_KEY]:
-                t.load_data(vargin[LOAD_KEY])
-            tissues.append(t)
+        selected = knee.SUPPORTED_TISSUES
 
+    tissues = [_make(cls) for cls in selected]
     _logger.info("Tissue(s): " + ", ".join(t.FULL_NAME for t in tissues))
     return tissues
 
 
+# ======================================================================
+# Segmentation handling
+# ======================================================================
 def add_segmentation_subparser(parser):
     parser.add_argument(
         f"--{SEGMENTATION_WEIGHTS_DIR_KEY}",
@@ -233,13 +300,13 @@ def handle_segmentation(vargin, scan: ScanSequence, tissue: Tissue):
             f"must be specified"
         )
 
-    segment_weights_path = vargin[SEGMENTATION_WEIGHTS_DIR_KEY][0]
+    weights_dir = vargin[SEGMENTATION_WEIGHTS_DIR_KEY][0]
     if isinstance(tissue, Sequence):
-        weights = [t.find_weights(segment_weights_path) for t in tissue]
+        weights = [t.find_weights(weights_dir) for t in tissue]
         assert all(w == weights[0] for w in weights)
         weights_path = weights[0]
     else:
-        weights_path = tissue.find_weights(segment_weights_path)
+        weights_path = tissue.find_weights(weights_dir)
 
     dims = scan.get_dimensions()
     input_shape = (dims[0], dims[1], 1)
@@ -250,7 +317,7 @@ def handle_segmentation(vargin, scan: ScanSequence, tissue: Tissue):
     else:
         model = model_from_config(
             vargin[SEGMENTATION_CONFIG_KEY],
-            weights_dir=segment_weights_path,
+            weights_dir=weights_dir,
             input_shape=input_shape,
         )
     model.batch_size = vargin[SEGMENTATION_BATCH_SIZE_KEY]
@@ -267,191 +334,117 @@ def add_custom_argument(parser, param_type):
     return False
 
 
-def extract_basic_type(param_type):
-    """Basic type from ``typing`` aliases (e.g. Tuple → tuple)."""
-    return param_type.__origin__
-
-
-def add_base_argument(
-    parser, param_name, param_type, param_default, param_help, additional_param_names=None
-):
-    if additional_param_names is None:
-        additional_param_names = []
-
-    try:
-        if param_type not in BASIC_TYPES:
-            param_type = extract_basic_type(param_type)
-    except (AttributeError, TypeError):
-        raise TypeError(f"Parameter '{param_name}' - type '{param_type}' not in BASIC_TYPES")
-
-    has_default = param_default is not inspect._empty
-    if has_default:
-        param_help = f"{param_help}. Default: {param_default}"
-
-    param_names = [f"--{n}" for n in additional_param_names]
-    param_names.append(f"--{param_name}")
-
-    if param_type is bool:
-        if not has_default:
-            raise ValueError("All boolean parameters must have a default value.")
-        parser.add_argument(
-            *param_names,
-            action=f"store_{str(not param_default).lower()}",
-            dest=param_name,
-            help=param_help,
-        )
-        return
-
-    nargs_no_default = get_nargs_for_basic_type(param_type)
-    nargs = "?" if has_default else nargs_no_default
-    parser.add_argument(
-        *param_names,
-        nargs=nargs,
-        default=param_default if has_default else None,
-        dest=param_name,
-        help=param_help,
-        required=not has_default,
-    )
-
-
-def parse_basic_type(val, param_type):
-    if param_type not in BASIC_TYPES:
-        param_type = extract_basic_type(param_type)
-    if type(val) is param_type:
-        return val
-    if param_type in (list, tuple):
-        return param_type(val) if val is not None else val
-    nargs = get_nargs_for_basic_type(param_type)
-    if type(val) is list and nargs == 1:
-        return val[0]
-    return param_type(val) if val else val
-
-
-def add_scans(dosma_subparser):
-    for scan in SUPPORTED_SCAN_TYPES:
-        supported_actions = scan.cmd_line_actions()
-        if len(supported_actions) == 0:
-            continue
-        scan_parser = dosma_subparser.add_parser(
-            scan.NAME, help=f"analyze {scan.NAME} sequence"
-        )
-        add_tissues(scan_parser)
-
-        scan_subparser = scan_parser.add_subparsers(
-            description=f"{scan.NAME} subcommands", dest=SCAN_ACTION_KEY
-        )
-
-        for action, action_wrapper in supported_actions:
-            func_signature = _signature(action)
-            action_parser = scan_subparser.add_parser(
-                action_wrapper.name, aliases=action_wrapper.aliases, help=action_wrapper.help
-            )
-
-            for param_name, param in func_signature.parameters.items():
-                param_type = param.annotation
-                param_default = param.default
-                if param_name == "self" or param_type is Tissue:
-                    continue
-                param_help = action_wrapper.get_param_help(param_name)
-                alternative_param_names = action_wrapper.get_alternative_param_names(param_name)
-
-                if param_type is inspect._empty:
-                    raise ValueError(
-                        f"scan {scan.NAME}, action {action_wrapper.name}, param {param_name} "
-                        f"does not have an annotation. Use typing in the method declaration"
-                    )
-
-                if add_custom_argument(action_parser, param_type):
-                    continue
-                add_base_argument(
-                    action_parser,
-                    param_name,
-                    param_type,
-                    param_default,
-                    param_help=param_help,
-                    additional_param_names=alternative_param_names,
-                )
-
-        scan_parser.set_defaults(func=handle_scan)
-
-
 def _find_tissue_groups(vargin, tissues: Sequence[Tissue]):
     """Group tissues sharing one weight file (multi-class segmentation)."""
     if not isinstance(tissues, Sequence):
         assert isinstance(tissues, Tissue)
         tissues = [tissues]
     weights_dir = vargin[SEGMENTATION_WEIGHTS_DIR_KEY][0]
-    weights_to_tissues = defaultdict(list)
+    groups = defaultdict(list)
     for tissue in tissues:
-        weights_to_tissues[tissue.find_weights(weights_dir)].append(tissue)
-    return weights_to_tissues
+        groups[tissue.find_weights(weights_dir)].append(tissue)
+    return groups
+
+
+# ======================================================================
+# Subparser construction + dispatch
+# ======================================================================
+def add_scans(dosma_subparser):
+    for scan in SUPPORTED_SCAN_TYPES:
+        supported_actions = scan.cmd_line_actions()
+        if not supported_actions:
+            continue
+        scan_parser = dosma_subparser.add_parser(
+            scan.NAME, help=f"analyze {scan.NAME} sequence"
+        )
+        add_tissues(scan_parser)
+        scan_subparser = scan_parser.add_subparsers(
+            description=f"{scan.NAME} subcommands", dest=SCAN_ACTION_KEY
+        )
+
+        for action, wrapper in supported_actions:
+            action_parser = scan_subparser.add_parser(
+                wrapper.name, aliases=wrapper.aliases, help=wrapper.help
+            )
+            for param_name, param in _signature(action).parameters.items():
+                if param_name == "self" or param.annotation is Tissue:
+                    continue
+                if param.annotation is inspect._empty:
+                    raise ValueError(
+                        f"scan {scan.NAME}, action {wrapper.name}, param {param_name} "
+                        f"does not have an annotation. Use typing in the method declaration"
+                    )
+                if add_custom_argument(action_parser, param.annotation):
+                    continue
+                add_base_argument(
+                    action_parser,
+                    param_name,
+                    param.annotation,
+                    param.default,
+                    param_help=wrapper.get_param_help(param_name),
+                    additional_param_names=wrapper.get_alternative_param_names(param_name),
+                )
+
+        scan_parser.set_defaults(func=handle_scan)
 
 
 def _build_params(vargin, scan, parameters, tissue=None):
     param_dict = {}
     for param_name, param in parameters.items():
-        param_type = param.annotation
+        ptype = param.annotation
         if param_name == "self":
             continue
-        if param_type is Tissue:
+        if ptype is Tissue:
             assert tissue is not None
             param_dict["tissue"] = tissue
-            continue
-        if param_type in CUSTOM_TYPE_TO_HANDLE_DICT:
-            param_dict[param_name] = CUSTOM_TYPE_TO_HANDLE_DICT[param_type](vargin, scan, tissue)
+        elif ptype in CUSTOM_TYPE_TO_HANDLE_DICT:
+            param_dict[param_name] = CUSTOM_TYPE_TO_HANDLE_DICT[ptype](vargin, scan, tissue)
         else:
-            param_dict[param_name] = parse_basic_type(vargin[param_name], param_type)
+            param_dict[param_name] = parse_basic_type(vargin[param_name], ptype)
     return param_dict
 
 
 def handle_scan(vargin):
     scan_name = vargin[SCAN_KEY]
     _logger.info(f"Analyzing {scan_name}...")
-    scan = None
-    for p_scan in SUPPORTED_SCAN_TYPES:
-        if p_scan.NAME == scan_name:
-            scan = p_scan
-            break
+    scan_type = next(s for s in SUPPORTED_SCAN_TYPES if s.NAME == scan_name)
 
     scan = CommandLineScanContainer(
-        scan,
+        scan_type,
         dicom_path=vargin[DICOM_KEY],
         load_path=vargin[LOAD_KEY],
         ignore_ext=vargin[IGNORE_EXT_KEY],
-        group_by=vargin[SPLIT_BY_KEY] if vargin[SPLIT_BY_KEY] else None,
+        group_by=vargin[SPLIT_BY_KEY] or None,
         num_workers=vargin[NUM_WORKERS_KEY],
     )
 
-    tissues = vargin["tissues"]
-    scan_action = vargin[SCAN_ACTION_KEY]
+    tissues = vargin[TISSUES_KEY]
+    requested = vargin[SCAN_ACTION_KEY]
 
-    action = None
-    for act, action_wrapper in scan.cmd_line_actions():
-        if scan_action == action_wrapper.name or scan_action in action_wrapper.aliases:
-            action = act
-            break
+    action = next(
+        (
+            method
+            for method, wrapper in scan.cmd_line_actions()
+            if requested == wrapper.name or requested in wrapper.aliases
+        ),
+        None,
+    )
 
     if action is None:
         scan.save(vargin[SAVE_KEY], image_data_format=preferences.image_data_format)
         return
 
-    func_signature = _signature(action)
-    parameters = func_signature.parameters
-    if scan_action == "segment":
-        weights_to_tissues = _find_tissue_groups(vargin, tissues)
-        for _weights_file, seg_tissues in weights_to_tissues.items():
+    parameters = _signature(action).parameters
+    if requested == "segment":
+        for _weights, seg_tissues in _find_tissue_groups(vargin, tissues).items():
             if len(seg_tissues) == 1:
                 seg_tissues = seg_tissues[0]
-            param_dict = _build_params(vargin, scan, parameters, seg_tissues)
-            getattr(scan, action.__name__)(**param_dict)
+            getattr(scan, action.__name__)(**_build_params(vargin, scan, parameters, seg_tissues))
+    elif "tissue" in parameters.keys():
+        for tissue in tissues:
+            getattr(scan, action.__name__)(**_build_params(vargin, scan, parameters, tissue))
     else:
-        if "tissue" in func_signature.parameters.keys():
-            for tissue in tissues:
-                param_dict = _build_params(vargin, scan, parameters, tissue)
-                getattr(scan, action.__name__)(**param_dict)
-        else:
-            param_dict = _build_params(vargin, scan, parameters)
-            getattr(scan, action.__name__)(**param_dict)
+        getattr(scan, action.__name__)(**_build_params(vargin, scan, parameters))
 
     scan.save(vargin[SAVE_KEY], image_data_format=preferences.image_data_format)
     for tissue in tissues:
@@ -469,8 +462,10 @@ def parse_dicom_tag_splitby(vargin_str):
         return vargin_str
 
 
-def parse_args(f_input=None):
-    """Parse command-line args (ref ``cli.py:661-810``)."""
+# ======================================================================
+# Entry point
+# ======================================================================
+def _build_parser():
     parser = argparse.ArgumentParser(
         prog="DOSMA-TPU",
         description="A TPU-native open source MRI analysis pipeline",
@@ -478,18 +473,11 @@ def parse_args(f_input=None):
         "If both are given, `--dicom` will be used",
     )
     parser.add_argument(f"--{DEBUG_KEY}", action="store_true", help="use debug mode")
-    parser.add_argument(
-        "--d", f"--{DICOM_KEY}", metavar="D", type=str, default=None, nargs="?",
-        dest=DICOM_KEY, help="path to directory storing dicom files",
-    )
-    parser.add_argument(
-        "--l", f"--{LOAD_KEY}", metavar="L", type=str, default=None, nargs="?",
-        dest=LOAD_KEY, help="path to data directory to load from",
-    )
-    parser.add_argument(
-        "--s", f"--{SAVE_KEY}", metavar="S", type=str, default=None, nargs="?",
-        dest=SAVE_KEY, help="path to data directory to save to. Default: L/D",
-    )
+    for short, key, help_str in _GLOBAL_PATH_FLAGS:
+        parser.add_argument(
+            short, f"--{key}", metavar=key[0].upper(), type=str, default=None,
+            nargs="?", dest=key, help=help_str,
+        )
     parser.add_argument(
         f"--{IGNORE_EXT_KEY}", action="store_true", default=False, dest=IGNORE_EXT_KEY,
         help="ignore .dcm extension when loading dicoms. Default: False",
@@ -508,16 +496,22 @@ def parse_args(f_input=None):
     )
 
     preferences_flags = preferences.cmd_line_flags()
-    for flag in preferences_flags.keys():
-        argparse_kwargs = dict(preferences_flags[flag])
-        argparse_kwargs["dest"] = flag
-        aliases = argparse_kwargs.pop("aliases", None)
-        argparse_kwargs.pop("name", None)
-        parser.add_argument(*aliases, **argparse_kwargs)
+    for flag, spec in preferences_flags.items():
+        spec = dict(spec)
+        spec["dest"] = flag
+        aliases = spec.pop("aliases")
+        spec.pop("name", None)
+        parser.add_argument(*aliases, **spec)
 
     subparsers = parser.add_subparsers(help="sub-command help", dest=SCAN_KEY)
     add_scans(subparsers)
     knee.knee_parser(subparsers)
+    return parser, preferences_flags
+
+
+def parse_args(f_input=None):
+    """Parse command-line args and dispatch (ref ``cli.py:661-810``)."""
+    parser, preferences_flags = _build_parser()
 
     start_time = time.time()
     if f_input:
@@ -529,28 +523,22 @@ def parse_args(f_input=None):
     vargin = vars(args)
     if vargin[DEBUG_KEY]:
         env.debug(True)
-
-    gpu = vargin[GPU_KEY]
     _logger.debug(vargin)
-    if gpu is not None:
-        os.environ["CUDA_VISIBLE_DEVICES"] = gpu
 
-    for flag in preferences_flags.keys():
+    if vargin[GPU_KEY] is not None:
+        os.environ["CUDA_VISIBLE_DEVICES"] = vargin[GPU_KEY]
+
+    for flag in preferences_flags:
         preferences.set(flag, vargin[flag])
 
-    dicom_path = vargin[DICOM_KEY]
-    load_path = vargin[LOAD_KEY]
-    if not dicom_path and not load_path:
+    if not vargin[DICOM_KEY] and not vargin[LOAD_KEY]:
         raise ValueError("Must provide path to dicoms or path to load data from")
 
-    save_path = vargin[SAVE_KEY]
-    if not save_path:
-        save_path = load_path if load_path else f"{dicom_path}/data"
-        vargin[SAVE_KEY] = save_path
-    if not os.path.isdir(save_path):
-        os.makedirs(save_path)
+    if not vargin[SAVE_KEY]:
+        vargin[SAVE_KEY] = vargin[LOAD_KEY] or f"{vargin[DICOM_KEY]}/data"
+    os.makedirs(vargin[SAVE_KEY], exist_ok=True)
 
-    vargin["tissues"] = parse_tissues(vargin)
+    vargin[TISSUES_KEY] = parse_tissues(vargin)
     vargin[SPLIT_BY_KEY] = parse_dicom_tag_splitby(vargin[SPLIT_BY_KEY])
 
     args.func(vargin)

@@ -1,9 +1,10 @@
 """UTE-Cones (T2*) scan sequence.
 
 Behavior-parity re-design of
-``/root/reference/dosma/scan_sequences/mri/cones.py:32-228``: 4 echoes,
-the LAST echo is the registration base (ref ``:99-100``), transform reuse
-for earlier echoes, monoexponential T2* fit with bounds (0, ∞).
+``/root/reference/dosma/scan_sequences/mri/cones.py:32-228``: 4 echoes, the
+LAST echo anchors inter-registration (ref ``:99-100``) with transform reuse
+for earlier echoes; monoexponential T2* fit with bounds (0, ∞) on the
+batched TPU engine.
 """
 
 from __future__ import annotations
@@ -14,13 +15,10 @@ from typing import Sequence
 
 import numpy as np
 
-from dosma_tpu import file_constants as fc
 from dosma_tpu.core import quant_vals as qv
 from dosma_tpu.core.fitting import MonoExponentialFit
 from dosma_tpu.core.io import format_io_utils as fio_utils
-from dosma_tpu.core.io.nifti_io import NiftiReader
 from dosma_tpu.core.med_volume import MedicalVolume
-from dosma_tpu.core.registration import apply_warp, register
 from dosma_tpu.scan_sequences.scans import NonTargetSequence
 from dosma_tpu.tissues.tissue import Tissue
 from dosma_tpu.utils.cmd_line_utils import ActionWrapper
@@ -29,9 +27,8 @@ __all__ = ["Cones"]
 
 _logger = logging.getLogger(__name__)
 
-__T2_STAR_LOWER_BOUND__ = 0
-__T2_STAR_UPPER_BOUND__ = np.inf
-__T2_STAR_DECIMAL_PRECISION__ = 3
+_T2STAR_RANGE = (0, np.inf)
+_T2STAR_DECIMALS = 3
 
 
 class Cones(NonTargetSequence):
@@ -53,55 +50,13 @@ class Cones(NonTargetSequence):
         self.echo_times = echo_times
 
     def interregister(self, target_path: str, target_mask_path: str = None):
-        """Register last (highest-SNR) echo to target; reuse transforms for
-        earlier echoes (ref ``cones.py:63-130``)."""
-        volumes = self.volumes
-        echo_times = self.echo_times
-        idxs = np.argsort(echo_times)
-        volumes = [volumes[i] for i in idxs]
-
-        nr = NiftiReader()
-        out_path = os.path.join(self.temp_path, "interregistered")
-        os.makedirs(out_path, exist_ok=True)
-
-        _logger.info(f"Interregistering... Target: {target_path}")
-        if target_mask_path:
-            target_mask_path = self.__dilate_mask__(target_mask_path, out_path)
-            parameter_files = [
-                fc.ELASTIX_RIGID_INTERREGISTER_PARAMS_FILE,
-                fc.ELASTIX_AFFINE_INTERREGISTER_PARAMS_FILE,
-            ]
-            use_mask = [False, True]
-        else:
-            parameter_files = [fc.ELASTIX_RIGID_PARAMS_FILE, fc.ELASTIX_AFFINE_PARAMS_FILE]
-            use_mask = None
-
-        # Last echo is the registration base.
-        base, moving = volumes[-1], volumes[:-1]
-
-        out_reg, _ = register(
-            target_path,
-            base,
-            parameters=parameter_files,
-            output_path=out_path,
-            sequential=True,
-            collate=True,
-            return_volumes=False,
-            target_mask=target_mask_path,
-            use_mask=use_mask,
-            rtype=tuple,
+        """Anchor on the LAST (highest-SNR) echo; shared base-class flow."""
+        self._interregister_to_target(
+            target_path, target_mask_path, self.echo_times, base_position="last"
         )
-        out_reg = out_reg[0]
 
-        reg_vols = []
-        for mvg in moving:
-            reg_vols.append(apply_warp(mvg, out_reg.transform))
-        reg_vols.append(nr.load(out_reg.warped_file))
-
-        reverse_idxs = {v: i for i, v in enumerate(idxs)}
-        self.volumes = [reg_vols[reverse_idxs[k]] for k in sorted(reverse_idxs.keys())]
-
-    def generate_t2_star_map(self, tissue: Tissue = None, mask_path: str = None, num_workers: int = 0):
+    def generate_t2_star_map(self, tissue: Tissue = None, mask_path: str = None,
+                             num_workers: int = 0):
         """Monoexponential T2* map, bounds (0, ∞) (ref ``cones.py:130-178``)."""
         mask = tissue.get_mask() if tissue is not None else None
         if mask_path is not None:
@@ -111,24 +66,23 @@ class Cones(NonTargetSequence):
                 else mask_path
             )
 
-        mef = MonoExponentialFit(
-            bounds=(__T2_STAR_LOWER_BOUND__, __T2_STAR_UPPER_BOUND__),
+        fitter = MonoExponentialFit(
+            bounds=_T2STAR_RANGE,
             tc0="polyfit",
-            decimal_precision=__T2_STAR_DECIMAL_PRECISION__,
+            decimal_precision=_T2STAR_DECIMALS,
             num_workers=num_workers,
         )
-        t2star_map, r2 = mef.fit(self.echo_times, self.volumes, mask=mask)
+        t2star_map, r2 = fitter.fit(self.echo_times, self.volumes, mask=mask)
 
-        quant_val_map = qv.T2Star(t2star_map)
-        quant_val_map.add_additional_volume("r2", r2)
+        result = qv.T2Star(t2star_map)
+        result.add_additional_volume("r2", r2)
         if tissue is not None:
-            tissue.add_quantitative_value(quant_val_map)
-        return quant_val_map
+            tissue.add_quantitative_value(result)
+        return result
 
     def _save(self, metadata, save_dir, fname_fmt=None, **kwargs):
-        default_fmt = {MedicalVolume: "echo-{}"}
-        default_fmt.update(fname_fmt if fname_fmt else {})
-        return super()._save(metadata, save_dir, fname_fmt=default_fmt, **kwargs)
+        fmt = {MedicalVolume: "echo-{}", **(fname_fmt or {})}
+        return super()._save(metadata, save_dir, fname_fmt=fmt, **kwargs)
 
     @classmethod
     def from_dict(cls, data, force: bool = False) -> "Cones":
@@ -143,27 +97,32 @@ class Cones(NonTargetSequence):
 
     @classmethod
     def cmd_line_actions(cls):
-        interregister_action = ActionWrapper(
-            name=cls.interregister.__name__,
-            help="register to another scan",
-            param_help={
-                "target_path": "path to target image in nifti format (.nii.gz)",
-                "target_mask_path": "path to target mask in nifti format (.nii.gz)",
-            },
-            alternative_param_names={
-                "target_path": ["tp", "target"],
-                "target_mask_path": ["tm", "target_mask"],
-            },
-        )
-        generate_t2star_map_action = ActionWrapper(
-            name=cls.generate_t2_star_map.__name__,
-            help="generate T2-star map",
-            param_help={
-                "mask_path": "Mask used for fitting select voxels - in nifti format (.nii.gz)"
-            },
-            aliases=["t2_star"],
-        )
         return [
-            (cls.interregister, interregister_action),
-            (cls.generate_t2_star_map, generate_t2star_map_action),
+            (
+                cls.interregister,
+                ActionWrapper(
+                    name=cls.interregister.__name__,
+                    help="register to another scan",
+                    param_help={
+                        "target_path": "path to target image in nifti format (.nii.gz)",
+                        "target_mask_path": "path to target mask in nifti format (.nii.gz)",
+                    },
+                    alternative_param_names={
+                        "target_path": ["tp", "target"],
+                        "target_mask_path": ["tm", "target_mask"],
+                    },
+                ),
+            ),
+            (
+                cls.generate_t2_star_map,
+                ActionWrapper(
+                    name=cls.generate_t2_star_map.__name__,
+                    help="generate T2-star map",
+                    param_help={
+                        "mask_path": "Mask used for fitting select voxels - "
+                        "in nifti format (.nii.gz)"
+                    },
+                    aliases=["t2_star"],
+                ),
+            ),
         ]

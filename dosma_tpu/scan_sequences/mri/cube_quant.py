@@ -89,51 +89,11 @@ class CubeQuant(NonTargetSequence):
 
     # ------------------------------------------------------------------
     def interregister(self, target_path: str, target_mask_path: str = None):
-        """Register base spin lock to the target; reuse transforms for the
-        rest (ref ``cube_quant.py:73-137``)."""
-        volumes = self.volumes
-        spin_lock_times = self.spin_lock_times
-        idxs = np.argsort(spin_lock_times)
-        volumes = [volumes[i] for i in idxs]
-
-        nr = NiftiReader()
-        out_path = os.path.join(self.temp_path, "interregistered")
-        os.makedirs(out_path, exist_ok=True)
-
-        base_image, moving = volumes[0], volumes[1:]
-
-        _logger.info(f"Interregistering... Target: {target_path}")
-        if not target_mask_path:
-            parameter_files = [fc.ELASTIX_RIGID_PARAMS_FILE, fc.ELASTIX_AFFINE_PARAMS_FILE]
-            use_mask = None
-        else:
-            target_mask_path = self.__dilate_mask__(target_mask_path, out_path)
-            parameter_files = [
-                fc.ELASTIX_RIGID_INTERREGISTER_PARAMS_FILE,
-                fc.ELASTIX_AFFINE_INTERREGISTER_PARAMS_FILE,
-            ]
-            use_mask = [False, True]
-
-        out_reg, _ = register(
-            target_path,
-            base_image,
-            parameters=parameter_files,
-            output_path=out_path,
-            sequential=True,
-            collate=True,
-            return_volumes=False,
-            target_mask=target_mask_path,
-            use_mask=use_mask,
-            rtype=tuple,
+        """Anchor on the FIRST (highest-SNR) spin lock; shared base-class
+        flow (ref ``cube_quant.py:73-137``)."""
+        self._interregister_to_target(
+            target_path, target_mask_path, self.spin_lock_times, base_position="first"
         )
-        out_reg = out_reg[0]
-
-        reg_vols = [nr.load(out_reg.warped_file)]
-        for mvg in moving:
-            reg_vols.append(apply_warp(mvg, out_reg.transform))
-
-        reverse_idxs = {v: i for i, v in enumerate(idxs)}
-        self.volumes = [reg_vols[reverse_idxs[k]] for k in sorted(reverse_idxs.keys())]
 
     # ------------------------------------------------------------------
     def generate_t1_rho_map(self, tissue: Tissue = None, mask_path: str = None, num_workers: int = 0):

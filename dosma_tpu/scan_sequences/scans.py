@@ -101,6 +101,73 @@ class NonTargetSequence(ScanSequence):
         """Register this scan to the target scan (ref ``scans.py:187-209``)."""
         pass  # pragma: no cover
 
+    def _interregister_to_target(
+        self,
+        target_path: str,
+        target_mask_path: str,
+        sort_values: Sequence[float],
+        base_position: str,
+    ):
+        """Shared inter-registration flow (ref ``cube_quant.py:73-137`` and
+        ``cones.py:63-130`` differ only in which volume anchors the
+        registration):
+
+        1. order volumes by ``sort_values`` (echo/spin-lock times),
+        2. register the highest-SNR anchor (``base_position`` "first" or
+           "last") to the target — rigid+affine stages, optionally masked
+           with gaussian dilation,
+        3. reuse the resulting transform chain on every other volume,
+        4. restore the original volume order.
+        """
+        from dosma_tpu import file_constants as fc
+        from dosma_tpu.core.registration import apply_warp, register
+
+        idxs = list(np.argsort(sort_values))
+        ordered = [self.volumes[i] for i in idxs]
+
+        out_path = os.path.join(self.temp_path, "interregistered")
+        os.makedirs(out_path, exist_ok=True)
+        _logger.info(f"Interregistering... Target: {target_path}")
+
+        if target_mask_path:
+            target_mask_path = self.__dilate_mask__(target_mask_path, out_path)
+            stages = [
+                fc.ELASTIX_RIGID_INTERREGISTER_PARAMS_FILE,
+                fc.ELASTIX_AFFINE_INTERREGISTER_PARAMS_FILE,
+            ]
+            use_mask = [False, True]
+        else:
+            stages = [fc.ELASTIX_RIGID_PARAMS_FILE, fc.ELASTIX_AFFINE_PARAMS_FILE]
+            use_mask = None
+
+        anchor_idx = 0 if base_position == "first" else len(ordered) - 1
+        anchor = ordered[anchor_idx]
+        others = [v for i, v in enumerate(ordered) if i != anchor_idx]
+
+        (spec,), _ = register(
+            target_path,
+            anchor,
+            parameters=stages,
+            output_path=out_path,
+            sequential=True,
+            collate=True,
+            return_volumes=False,
+            target_mask=target_mask_path,
+            use_mask=use_mask,
+            rtype=tuple,
+        )
+
+        warped_anchor = NiftiReader().load(spec.warped_file)
+        warped_others = [apply_warp(v, spec.transform) for v in others]
+        if base_position == "first":
+            reg_vols = [warped_anchor] + warped_others
+        else:
+            reg_vols = warped_others + [warped_anchor]
+
+        # Undo the sort.
+        restore = {orig: pos for pos, orig in enumerate(idxs)}
+        self.volumes = [reg_vols[restore[i]] for i in range(len(reg_vols))]
+
     def __load_interregistered_files__(self, interregistered_dirpath: str):
         """Load interregistered subvolumes ``<idx>.nii.gz`` (ref ``scans.py:212-265``)."""
         _logger.info("Loading interregistered files")
