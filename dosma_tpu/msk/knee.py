@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import logging
 import uuid
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from dosma_tpu.core.quant_vals import QuantitativeValueType as QV
 from dosma_tpu.defaults import preferences

@@ -20,9 +20,8 @@ from dosma_tpu import file_constants as fc
 from dosma_tpu.core import quant_vals as qv
 from dosma_tpu.core.fitting import MonoExponentialFit
 from dosma_tpu.core.io import format_io_utils as fio_utils
-from dosma_tpu.core.io.nifti_io import NiftiReader
 from dosma_tpu.core.med_volume import MedicalVolume
-from dosma_tpu.core.registration import apply_warp, register
+from dosma_tpu.core.registration import register
 from dosma_tpu.scan_sequences.scans import NonTargetSequence
 from dosma_tpu.tissues.tissue import Tissue
 from dosma_tpu.utils.cmd_line_utils import ActionWrapper

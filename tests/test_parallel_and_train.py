@@ -55,15 +55,18 @@ class TestSegTrainer:
 
         from dosma_tpu.train.seg_trainer import SegTrainer
 
-        devices = np.asarray(jax.devices())
-        mesh = Mesh(devices.reshape(4, 2), ("data", "model"))
+        # 2x2 mesh: full dp+tp coverage with fewer collective participants —
+        # an 8-device mesh intermittently aborts on XLA CPU rendezvous
+        # timeouts when the single host CPU starves device threads.
+        devices = np.asarray(jax.devices()[:4])
+        mesh = Mesh(devices.reshape(2, 2), ("data", "model"))
         trainer = SegTrainer(mesh=mesh, learning_rate=1e-3)
 
         rs = np.random.RandomState(0)
         images = rs.rand(4, 96, 96, 1).astype(np.float32)
         labels = (images > 0.5).astype(np.float32)
 
-        losses = [trainer.step(images, labels) for _ in range(5)]
+        losses = [trainer.step(images, labels) for _ in range(4)]
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
