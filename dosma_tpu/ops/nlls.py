@@ -275,12 +275,28 @@ def batched_polyfit(x, y, deg: int):
     x: (T,), y: (T, N). Returns (popts (deg+1, N) highest power first,
     r2 (N,)). The single joint solve mirrors ``np.polyfit`` semantics
     (ref ``fitting.py:975-984``); r² is a matmul (ref ``:926-944``).
+
+    deg==1 (the relaxometry-seeding hot path) uses the closed-form linear
+    regression — one fused pass over the data instead of an SVD solve.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     dtype = jnp.promote_types(y.dtype, jnp.float32)
     x = x.astype(dtype)
     y = y.astype(dtype)
+
+    if deg == 1:
+        T = x.shape[0]
+        x_mean = jnp.mean(x)
+        xc = x - x_mean  # (T,)
+        sxx = jnp.sum(xc * xc)
+        y_mean = jnp.mean(y, axis=0)  # (N,)
+        # xc sums to zero, so xc @ (y - y_mean) == xc @ y.
+        slope = (xc @ y) / sxx
+        intercept = y_mean - slope * x_mean
+        popts = jnp.stack([slope, intercept], axis=0)
+        yhat = x[:, None] * slope[None, :] + intercept[None, :]
+        return popts, r_squared(yhat, y, axis=0)
 
     V = jnp.stack([x**i for i in range(deg, -1, -1)], axis=-1)  # (T, deg+1)
     popts, *_ = jnp.linalg.lstsq(V, y, rcond=None)  # (deg+1, N)
