@@ -176,8 +176,15 @@ class DicomReader(DataReader):
             val_groupby = tuple(_unpack_dicom_attr(ds, attr, required=True) for attr in group_by)
             if val_groupby not in dicom_data:
                 dicom_data[val_groupby] = {"headers": [], "arr": []}
+            arr2d = ds.pixel_array
+            if arr2d.ndim != 2:
+                raise NotImplementedError(
+                    "Multi-frame DICOM files (NumberOfFrames > 1) are not "
+                    "supported by the series reader; split frames into "
+                    "per-slice files first."
+                )
             dicom_data[val_groupby]["headers"].append(ds)
-            dicom_data[val_groupby]["arr"].append(ds.pixel_array)
+            dicom_data[val_groupby]["arr"].append(arr2d)
 
         vols = []
         for k in sorted(dicom_data.keys()):
