@@ -90,9 +90,17 @@ def _maxpool(x, size: int):
 
 
 def init_unet2d_params(
-    rng: jax.Array, in_channels: int = 1, num_classes: int = 1
+    rng: jax.Array, in_channels: int = 1, num_classes: int = 1, features=None
 ) -> Dict:
-    """He-normal initialized parameter pytree (for tests / training)."""
+    """He-normal initialized parameter pytree (for tests / training).
+
+    ``features`` overrides the per-depth channel widths (default: the
+    reference architecture's ``32 * 2^d`` for 6 depths); shorter lists give
+    proportionally shallower U-Nets — :func:`unet2d_forward` derives depth
+    from the pytree, so any width list round-trips.
+    """
+    features = list(FEATURES if features is None else features)
+    depth = len(features)
 
     def he_conv(key, kh, kw, cin, cout):
         fan_in = kh * kw * cin
@@ -101,8 +109,8 @@ def init_unet2d_params(
     keys = iter(jax.random.split(rng, 64))
     params = {"down": [], "up": [], "final": None}
     cin = in_channels
-    for d in range(DEPTH):
-        f = FEATURES[d]
+    for d in range(depth):
+        f = features[d]
         block = {
             "conv1": {"w": he_conv(next(keys), 3, 3, cin, f), "b": jnp.zeros((f,))},
             "conv2": {"w": he_conv(next(keys), 3, 3, f, f), "b": jnp.zeros((f,))},
@@ -113,10 +121,10 @@ def init_unet2d_params(
         }
         params["down"].append(block)
         cin = f
-    for d in range(DEPTH - 2, -1, -1):
-        f = FEATURES[d]
-        # The previous decoder (or bottleneck) block outputs FEATURES[d+1] ch.
-        f_in = FEATURES[d + 1]
+    for d in range(depth - 2, -1, -1):
+        f = features[d]
+        # The previous decoder (or bottleneck) block outputs features[d+1] ch.
+        f_in = features[d + 1]
         # Keras transpose kernel layout: (kh, kw, out, in).
         wt = jnp.transpose(he_conv(next(keys), 3, 3, f_in, f), (0, 1, 3, 2))
         block = {
@@ -130,7 +138,7 @@ def init_unet2d_params(
         }
         params["up"].insert(0, block)
     params["final"] = {
-        "w": he_conv(next(keys), 1, 1, FEATURES[0], num_classes),
+        "w": he_conv(next(keys), 1, 1, features[0], num_classes),
         "b": jnp.zeros((num_classes,)),
     }
     return params
@@ -138,19 +146,20 @@ def init_unet2d_params(
 
 def unet2d_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """Forward pass. ``x``: (B, H, W, C) → sigmoid probabilities (B, H, W, num_classes)."""
+    depth = len(params["down"])
     skips = []
     h = x
-    for d in range(DEPTH):
+    for d in range(depth):
         blk = params["down"][d]
         h = jax.nn.relu(_conv_same(h, blk["conv1"]["w"], blk["conv1"]["b"]))
         h = jax.nn.relu(_conv_same(h, blk["conv2"]["w"], blk["conv2"]["b"]))
         h = _batchnorm(h, blk["bn"])
         skips.append(h)
-        if d < DEPTH - 1:
+        if d < depth - 1:
             size = 2 if h.shape[1] % 2 == 0 else 3
             h = _maxpool(h, size)
 
-    for d in range(DEPTH - 2, -1, -1):
+    for d in range(depth - 2, -1, -1):
         blk = params["up"][d]
         target = skips[d]
         stride = 2 if target.shape[1] % 2 == 0 else 3

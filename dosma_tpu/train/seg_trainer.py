@@ -67,6 +67,7 @@ def make_sharded_train_step(
     data_axis: str = "data",
     model_axis: str = "model",
     num_classes: int = 1,
+    features=None,
 ):
     """Build (params, opt_state, train_step) with mesh shardings applied.
 
@@ -75,7 +76,9 @@ def make_sharded_train_step(
     per :func:`param_shardings`.
     """
     optimizer = optax.adam(learning_rate)
-    params = init_unet2d_params(jax.random.PRNGKey(0), num_classes=num_classes)
+    params = init_unet2d_params(
+        jax.random.PRNGKey(0), num_classes=num_classes, features=features
+    )
     p_shardings = param_shardings(params, mesh, model_axis)
     params = jax.device_put(params, p_shardings)
 
@@ -127,6 +130,7 @@ class SegTrainer:
         mesh: Optional[Mesh] = None,
         learning_rate: float = 1e-3,
         num_classes: int = 1,
+        features=None,
     ):
         if mesh is None:
             devices = np.asarray(jax.devices())
@@ -139,7 +143,9 @@ class SegTrainer:
             self.opt_state,
             self._train_step,
             self._place_batch,
-        ) = make_sharded_train_step(mesh, learning_rate, num_classes=num_classes)
+        ) = make_sharded_train_step(
+            mesh, learning_rate, num_classes=num_classes, features=features
+        )
 
     def step(self, images: np.ndarray, labels: np.ndarray) -> float:
         """One optimization step; returns the loss."""

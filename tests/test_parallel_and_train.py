@@ -70,6 +70,27 @@ class TestSegTrainer:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
 
+    def test_custom_features_shallow_unet(self):
+        """`features` knob builds a shallower/narrower U-Net end to end (used
+        by __graft_entry__.dryrun_multichip to keep CPU dry runs light)."""
+        from jax.sharding import Mesh
+
+        from dosma_tpu.models.unet2d import init_unet2d_params, unet2d_forward
+        from dosma_tpu.train.seg_trainer import SegTrainer
+
+        params = init_unet2d_params(jax.random.PRNGKey(0), features=(8, 16))
+        assert len(params["down"]) == 2 and params["down"][1]["conv1"]["w"].shape[-1] == 16
+        out = unet2d_forward(params, jnp.zeros((1, 32, 32, 1)))
+        assert out.shape == (1, 32, 32, 1)
+
+        devices = np.asarray(jax.devices()[:4])
+        mesh = Mesh(devices.reshape(2, 2), ("data", "model"))
+        trainer = SegTrainer(mesh=mesh, features=(8, 16, 256))
+        rs = np.random.RandomState(0)
+        images = rs.rand(4, 32, 32, 1).astype(np.float32)
+        loss = trainer.step(images, (images > 0.5).astype(np.float32))
+        assert np.isfinite(loss)
+
     def test_param_shardings_cover_wide_kernels(self):
         from jax.sharding import Mesh
 
