@@ -58,6 +58,48 @@ class TestMonoexpPallasInterpret:
         assert np.all(np.isnan(np.asarray(popt)[7]))
         assert np.asarray(r2)[7] == 0
 
+    def test_constant_and_growing_signals(self):
+        """Degenerate voxels: constant signal fits b≈0; growing signal fits
+        a positive rate — neither may poison neighbouring lanes."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.ops import monoexp_pallas
+
+        x, Y, b = _data(N=256)
+        Y[3] = 0.7  # constant across echoes → rate ~ 0
+        Y[11] = np.exp(0.02 * x)  # growing exponential → rate +0.02
+        with pltpu.force_tpu_interpret_mode():
+            popt, r2, conv = monoexp_pallas.monoexp_lm_pallas(
+                x, Y, np.array([1.0, -1 / 30], np.float32)
+            )
+        popt = np.asarray(popt)
+        assert abs(popt[3, 1]) < 1e-3 and abs(popt[3, 0] - 0.7) < 1e-3
+        assert abs(popt[11, 1] - 0.02) < 1e-4
+        ok = np.ones(256, bool)
+        ok[[3, 11]] = False
+        assert np.abs(popt[ok, 1] - b[ok]).max() < 1e-4
+
+    def test_noisy_matches_scipy(self):
+        """5% multiplicative noise: kernel minimum matches scipy's per-voxel
+        curve_fit to ~1e-3 (same least-squares objective)."""
+        import scipy.optimize
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.ops import monoexp_pallas
+
+        x, Y, _ = _data(N=64, noise=0.05, seed=3)
+        with pltpu.force_tpu_interpret_mode():
+            popt, r2, conv = monoexp_pallas.monoexp_lm_pallas(
+                x, Y, np.array([1.0, -1 / 30], np.float32), max_iter=50
+            )
+        popt = np.asarray(popt)
+        for i in range(0, 64, 7):
+            ref, _ = scipy.optimize.curve_fit(
+                lambda t, a, bb: a * np.exp(bb * t), x, Y[i], p0=(1.0, -1 / 30)
+            )
+            assert np.abs(popt[i] - ref).max() < 1e-3, (i, popt[i], ref)
+
     def test_nonmultiple_block_padding(self):
         from jax.experimental.pallas import tpu as pltpu
 
