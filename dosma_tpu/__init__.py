@@ -35,6 +35,17 @@ def __getattr__(name):
         "DicomWriter": ("dosma_tpu.core.io.dicom_io", "DicomWriter"),
         "NiftiReader": ("dosma_tpu.core.io.nifti_io", "NiftiReader"),
         "NiftiWriter": ("dosma_tpu.core.io.nifti_io", "NiftiWriter"),
+        "get_reader": ("dosma_tpu.core.io.format_io_utils", "get_reader"),
+        "get_writer": ("dosma_tpu.core.io.format_io_utils", "get_writer"),
+        "generic_load": ("dosma_tpu.core.io.format_io_utils", "generic_load"),
+        "get_filepath_variations": (
+            "dosma_tpu.core.io.format_io_utils",
+            "get_filepath_variations",
+        ),
+        "convert_image_data_format": (
+            "dosma_tpu.core.io.format_io_utils",
+            "convert_image_data_format",
+        ),
         # Fitting
         "CurveFitter": ("dosma_tpu.core.fitting", "CurveFitter"),
         "PolyFitter": ("dosma_tpu.core.fitting", "PolyFitter"),
@@ -48,6 +59,17 @@ def __getattr__(name):
         "apply_warp": ("dosma_tpu.core.registration", "apply_warp"),
         "symlink_elastix": ("dosma_tpu.core.registration", "symlink_elastix"),
         "unlink_elastix": ("dosma_tpu.core.registration", "unlink_elastix"),
+        # Orientation helpers
+        "get_transpose_inds": ("dosma_tpu.core.orientation", "get_transpose_inds"),
+        "get_flip_inds": ("dosma_tpu.core.orientation", "get_flip_inds"),
+        "orientation_nib_to_standard": (
+            "dosma_tpu.core.orientation",
+            "orientation_nib_to_standard",
+        ),
+        "orientation_standard_to_nib": (
+            "dosma_tpu.core.orientation",
+            "orientation_standard_to_nib",
+        ),
         # Quant values
         "T1Rho": ("dosma_tpu.core.quant_vals", "T1Rho"),
         "T2": ("dosma_tpu.core.quant_vals", "T2"),
@@ -72,4 +94,6 @@ def __getattr__(name):
     if name in lazy_map:
         module, attr = lazy_map[name]
         return getattr(import_module(module), attr)
+    if name == "quant_vals":  # reference exposes the module itself
+        return import_module("dosma_tpu.core.quant_vals")
     raise AttributeError(f"module 'dosma_tpu' has no attribute {name!r}")

@@ -33,6 +33,18 @@ REFERENCE_TOP_LEVEL = [
     "collect_env_info",
     "debug",
     "setup_logger",
+    # star-import closure of the reference's `from dosma.core import *`
+    # (core/__init__.py re-exports io/orientation/quant_vals helpers)
+    "get_reader",
+    "get_writer",
+    "generic_load",
+    "get_filepath_variations",
+    "convert_image_data_format",
+    "get_transpose_inds",
+    "get_flip_inds",
+    "orientation_nib_to_standard",
+    "orientation_standard_to_nib",
+    "quant_vals",
 ]
 
 EXTRA_SURFACE = [
