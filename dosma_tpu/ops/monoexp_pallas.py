@@ -8,9 +8,11 @@ normal equations (Cramer solve), acceptance and damping updates are all
 per-lane VPU ops. HBM traffic is one read of y and one write of the packed
 result — the speed-of-light bound for this fit.
 
-Layout: ``y`` is consumed as (T, N) blocks with the voxel axis on lanes
-(Mosaic pads the T sublanes internally — no materialized padding pass).
-The packed output is (8, N): rows [a, b, r2, converged, cost, iterations].
+Layout: ``y`` is consumed as (T, 8, Q) blocks — the voxel axis is split
+into 8 sublanes x Q lanes so per-voxel LM state ((8, Q) "scalars") packs
+every vreg fully; a flat (1, N) layout would waste 7/8 of the VPU on the
+scalar updates that dominate the loop. The packed output is (8, N):
+rows [a, b, r2, converged, cost, iterations].
 
 Semantics match :func:`dosma_tpu.ops.nlls.lm_fit` (same damping policy,
 ftol/xtol convergence flags, NaN handling applied by the caller).
@@ -43,15 +45,15 @@ def pallas_supported() -> bool:
 
 
 def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: float):
-    y = y_ref[:]  # (T, B)
-    x = x_ref[:]  # (T, 1)
+    y = y_ref[:]  # (T, 8, Q) — voxels packed sublane-major
+    x = x_ref[:]  # (T, 1, 1)
 
-    a = p0_ref[0:1, :]  # (1, B)
-    b = p0_ref[1:2, :]
+    a = p0_ref[0]  # (8, Q)
+    b = p0_ref[1]
 
     e0 = jnp.exp(b * x)
     r0 = a * e0 - y
-    cost0 = jnp.sum(r0 * r0, axis=0, keepdims=True)
+    cost0 = jnp.sum(r0 * r0, axis=0)
     bad_init = (~jnp.isfinite(cost0)).astype(jnp.float32)
     cost = jnp.where(bad_init > 0, jnp.inf, cost0)
     lam = jnp.full(cost.shape, 1e-3, jnp.float32)
@@ -70,12 +72,12 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
         r = a * e - y
         # Jacobian columns: d/da = e, d/db = a * x * e.
         jb = a * (x * e)
-        # 2x2 normal equations, per-lane scalars (1, B).
-        jaa = jnp.sum(e * e, axis=0, keepdims=True)
-        jab = jnp.sum(e * jb, axis=0, keepdims=True)
-        jbb = jnp.sum(jb * jb, axis=0, keepdims=True)
-        ra = jnp.sum(e * r, axis=0, keepdims=True)
-        rb = jnp.sum(jb * r, axis=0, keepdims=True)
+        # 2x2 normal equations, per-voxel scalars (8, Q) — fully packed vregs.
+        jaa = jnp.sum(e * e, axis=0)
+        jab = jnp.sum(e * jb, axis=0)
+        jbb = jnp.sum(jb * jb, axis=0)
+        ra = jnp.sum(e * r, axis=0)
+        rb = jnp.sum(jb * r, axis=0)
 
         # Marquardt damping on the diagonal.
         A00 = jaa + lam * jnp.maximum(jaa, 1e-12)
@@ -89,7 +91,7 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
         new_b = b - db
         new_e = jnp.exp(new_b * x)
         new_r = new_a * new_e - y
-        new_cost = jnp.sum(new_r * new_r, axis=0, keepdims=True)
+        new_cost = jnp.sum(new_r * new_r, axis=0)
         new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
 
         accept = new_cost < cost
@@ -124,14 +126,14 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
 
     # r² goodness of fit.
     r = a * e_f - y
-    ss_res = jnp.sum(r * r, axis=0, keepdims=True)
+    ss_res = jnp.sum(r * r, axis=0)
     y_mean = jnp.mean(y, axis=0, keepdims=True)
-    ss_tot = jnp.sum((y - y_mean) ** 2, axis=0, keepdims=True)
+    ss_tot = jnp.sum((y - y_mean) ** 2, axis=0)
     r2 = 1.0 - ss_res / (ss_tot + 1e-8)
 
     zero = jnp.zeros_like(a)
     iters = jnp.full_like(a, it_final.astype(jnp.float32))
-    out_ref[:] = jnp.concatenate(
+    out_ref[:] = jnp.stack(
         [a, b, r2, converged, cost, iters, zero, zero], axis=0
     )
 
@@ -139,27 +141,32 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
 @functools.partial(jax.jit, static_argnames=("max_iter", "ftol", "xtol"))
 def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol):
     T, N = yT.shape
-    grid = (N // _BLOCK_N,)
+    Q = N // 8  # voxel axis split into 8 sublanes x Q lanes
+    QB = _BLOCK_N // 8
+    grid = (Q // QB,)
+    # One XLA relayout each way; the kernel then runs fully packed.
+    y3 = yT.reshape(T, 8, Q)
+    p3 = p0.reshape(2, 8, Q)
     kernel = functools.partial(_kernel, max_iter=max_iter, ftol=ftol, xtol=xtol)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, 8, Q), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_OUT_ROWS, _BLOCK_N), lambda i: (0, i), memory_space=pltpu.VMEM
+            (_OUT_ROWS, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=30 * max_iter * N,
             bytes_accessed=yT.size * 4 + _OUT_ROWS * N * 4,
             transcendentals=2 * max_iter * N,
         ),
-    )(x_col, yT, p0)
-    return out
+    )(x_col, y3, p3)
+    return out.reshape(_OUT_ROWS, N)
 
 
 def monoexp_lm_pallas(
@@ -193,7 +200,7 @@ def monoexp_lm_pallas(
     if N_pad > N:
         yT = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0)
 
-    x_col = x[:, None]  # (T, 1)
+    x_col = x[:, None, None]  # (T, 1, 1)
 
     p0 = jnp.asarray(p0, jnp.float32)
     if p0.ndim == 1:
