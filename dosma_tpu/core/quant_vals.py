@@ -4,14 +4,14 @@ Behavior-parity re-design of ``/root/reference/dosma/core/quant_vals.py``:
 ``QuantitativeValue`` wraps a parameter map + named extra volumes (e.g. r²),
 saves/loads as NIfTI under ``dir/NAME/NAME.nii.gz`` (ref ``:78-126``), and
 ``to_metrics`` produces a pandas DataFrame of Mean/Std/Median/#Voxels per
-labeled region (ref ``:145-229``).
+labeled region (ref ``:145-229``). Subclasses self-register via
+``__init_subclass__`` instead of the reference's hard-coded instance lists.
 """
 
 from __future__ import annotations
 
 import os
 import warnings
-from collections import defaultdict
 from enum import Enum
 from typing import Callable, Dict, Optional, Tuple, Union
 
@@ -29,11 +29,27 @@ class QuantitativeValueType(Enum):
     T2_STAR = 3
 
 
+# Sentinel labels used by to_metrics for the aggregate rows.
+_LABEL_ALL_MASKED = -1  # union of all mask labels
+_LABEL_EVERYTHING = -2  # every finite/in-bounds voxel (no mask given)
+
+
 class QuantitativeValue:
-    """Tracks a volumetric quantitative map + associated volumes (e.g. r²)."""
+    """A volumetric quantitative parameter map plus companion volumes.
+
+    Concrete subclasses (``T1Rho``, ``T2``, ``T2Star``) define ``ID``/``NAME``
+    and are collected automatically into :attr:`_registry` for lookup and
+    directory-scan loading.
+    """
 
     ID = 0
     NAME = ""
+    _registry: Dict[str, type] = {}
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if cls.NAME:
+            QuantitativeValue._registry[cls.NAME] = cls
 
     def __init__(self, volumetric_map: Optional[MedicalVolume] = None):
         assert self.ID > 0, f"Attribute `ID` not initialized for {type(self)}"
@@ -44,8 +60,16 @@ class QuantitativeValue:
         self.additional_volumes: Dict[str, MedicalVolume] = {}
 
     # ------------------------------------------------------------------
+    def _map_path(self, dir_path: str, suffix: str = "") -> str:
+        stem = f"{self.NAME}-{suffix}" if suffix else self.NAME
+        return os.path.join(dir_path, self.NAME, f"{stem}.nii.gz")
+
     def save_data(self, dir_path: str, data_format=None):
-        """Save map + extra volumes to ``dir_path/NAME/`` as NIfTI (ref ``:78-110``)."""
+        """Write map + companion volumes under ``dir_path/NAME/`` (ref ``:78-110``).
+
+        Always NIfTI: DICOM's integer pixel storage would truncate the
+        floating-point parameter values.
+        """
         from dosma_tpu.core.io.format_io import ImageDataFormat
 
         if data_format is not None and data_format != ImageDataFormat.nifti:
@@ -56,17 +80,16 @@ class QuantitativeValue:
         data_format = ImageDataFormat.nifti
 
         if self.volumetric_map is not None:
-            filepath = os.path.join(dir_path, self.NAME, f"{self.NAME}.nii.gz")
-            self.volumetric_map.save_volume(filepath, data_format=data_format)
-        for volume_name, vol in self.additional_volumes.items():
-            path = os.path.join(dir_path, self.NAME, f"{self.NAME}-{volume_name}.nii.gz")
-            vol.save_volume(path, data_format=data_format)
+            self.volumetric_map.save_volume(self._map_path(dir_path), data_format=data_format)
+        for name, vol in self.additional_volumes.items():
+            vol.save_volume(self._map_path(dir_path, suffix=name), data_format=data_format)
 
     def load_data(self, dir_path: str):
         from dosma_tpu.core.io import format_io_utils as fio_utils
 
-        file_path = os.path.join(dir_path, self.NAME, f"{self.NAME}.nii.gz")
-        self.volumetric_map = fio_utils.generic_load(file_path, expected_num_volumes=1)
+        self.volumetric_map = fio_utils.generic_load(
+            self._map_path(dir_path), expected_num_volumes=1
+        )
 
     def add_additional_volume(self, name: str, volume: MedicalVolume):
         if not isinstance(volume, MedicalVolume):
@@ -82,52 +105,56 @@ class QuantitativeValue:
         closed: str = "right",
         fns: Optional[Dict[str, Callable]] = None,
     ) -> pd.DataFrame:
-        """Regional Mean/Std/Median/#Voxels DataFrame (ref ``quant_vals.py:145-229``)."""
+        """Per-region summary statistics (ref ``quant_vals.py:145-229``).
+
+        One DataFrame row per mask label (plus a ``total`` row); columns are
+        Category / Mean / Std / Median / # Voxels plus any caller-supplied
+        reduction in ``fns``.
+        """
         volume = np.asarray(self.volumetric_map.volume)
-        valid_mask = np.isfinite(volume)
-        if bounds:
-            assert len(bounds) == 2, len(bounds)
-            lb, ub = bounds
-            assert lb <= ub, f"lower:{lb}, upper: {ub}"
-            assert closed in ("right", "left", "both", "neither"), closed
-            lb_mask = volume >= lb if closed in ("left", "both") else volume > lb
-            ub_mask = volume <= ub if closed in ("right", "both") else volume < ub
-            valid_mask &= lb_mask & ub_mask
+        valid = np.isfinite(volume) & self._bounds_mask(volume, bounds, closed)
 
-        if mask is not None:
-            mask = mask.reformat(self.volumetric_map.orientation)
-            mask = np.asarray(mask.volume)
-            if labels is None:
-                unique_vals = [x for x in np.unique(mask) if x > 0]
-                labels = {int(i): f"label_{int(i)}" for i in unique_vals}
-            labels = dict(labels)
-            labels.update({-1: "total"})
-            mask = mask.copy()
-            mask[~valid_mask] = 0
+        if mask is None:
+            regions = {_LABEL_EVERYTHING: "total"}
+            mask_arr = None
         else:
-            labels = {-2: "total"}
+            mask_arr = np.asarray(mask.reformat(self.volumetric_map.orientation).volume).copy()
+            if labels is None:
+                labels = {int(v): f"label_{int(v)}" for v in np.unique(mask_arr) if v > 0}
+            regions = {**labels, _LABEL_ALL_MASKED: "total"}
+            mask_arr[~valid] = 0
 
-        fns = fns or {}
-        metrics = defaultdict(list)
-        for label, name in labels.items():
-            if label == -2:
-                qv_region_vals = volume[valid_mask]
-            elif label == -1:
-                qv_region_vals = volume[mask > 0]
+        rows = {"Category": [], "Mean": [], "Std": [], "Median": [], "# Voxels": []}
+        for fname in fns or {}:
+            rows[fname] = []
+        for label, name in regions.items():
+            if label == _LABEL_EVERYTHING:
+                values = volume[valid]
+            elif label == _LABEL_ALL_MASKED:
+                values = volume[mask_arr > 0]
             else:
-                qv_region_vals = volume[mask == label]
-            num_voxels = int(np.prod(qv_region_vals.shape))
-
+                values = volume[mask_arr == label]
+            rows["Category"].append(name)
+            rows["# Voxels"].append(values.size)
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", RuntimeWarning)
-                metrics["Category"].append(name)
-                metrics["Mean"].append(np.nanmean(qv_region_vals) if num_voxels else np.nan)
-                metrics["Std"].append(np.nanstd(qv_region_vals) if num_voxels else np.nan)
-                metrics["Median"].append(np.nanmedian(qv_region_vals) if num_voxels else np.nan)
-                metrics["# Voxels"].append(num_voxels)
-            for fname, fn in fns.items():
-                metrics[fname].append(fn(qv_region_vals))
-        return pd.DataFrame(metrics)
+                for col, reducer in (("Mean", np.nanmean), ("Std", np.nanstd), ("Median", np.nanmedian)):
+                    rows[col].append(reducer(values) if values.size else np.nan)
+            for fname, fn in (fns or {}).items():
+                rows[fname].append(fn(values))
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def _bounds_mask(volume: np.ndarray, bounds, closed: str) -> np.ndarray:
+        if not bounds:
+            return np.ones(volume.shape, bool)
+        assert len(bounds) == 2, len(bounds)
+        lb, ub = bounds
+        assert lb <= ub, f"lower:{lb}, upper: {ub}"
+        assert closed in ("right", "left", "both", "neither"), closed
+        above = volume >= lb if closed in ("left", "both") else volume > lb
+        below = volume <= ub if closed in ("right", "both") else volume < ub
+        return above & below
 
     def to(self, device):
         self.volumetric_map = self.volumetric_map.to(device)
@@ -137,9 +164,10 @@ class QuantitativeValue:
     # ------------------------------------------------------------------
     @staticmethod
     def get_qv(qv_id: Union[int, str]) -> "QuantitativeValue":
-        for qv in [T1Rho(), T2(), T2Star()]:
-            if qv.NAME.lower() == qv_id or qv.NAME == qv_id or qv.ID == qv_id:
-                return qv
+        """Instantiate a registered QV by name (case-insensitive) or integer ID."""
+        for cls in QuantitativeValue._registry.values():
+            if qv_id in (cls.NAME, cls.NAME.lower(), cls.ID):
+                return cls()
         raise ValueError(f"Quantitative Value with name or id {qv_id} not found")
 
     @staticmethod
@@ -151,13 +179,14 @@ class QuantitativeValue:
 
     @staticmethod
     def load_qvs(dir_path: str):
-        qvs = []
-        for qv in [T1Rho(), T2(), T2Star()]:
-            path = os.path.join(dir_path, qv.NAME, f"{qv.NAME}.nii.gz")
-            if os.path.isfile(path):
+        """Load every registered QV that has a saved map under ``dir_path``."""
+        found = []
+        for cls in QuantitativeValue._registry.values():
+            qv = cls()
+            if os.path.isfile(qv._map_path(dir_path)):
                 qv.load_data(dir_path)
-                qvs.append(qv)
-        return qvs
+                found.append(qv)
+        return found
 
     @property
     def qv_type(self) -> QuantitativeValueType:
@@ -165,7 +194,7 @@ class QuantitativeValue:
 
 
 class T1Rho(QuantitativeValue):
-    """T1ρ MRI parameter."""
+    """Spin-lattice relaxation in the rotating frame (T1ρ)."""
 
     ID = 1
     NAME = "t1_rho"
@@ -176,7 +205,7 @@ class T1Rho(QuantitativeValue):
 
 
 class T2(QuantitativeValue):
-    """T2 MRI parameter."""
+    """Spin-spin (transverse) relaxation time."""
 
     ID = 2
     NAME = "t2"
@@ -187,7 +216,7 @@ class T2(QuantitativeValue):
 
 
 class T2Star(QuantitativeValue):
-    """T2* MRI parameter."""
+    """Effective transverse relaxation time (T2*)."""
 
     ID = 3
     NAME = "t2_star"

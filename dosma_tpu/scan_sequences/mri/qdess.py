@@ -2,21 +2,26 @@
 
 Behavior-parity re-design of ``/root/reference/dosma/scan_sequences/mri/qdess.py``.
 The analytic T2 map (Sveinsson et al., MRM 2017 — ref ``qdess.py:105-252``)
-runs as one fused jitted kernel on TPU (:func:`dosma_tpu.ops.qmri.qdess_t2_map`).
+runs as one fused jitted kernel on TPU (:func:`dosma_tpu.ops.qmri.qdess_t2_map`);
+this module only resolves acquisition parameters from the DICOM header and
+wraps the result back into a :class:`MedicalVolume`.
 """
 
 from __future__ import annotations
 
 import logging
+import math
 import warnings
-from typing import Sequence, Tuple
+from copy import deepcopy
+from typing import Sequence, Tuple, Union
 
 import numpy as np
 
 from dosma_tpu.core import quant_vals as qv
-from dosma_tpu.core.io.dicom import Dataset, Tag
-from dosma_tpu.models.seg_model import SegModel
+from dosma_tpu.core.device import cpu_device
+from dosma_tpu.core.io.dicom import Tag
 from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.models.seg_model import SegModel
 from dosma_tpu.scan_sequences.scans import ScanSequence
 from dosma_tpu.tissues.tissue import Tissue
 from dosma_tpu.utils.cmd_line_utils import ActionWrapper
@@ -29,13 +34,15 @@ _logger = logging.getLogger(__name__)
 class QDess(ScanSequence):
     """Quantitative double-echo-in-steady-state (qDESS) MRI sequence.
 
-    Two echoes (S1, S2) enable analytic T2 mapping; the high-resolution scan
-    also serves as the segmentation target.
+    The sequence acquires two echoes (S1, S2) per excitation. Their ratio
+    yields an analytic T2 estimate; echo 1 (or the echo RSS) doubles as the
+    segmentation input.
     """
 
     NAME = "qdess"
 
-    # GE private tags for spoiler area and gradient time (ref ``qdess.py:44-45``).
+    # GE private tags carrying the spoiler gradient area / time — required
+    # inputs to the analytic T2 model (ref ``qdess.py:44-45``).
     __GL_AREA_TAG__ = Tag(0x0019, 0x10B6)
     __TG_TAG__ = Tag(0x0019, 0x10B7)
 
@@ -43,7 +50,7 @@ class QDess(ScanSequence):
     __VOLUME_DIMENSIONS__ = 3
 
     def __init__(self, volumes: Sequence[MedicalVolume]):
-        if len(volumes) != 2:
+        if len(volumes) != self.__NUM_ECHOS__:
             raise ValueError("QDess currently only supports 2 volumes.")
         super().__init__(volumes)
 
@@ -51,31 +58,29 @@ class QDess(ScanSequence):
         return len(self.volumes) == self.__NUM_ECHOS__
 
     # ------------------------------------------------------------------
-    def segment(self, model: SegModel, tissue: Tissue, use_rss: bool = False):
-        """Segment tissue(s) with ``model`` (ref ``qdess.py:64-103``)."""
-        tissue_names = (
-            ", ".join([t.FULL_NAME for t in tissue])
-            if isinstance(tissue, Sequence)
-            else tissue.FULL_NAME
-        )
-        _logger.info(f"Segmenting {tissue_names}...")
+    def segment(
+        self, model: SegModel, tissue: Union[Tissue, Sequence[Tissue]], use_rss: bool = False
+    ):
+        """Segment ``tissue`` on echo 1 (or the echo RSS) with ``model``.
 
-        if use_rss:
-            segmentation_volume = self.calc_rss()
-        else:
-            segmentation_volume = self.volumes[0]
+        Ref ``qdess.py:64-103``. Multi-tissue models return a dict keyed by
+        tissue ``STR_ID``; each tissue picks up its own channel.
+        """
+        tissues = list(tissue) if isinstance(tissue, Sequence) else [tissue]
+        _logger.info("Segmenting %s...", ", ".join(t.FULL_NAME for t in tissues))
 
-        mask = model.generate_mask(segmentation_volume)
+        seg_input = self.calc_rss() if use_rss else self.volumes[0]
+        mask = model.generate_mask(seg_input)
+
         if isinstance(mask, dict):
-            if not isinstance(tissue, Sequence):
-                tissue = [tissue]
-            for abbreviation, tis in zip([t.STR_ID for t in tissue], tissue):
-                tis.set_mask(mask[abbreviation])
+            for tis in tissues:
+                tis.set_mask(mask[tis.STR_ID])
                 self.__add_tissue__(tis)
         else:
-            assert isinstance(tissue, Tissue)
-            tissue.set_mask(mask)
-            self.__add_tissue__(tissue)
+            (tis,) = tissues
+            assert isinstance(tis, Tissue)
+            tis.set_mask(mask)
+            self.__add_tissue__(tis)
         return mask
 
     # ------------------------------------------------------------------
@@ -96,42 +101,42 @@ class QDess(ScanSequence):
         nan_to_num: float = 0.0,
         decimals: int = 1,
     ) -> qv.T2:
-        """Generate the analytic T2 map (ref ``qdess.py:105-252``).
+        """Analytic T2 map from the two qDESS echoes (ref ``qdess.py:105-252``).
 
-        Timing params default to DICOM header values (TR/TE/FlipAngle and
-        the GE private spoiler tags); ``t1`` defaults to ``tissue.T1_EXPECTED``.
+        Every acquisition parameter left as ``None`` is resolved from the
+        reference DICOM header (TR, TE, FlipAngle, and the GE private spoiler
+        tags); ``t1`` falls back to ``tissue.T1_EXPECTED``. Values passed
+        explicitly always win.
         """
         from dosma_tpu.ops.qmri import qdess_t2_map
 
         if self.volumes is None:
             raise ValueError("volumes and ref_dicom fields must be initialized")
-
-        if (
-            self.get_metadata(self.__GL_AREA_TAG__, gl_area) is None
-            or self.get_metadata(self.__TG_TAG__, tg) is None
+        if None in (
+            self.get_metadata(self.__GL_AREA_TAG__, gl_area),
+            self.get_metadata(self.__TG_TAG__, tg),
         ):
             raise ValueError(
                 "Dicom headers do not contain tags for `gl_area` and `tg`. Please input manually"
             )
 
-        ref_dicom = self.ref_dicom if self.ref_dicom is not None else Dataset()
+        def header(key, override):
+            if override is not None:
+                return float(override)
+            value = self.ref_dicom[key] if isinstance(key, Tag) else getattr(self.ref_dicom, key)
+            return float(value.value if isinstance(key, Tag) else value)
 
-        subvolumes = self.volumes
-        echo_1 = subvolumes[0].volume
-        echo_2 = subvolumes[1].volume
-
-        tr_ms = float(ref_dicom.RepetitionTime) if tr is None else tr
-        te_ms = float(ref_dicom.EchoTime) if te is None else te
-        tg_us = float(ref_dicom[self.__TG_TAG__].value) if tg is None else tg
-        t1_ms = float(tissue.T1_EXPECTED) if t1 is None else t1
-        alpha_deg = float(ref_dicom.FlipAngle) if alpha is None else alpha
-        gl = float(ref_dicom[self.__GL_AREA_TAG__].value) if gl_area is None else gl_area
-
-        import math
+        tr_ms = header("RepetitionTime", tr)
+        te_ms = header("EchoTime", te)
+        alpha_deg = header("FlipAngle", alpha)
+        tg_us = header(self.__TG_TAG__, tg)
+        gl = header(self.__GL_AREA_TAG__, gl_area)
+        t1_ms = float(tissue.T1_EXPECTED) if t1 is None else float(t1)
 
         if np.allclose(math.sin(math.radians(alpha_deg) / 2), 0):
             warnings.warn("sin(flip angle) is close to 0 - t2 map may fail.")
 
+        echo_1, echo_2 = (v.volume for v in self.volumes)
         t2map = qdess_t2_map(
             np.asarray(echo_1) if not hasattr(echo_1, "devices") else echo_1,
             np.asarray(echo_2) if not hasattr(echo_2, "devices") else echo_2,
@@ -149,53 +154,42 @@ class QDess(ScanSequence):
             suppress_fat=suppress_fat,
             suppress_fluid=suppress_fluid,
         )
-        # Keep the output on the same device class as the input volume.
-        from dosma_tpu.core.device import cpu_device
-
-        if subvolumes[0].device == cpu_device:
+        # Mirror the input's device class: host volumes get host maps.
+        if self.volumes[0].device == cpu_device:
             t2map = np.asarray(t2map)
 
-        t2_map_wrapped = subvolumes[0]._partial_clone(volume=t2map, headers=True)
-        t2_map_wrapped = qv.T2(t2_map_wrapped)
-
+        t2_qv = qv.T2(self.volumes[0]._partial_clone(volume=t2map, headers=True))
         if tissue is not None:
-            tissue.add_quantitative_value(t2_map_wrapped)
-        return t2_map_wrapped
+            tissue.add_quantitative_value(t2_qv)
+        return t2_qv
 
     # ------------------------------------------------------------------
     def calc_rss(self) -> MedicalVolume:
-        """Root-sum-of-squares of the two echoes (ref ``qdess.py:254-265``)."""
+        """Root-sum-of-squares combination of the two echoes (ref ``qdess.py:254-265``)."""
         return self._combine_echoes("rss")
 
     def _combine_echoes(self, method: str = "rss") -> MedicalVolume:
-        from dosma_tpu.core.device import cpu_device
         from dosma_tpu.ops.qmri import rms_combine, rss_combine
 
         if self.volumes is None:
             raise ValueError("Volumes must be initialized")
-        assert len(self.volumes) == 2, "2 Echos expected"
+        assert len(self.volumes) == self.__NUM_ECHOS__, "2 Echos expected"
 
-        echo1, echo2 = self.volumes[0].volume, self.volumes[1].volume
-        if method == "rss":
-            vol = rss_combine(np.asarray(echo1), np.asarray(echo2))
-        elif method == "rms":
-            vol = rms_combine(np.asarray(echo1), np.asarray(echo2))
-        else:
+        combiners = {"rss": rss_combine, "rms": rms_combine}
+        if method not in combiners:
             raise ValueError(f"`method={method}` is not supported")
+        vol = combiners[method](*(np.asarray(v.volume) for v in self.volumes))
         if self.volumes[0].device == cpu_device:
             vol = np.asarray(vol)
 
-        from copy import deepcopy
-
-        mv = deepcopy(self.volumes[0])
-        mv.volume = vol
-        return mv
+        combined = deepcopy(self.volumes[0])
+        combined.volume = vol
+        return combined
 
     # ------------------------------------------------------------------
     def _save(self, metadata, save_dir, fname_fmt=None, **kwargs):
-        default_fmt = {MedicalVolume: "echo-{}"}
-        default_fmt.update(fname_fmt if fname_fmt else {})
-        return super()._save(metadata, save_dir, fname_fmt=default_fmt, **kwargs)
+        fmt = {MedicalVolume: "echo-{}", **(fname_fmt or {})}
+        return super()._save(metadata, save_dir, fname_fmt=fmt, **kwargs)
 
     @classmethod
     def cmd_line_actions(cls):
@@ -203,22 +197,21 @@ class QDess(ScanSequence):
         segment_action = ActionWrapper(
             name=cls.segment.__name__,
             help="generate automatic segmentation",
-            param_help={"use_rss": "use root sum of squares (RSS) of two echos for segmentation"},
+            param_help={"use_rss": "segment on the root-sum-of-squares of both echoes"},
             alternative_param_names={"use_rss": ["rss"]},
         )
-        generate_t2_map_action = ActionWrapper(
+        t2_action = ActionWrapper(
             name=cls.generate_t2_map.__name__,
             aliases=["t2"],
             param_help={
-                "suppress_fat": "suppress computation on low SNR fat regions",
-                "suppress_fluid": "suppress computation on fluid regions",
-                "beta": "constant for calculating fluid-nulled image (S1-beta*S2)",
-                "gl_area": "GL Area. Defaults to value in dicom tag '0x001910b6'",
-                "tg": "Gradient time (in microseconds). "
-                "Defaults to value in dicom tag '0x001910b7'.",
-                "alpha": "Flip angle in degrees. Defaults to value in dicom tag '0x00181314'.",
-                "diffusivity": "Estimated diffusivity. Defaults to 1.25e-9",
+                "suppress_fat": "zero out low-SNR fat regions (echo-1 threshold)",
+                "suppress_fluid": "zero out fluid regions (S1 - beta*S2 nulling)",
+                "beta": "fluid-nulling weight for S1 - beta*S2",
+                "gl_area": "spoiler gradient area; default read from tag 0x001910b6",
+                "tg": "spoiler gradient time in microseconds; default read from tag 0x001910b7",
+                "alpha": "flip angle in degrees; default read from tag 0x00181314",
+                "diffusivity": "assumed tissue diffusivity (m^2/s), default 1.25e-9",
             },
             help="generate T2 map",
         )
-        return [(cls.segment, segment_action), (cls.generate_t2_map, generate_t2_map_action)]
+        return [(cls.segment, segment_action), (cls.generate_t2_map, t2_action)]
