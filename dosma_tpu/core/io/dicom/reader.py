@@ -112,6 +112,30 @@ def _read_sequence(fp: BinaryIO, explicit: bool, length: int) -> List[Dataset]:
     return items
 
 
+def _read_encapsulated(fp: BinaryIO):
+    """Read encapsulated pixel data (PS3.5 A.4): BOT item + fragments."""
+    from dosma_tpu.core.io.dicom.codecs import EncapsulatedPixelData
+
+    bot: List[int] = []
+    fragments: List[bytes] = []
+    first = True
+    while True:
+        group, elem, length = struct.unpack("<HHI", _read_exact(fp, 8))
+        tag = (group << 16) | elem
+        if tag == _SEQ_DELIM_TAG:
+            break
+        if tag != _ITEM_TAG:
+            raise ValueError(f"Expected Item tag in encapsulated pixel data, got {Tag(tag)!r}")
+        payload = _read_exact(fp, length)
+        if first:
+            first = False
+            if length:
+                bot = list(struct.unpack(f"<{length // 4}I", payload))
+            continue  # first item is always the Basic Offset Table
+        fragments.append(payload)
+    return EncapsulatedPixelData(fragments, bot)
+
+
 def _read_dataset(
     fp: BinaryIO,
     explicit: bool,
@@ -135,11 +159,9 @@ def _read_dataset(
         if tag == T.DICT["PixelData"][0] and stop_before_pixels:
             break
         if length == _UNDEFINED_LENGTH:
-            # Encapsulated pixel data (compressed) — not supported.
-            raise NotImplementedError(
-                "Encapsulated (compressed) DICOM pixel data is not supported; "
-                "transcode to Explicit VR Little Endian first."
-            )
+            # Encapsulated (compressed) pixel data: item-framed fragments.
+            ds.add_new(tag, vr or "OB", _read_encapsulated(fp))
+            continue
         raw = _read_exact(fp, length)
         if vr is None or vr == "UN":
             vr = T.TAG_TO_VR.get(tag, "UN")
@@ -184,12 +206,16 @@ def read_dicom_bytes(data: bytes, stop_before_pixels: bool = False) -> Dataset:
 
     if transfer_syntax == T.EXPLICIT_VR_BE:
         raise NotImplementedError("Explicit VR Big Endian is not supported")
-    compressed = transfer_syntax not in (T.IMPLICIT_VR_LE, T.EXPLICIT_VR_LE)
-    if compressed:
-        raise NotImplementedError(
-            f"Compressed transfer syntax {transfer_syntax} is not supported"
-        )
-    explicit = transfer_syntax == T.EXPLICIT_VR_LE
+    if transfer_syntax not in (T.IMPLICIT_VR_LE, T.EXPLICIT_VR_LE):
+        from dosma_tpu.core.io.dicom.codecs import COMPRESSED_SYNTAXES
+
+        if transfer_syntax not in COMPRESSED_SYNTAXES:
+            raise NotImplementedError(
+                f"Compressed transfer syntax {transfer_syntax} is not supported "
+                f"(decodable: {sorted(COMPRESSED_SYNTAXES)})"
+            )
+    # Every syntax other than Implicit VR LE encodes the dataset explicit-LE.
+    explicit = transfer_syntax != T.IMPLICIT_VR_LE
 
     # Heuristic fallback when no file meta: detect explicit VR by probing.
     if len(file_meta) == 0:
@@ -220,6 +246,20 @@ def pixel_array(ds: Dataset) -> np.ndarray:
         raise AttributeError("Dataset has no PixelData")
     raw = ds["PixelData"].value
     bits = int(ds.get("BitsAllocated", 16))
+    from dosma_tpu.core.io.dicom.codecs import EncapsulatedPixelData, decode_frames
+
+    if isinstance(raw, EncapsulatedPixelData):
+        ts = ds.file_meta.get("TransferSyntaxUID") if ds.file_meta is not None else None
+        nframes = ds.get("NumberOfFrames")
+        return decode_frames(
+            raw,
+            ts,
+            rows=int(ds.get("Rows")),
+            cols=int(ds.get("Columns")),
+            samples=int(ds.get("SamplesPerPixel", 1)),
+            bits_allocated=bits,
+            nframes=int(nframes) if nframes else 1,
+        )
     signed = int(ds.get("PixelRepresentation", 0)) == 1
     rows = int(ds.get("Rows"))
     cols = int(ds.get("Columns"))

@@ -61,9 +61,26 @@ def _encode_value(vr: str, value) -> bytes:
 
 
 def _write_element(fp: BinaryIO, elem: DataElement):
+    from dosma_tpu.core.io.dicom.codecs import EncapsulatedPixelData
+
     tag = elem.tag
     vr = elem.VR
     fp.write(struct.pack("<HH", tag.group, tag.element))
+
+    if isinstance(elem.value, EncapsulatedPixelData):
+        # Encapsulated pixel data: OB, undefined length, item-framed.
+        fp.write(b"OB\x00\x00")
+        fp.write(struct.pack("<I", 0xFFFFFFFF))
+        bot = elem.value.basic_offset_table
+        fp.write(struct.pack("<HHI", 0xFFFE, 0xE000, 4 * len(bot)))
+        if bot:
+            fp.write(struct.pack(f"<{len(bot)}I", *bot))
+        for frag in elem.value.fragments:
+            if len(frag) % 2:
+                frag += b"\x00"
+            fp.write(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag)
+        fp.write(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+        return
 
     if vr == "SQ":
         body = b""
@@ -101,7 +118,7 @@ def _dataset_bytes(ds: Dataset, include_group2: bool = False) -> bytes:
     return buf.getvalue()
 
 
-def _build_file_meta(ds: Dataset) -> Dataset:
+def _build_file_meta(ds: Dataset, transfer_syntax: str = None) -> Dataset:
     fm = Dataset()
     existing = ds.file_meta
     sop_class = ds.get("SOPClassUID", T.MR_IMAGE_STORAGE)
@@ -109,20 +126,57 @@ def _build_file_meta(ds: Dataset) -> Dataset:
     fm.add_new(T.DICT["FileMetaInformationVersion"][0], "OB", b"\x00\x01")
     fm.add_new(T.DICT["MediaStorageSOPClassUID"][0], "UI", sop_class)
     fm.add_new(T.DICT["MediaStorageSOPInstanceUID"][0], "UI", sop_instance)
-    fm.add_new(T.DICT["TransferSyntaxUID"][0], "UI", T.EXPLICIT_VR_LE)
+    fm.add_new(T.DICT["TransferSyntaxUID"][0], "UI", transfer_syntax or T.EXPLICIT_VR_LE)
     fm.add_new(T.DICT["ImplementationClassUID"][0], "UI", f"{T.UID_ROOT}.1.999")
     if existing is not None:
         for elem in existing:
             if elem.tag.element in (0x0000,):
                 continue
             if int(elem.tag) == T.DICT["TransferSyntaxUID"][0]:
-                continue  # always write uncompressed LE
+                continue  # transfer syntax is decided above
             fm.add_new(elem.tag, elem.VR, elem.value)
     return fm
 
 
-def write_dicom(ds: Dataset, path_or_file: Union[str, os.PathLike, BinaryIO]):
-    """Write ``ds`` as an Explicit VR Little Endian Part-10 file."""
+def write_dicom(
+    ds: Dataset,
+    path_or_file: Union[str, os.PathLike, BinaryIO],
+    transfer_syntax: str = None,
+):
+    """Write ``ds`` as a Part-10 file.
+
+    ``transfer_syntax`` selects the encoding: default Explicit VR Little
+    Endian; pass a UID from :data:`codecs.COMPRESSED_SYNTAXES` (RLE or
+    JPEG Lossless) to compress PixelData on the way out. A dataset whose
+    PixelData is already :class:`EncapsulatedPixelData` keeps its fragments
+    and the transfer syntax recorded in ``ds.file_meta``.
+    """
+    from dosma_tpu.core.io.dicom import codecs
+
+    pixel_elem = ds["PixelData"] if "PixelData" in ds else None
+    already_encapsulated = pixel_elem is not None and isinstance(
+        pixel_elem.value, codecs.EncapsulatedPixelData
+    )
+    if transfer_syntax is None and already_encapsulated:
+        transfer_syntax = ds.file_meta.get("TransferSyntaxUID") if ds.file_meta else None
+        if transfer_syntax not in codecs.COMPRESSED_SYNTAXES:
+            raise ValueError(
+                "Dataset carries encapsulated PixelData but no known compressed "
+                "TransferSyntaxUID; pass transfer_syntax= explicitly"
+            )
+    if transfer_syntax in codecs.COMPRESSED_SYNTAXES and not already_encapsulated:
+        from dosma_tpu.core.io.dicom.reader import pixel_array
+
+        nframes = ds.get("NumberOfFrames")
+        nframes = int(nframes) if nframes else 1
+        encapsulated = codecs.encode_frames(pixel_array(ds), transfer_syntax, nframes=nframes)
+        ds = ds.copy()
+        ds.add_new(T.DICT["PixelData"][0], "OB", encapsulated)
+    elif transfer_syntax not in (None, T.EXPLICIT_VR_LE) and not (
+        transfer_syntax in codecs.COMPRESSED_SYNTAXES
+    ):
+        raise NotImplementedError(f"Cannot write transfer syntax {transfer_syntax}")
+
     own = False
     if hasattr(path_or_file, "write"):
         fp = path_or_file
@@ -132,7 +186,7 @@ def write_dicom(ds: Dataset, path_or_file: Union[str, os.PathLike, BinaryIO]):
     try:
         fp.write(b"\x00" * 128 + b"DICM")
 
-        fm = _build_file_meta(ds)
+        fm = _build_file_meta(ds, transfer_syntax)
         fm_bytes = _dataset_bytes(fm, include_group2=True)
         # Group length element first (required by Part 10).
         fp.write(struct.pack("<HH", 0x0002, 0x0000))
