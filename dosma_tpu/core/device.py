@@ -102,8 +102,32 @@ class Device:
 
         return jnp
 
-    def at(self, *args, **kwargs):  # pragma: no cover - reference-compat stub
-        raise NotImplementedError("Device.at is not supported on the TPU build")
+    def at(self):
+        """Context manager placing new arrays on this device.
+
+        TPU-native analog of the reference's ``with device:`` scope
+        (cupy ``Device.use``, ref ``device.py:133-181``): inside the context,
+        jax ops allocate their outputs on this device via
+        ``jax.default_device``. The host-CPU device is a no-op scope.
+        """
+        import contextlib
+
+        if self._jax_device is None:
+            return contextlib.nullcontext(self)
+        import jax
+
+        return jax.default_device(self._jax_device)
+
+    def __enter__(self):
+        if not hasattr(self, "_ctx_stack"):
+            self._ctx_stack = []
+        ctx = self.at()
+        ctx.__enter__()
+        self._ctx_stack.append(ctx)
+        return self
+
+    def __exit__(self, *exc):
+        return self._ctx_stack.pop().__exit__(*exc)
 
     def to_torch(self):
         import torch
@@ -124,12 +148,6 @@ class Device:
 
     def __hash__(self):
         return hash((self._type, self._index))
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        return False
 
     def __repr__(self):
         if self._jax_device is None:

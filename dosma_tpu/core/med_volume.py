@@ -276,11 +276,84 @@ class MedicalVolume(NDArrayOperatorsMixin):
             affine[:3, 3] = np.round(affine[:3, 3], origin_precision)
         return cls(np.asarray(image.dataobj), affine)
 
-    def to_sitk(self, vdim: int = None, transpose_inplane: bool = False):
-        """Convert to SimpleITK Image (requires SimpleITK)."""
-        if not env.sitk_available():  # pragma: no cover - sitk absent in image
-            raise ImportError("SimpleITK is not installed")
-        raise NotImplementedError("SimpleITK interop pending in the TPU build")
+    def to_sitk(self, vdim: int = None, transpose_inplane: bool = False, headless: bool = None):
+        """Convert to a SimpleITK Image (ref ``med_volume.py:497-562``).
+
+        Args:
+            vdim: Axis holding vector components (sitk vector pixel types).
+            transpose_inplane: Swap the in-plane axes to match SimpleITK's
+                DICOM loading convention (equivalent to the reference's
+                ``PermuteAxesImageFilter([1, 0, 2])``, applied here as pure
+                parameter math).
+            headless: If ``True``, return a
+                :class:`~dosma_tpu.core.sitk_interop.HeadlessSitkImage`
+                stand-in instead of requiring the SimpleITK package. Default
+                (``None``) uses SimpleITK when installed and raises
+                ``ImportError`` otherwise, matching the reference.
+        """
+        from dosma_tpu.core.sitk_interop import (
+            HeadlessSitkImage,
+            medvol_to_sitk_params,
+            permute_inplane_params,
+        )
+
+        if headless is None:
+            headless = False
+        if not headless and not env.sitk_available():
+            raise ImportError(
+                "SimpleITK is not installed. Pass headless=True for a numpy-backed stand-in."
+            )
+        if self.device != cpu_device:
+            raise RuntimeError(f"MedicalVolume must be on cpu, got {self.device}")
+
+        params = medvol_to_sitk_params(
+            np.asarray(self._volume), self.affine, self.pixel_spacing, vdim=vdim
+        )
+        if transpose_inplane:
+            params = permute_inplane_params(*params, is_vector=vdim is not None)
+        arr, origin, spacing, direction = params
+
+        if headless:
+            return HeadlessSitkImage(arr, origin, spacing, direction, is_vector=vdim is not None)
+
+        import SimpleITK as sitk  # pragma: no cover - sitk absent in this env
+
+        img = sitk.GetImageFromArray(arr, isVector=vdim is not None)
+        img.SetOrigin(origin)
+        img.SetSpacing(spacing)
+        img.SetDirection(direction)
+        return img
+
+    @classmethod
+    def from_sitk(cls, image, copy: bool = False, transpose_inplane: bool = False) -> "MedicalVolume":
+        """Construct from a SimpleITK image (ref ``med_volume.py:945-1003``).
+
+        Accepts a real ``SimpleITK.Image`` or the
+        :class:`~dosma_tpu.core.sitk_interop.HeadlessSitkImage` stand-in.
+        Headers are not copied (reference parity).
+        """
+        from dosma_tpu.core.sitk_interop import (
+            HeadlessSitkImage,
+            permute_inplane_params,
+            sitk_params_to_medvol,
+        )
+
+        if len(image.GetSize()) < 3:
+            raise ValueError("`image` must be 3D.")
+        is_vector = image.GetNumberOfComponentsPerPixel() > 1
+
+        if isinstance(image, HeadlessSitkImage):
+            arr = image.array_from_image(copy=copy)
+        else:  # pragma: no cover - sitk absent in this env
+            import SimpleITK as sitk
+
+            arr = sitk.GetArrayFromImage(image) if copy else sitk.GetArrayViewFromImage(image)
+
+        params = (arr, image.GetOrigin(), image.GetSpacing(), image.GetDirection())
+        if transpose_inplane:
+            params = permute_inplane_params(*params, is_vector=is_vector)
+        volume, affine = sitk_params_to_medvol(*params, is_vector=is_vector)
+        return cls(volume, affine)
 
     def to_torch(self, requires_grad: bool = False, contiguous: bool = False):
         """Zero-copy (host) conversion to ``torch.Tensor`` (ref ``:564-638``)."""

@@ -1,0 +1,44 @@
+"""Device.at / context-manager placement scope (ref ``device.py:133-181``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dosma_tpu.core.device import Device, cpu_device
+
+
+class TestDeviceAt:
+    def test_cpu_device_scope_is_noop(self):
+        with cpu_device.at() as dev:
+            assert dev == cpu_device
+            arr = np.zeros(3)
+        assert isinstance(arr, np.ndarray)
+
+    def test_jax_device_scope_places_outputs(self):
+        devices = jax.devices()
+        target = Device(devices[-1])
+        with target.at():
+            x = jnp.zeros((4,)) + 1
+        assert next(iter(x.devices())) == devices[-1]
+
+    def test_with_device_directly(self):
+        devices = jax.devices()
+        target = Device(devices[-1])
+        with target as dev:
+            assert dev is target
+            x = jnp.ones((2, 2))
+        assert next(iter(x.devices())) == devices[-1]
+
+    def test_nested_scopes_restore(self):
+        devices = jax.devices()
+        if len(devices) < 2:
+            import pytest
+
+            pytest.skip("needs >= 2 devices")
+        a, b = Device(devices[0]), Device(devices[1])
+        with a:
+            with b:
+                inner = jnp.zeros(2)
+            outer = jnp.zeros(2)
+        assert next(iter(inner.devices())) == devices[1]
+        assert next(iter(outer.devices())) == devices[0]
