@@ -21,7 +21,7 @@ import os
 import re
 from concurrent.futures import ThreadPoolExecutor
 from math import ceil, log10
-from typing import List, Sequence, Tuple, Union
+from typing import Dict, List, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -196,6 +196,94 @@ class DicomReader(DataReader):
             affine = to_RAS_affine(headers, default_ornt=default_ornt)
             vols.append(MedicalVolume(arr, affine, headers=headers))
         return vols
+
+    def iter_groups(
+        self,
+        path_or_bytes,
+        group_by=_NoValue,
+        sort_by=_NoValue,
+        ignore_ext=_NoValue,
+        default_ornt=_NoValue,
+    ):
+        """Yield one grouped :class:`MedicalVolume` at a time, lazily.
+
+        Pipelined counterpart of :meth:`load`: a cheap metadata-only pass
+        (``stop_before_pixels``) groups and orders the files, then each
+        group's slices are fully parsed ON DEMAND as the generator is
+        advanced. A consumer that issues an async ``jax.device_put`` per
+        yielded group therefore overlaps the H2D transfer of group *k* with
+        the pixel parsing of group *k+1* (see
+        :func:`dosma_tpu.core.io.prefetch.load_to_device`).
+
+        Groups are yielded in sorted group-key order, matching :meth:`load`.
+        """
+        group_by = self.group_by if group_by is _NoValue else group_by
+        sort_by = self.sort_by if sort_by is _NoValue else sort_by
+        ignore_ext = self.ignore_ext if ignore_ext is _NoValue else ignore_ext
+        default_ornt = self.default_ornt if default_ornt is _NoValue else default_ornt
+        group_by = _wrap_as_tuple(group_by, default=())
+        sort_by = _wrap_as_tuple(sort_by, default=())
+
+        # Gather raw bytes (one disk read; reused by both parse passes).
+        if isinstance(path_or_bytes, PATH_LIKE) or (
+            isinstance(path_or_bytes, (list, tuple))
+            and path_or_bytes
+            and isinstance(path_or_bytes[0], PATH_LIKE)
+        ):
+            files = self._handle_files(path_or_bytes, ignore_ext)
+            if self.num_workers:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    blobs = list(ex.map(lambda f: open(f, "rb").read(), files))
+            else:
+                blobs = [open(f, "rb").read() for f in files]
+        else:
+            blobs = (
+                list(path_or_bytes) if isinstance(path_or_bytes, (list, tuple)) else [path_or_bytes]
+            )
+
+        # Pass 1 — metadata only: group/sort keys without touching pixels.
+        light = [read_dicom_bytes(b, stop_before_pixels=True) for b in blobs]
+        for _group in group_by:
+            if _group not in light[0]:
+                raise KeyError(f"Tag {_group} does not exist in dicom")
+        order = range(len(light))
+        if sort_by:
+            try:
+                order = index_natsorted(
+                    light,
+                    key=lambda x: tuple(
+                        _unpack_dicom_attr(x, attr, required=True) for attr in sort_by
+                    ),
+                )
+            except KeyError as e:
+                raise KeyError(f"Tag not found in dicom - {e}")
+
+        grouped: Dict[tuple, List[int]] = {}
+        for i in order:
+            key = tuple(_unpack_dicom_attr(light[i], attr, required=True) for attr in group_by)
+            grouped.setdefault(key, []).append(i)
+
+        # Pass 2 — full parse per group, deferred until the group is pulled.
+        def parse_group(idxs):
+            if self.num_workers:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    return list(ex.map(read_dicom_bytes, [blobs[i] for i in idxs]))
+            return [read_dicom_bytes(blobs[i]) for i in idxs]
+
+        for key in sorted(grouped.keys()):
+            headers = parse_group(grouped[key])
+            arrs = []
+            for ds in headers:
+                arr2d = ds.pixel_array
+                if arr2d.ndim != 2:
+                    raise NotImplementedError(
+                        "Multi-frame DICOM files (NumberOfFrames > 1) are not "
+                        "supported by the series reader; split frames into "
+                        "per-slice files first."
+                    )
+                arrs.append(arr2d)
+            affine = to_RAS_affine(headers, default_ornt=default_ornt)
+            yield MedicalVolume(np.stack(arrs, axis=-1), affine, headers=headers)
 
     read = DataReader.__call__
 

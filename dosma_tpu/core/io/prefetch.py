@@ -4,15 +4,15 @@ The SURVEY north star calls for "DICOM/NIfTI multi-worker loading feeds
 device HBM via async host prefetch grouped by EchoNumbers/TriggerTime".
 This module overlaps three phases:
 
-1. file bytes: the C++ thread-pool reader (or a Python thread pool),
-2. parse + group + stack on a background thread per group,
-3. ``jax.device_put`` — which is itself asynchronous, so the transfer of
-   group *k* overlaps the parsing of group *k+1*.
+1. file bytes: one bulk read via a thread pool,
+2. per-group pixel parsing, deferred inside ``DicomReader.iter_groups`` —
+   group *k+1* is parsed only after group *k* has been yielded,
+3. ``jax.device_put`` — asynchronous, so the H2D transfer of group *k*
+   is in flight while the generator parses group *k+1*.
 """
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence, Union
 
 import numpy as np
@@ -49,17 +49,12 @@ def load_to_device(
         target = sharding
 
     reader = DicomReader(num_workers=num_workers, ignore_ext=ignore_ext)
-    volumes = reader.load(path_or_files, group_by=group_by)
 
-    # Issue all transfers without blocking; jax pipelines them.
-    futures = []
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for vol in volumes:
-            arr = np.asarray(vol.volume)
-            futures.append(ex.submit(jax.device_put, arr, target))
-        device_arrays = [f.result() for f in futures]
-
+    # Pull groups from the lazy generator: jax.device_put is asynchronous, so
+    # the moment group k is yielded its H2D transfer is in flight while the
+    # generator parses group k+1's pixel data on the host.
     out = []
-    for vol, arr in zip(volumes, device_arrays):
-        out.append(vol._partial_clone(volume=arr))
+    for vol in reader.iter_groups(path_or_files, group_by=group_by):
+        arr = np.ascontiguousarray(np.asarray(vol.volume))
+        out.append(vol._partial_clone(volume=jax.device_put(arr, target)))
     return out

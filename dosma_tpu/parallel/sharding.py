@@ -52,16 +52,49 @@ def shard_voxels(arr: np.ndarray, mesh: Mesh, axis_name: str = "data"):
     return jax.device_put(arr, sharding), pad
 
 
-def sharded_lm_fit(model_fn, x, y, p0, mesh: Optional[Mesh] = None, **kwargs):
+def _is_monoexponential(model_fn) -> bool:
+    """True when ``model_fn`` is the library monoexponential ``a * exp(b x)``."""
+    try:
+        from dosma_tpu.core.fitting import monoexponential
+
+        if model_fn is monoexponential:
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    return getattr(model_fn, "__name__", "") == "monoexponential"
+
+
+def sharded_lm_fit(
+    model_fn,
+    x,
+    y,
+    p0,
+    mesh: Optional[Mesh] = None,
+    kernel: str = "auto",
+    axis_name: str = "data",
+    **kwargs,
+):
     """Data-parallel version of :func:`dosma_tpu.ops.nlls.lm_fit`.
 
     ``y``: (N, T) host array; the voxel axis is sharded across the mesh.
     Everything inside the LM loop is elementwise in N or a reduction over
     the tiny T axis, so XLA compiles it without any cross-device
     communication — pure SPMD scaling.
+
+    ``kernel`` selects the per-shard engine:
+
+    - ``"auto"``: the fused Pallas monoexponential kernel when ``model_fn``
+      is the library monoexponential and the backend compiles Pallas TPU
+      kernels; the generic vmapped LM otherwise.
+    - ``"pallas_monoexp"``: force the Pallas kernel (each shard runs it
+      under ``shard_map``; works in interpret mode on CPU for tests).
+    - ``"generic"``: force the generic engine.
     """
+    from dosma_tpu.ops.monoexp_pallas import pallas_supported
     from dosma_tpu.ops.nlls import lm_fit
 
+    if kernel not in ("auto", "pallas_monoexp", "generic"):
+        raise ValueError(f"Unknown kernel {kernel!r}")
     if mesh is None:
         mesh = get_mesh()
     y = np.asarray(y)
@@ -69,15 +102,64 @@ def sharded_lm_fit(model_fn, x, y, p0, mesh: Optional[Mesh] = None, **kwargs):
 
     y_sharded, pad = shard_voxels(y, mesh)
     p0 = np.asarray(p0)
-    if p0.ndim == 2:
+    p0_is_per_voxel = p0.ndim == 2
+    if p0_is_per_voxel:
         p0_sharded, _ = shard_voxels(p0, mesh)
     else:
         p0_sharded = p0
 
-    popt, r2, converged = lm_fit(model_fn, x, y_sharded, p0_sharded, **kwargs)
+    use_pallas = kernel == "pallas_monoexp" or (
+        kernel == "auto" and _is_monoexponential(model_fn) and pallas_supported()
+    )
+    if use_pallas:
+        popt, r2, converged = _shard_mapped_monoexp_pallas(
+            x, y_sharded, p0_sharded, mesh, axis_name, p0_is_per_voxel, **kwargs
+        )
+    else:
+        if _is_monoexponential(model_fn):
+            # The library model is curve_fit-style (x, a, b); lm_fit wants
+            # model_fn(x_col, params_tuple).
+            import jax.numpy as jnp
+
+            def model_fn(x_col, params):  # noqa: F811
+                return params[0] * jnp.exp(params[1] * x_col)
+
+        popt, r2, converged = lm_fit(model_fn, x, y_sharded, p0_sharded, **kwargs)
     if pad:
         popt, r2, converged = popt[:N], r2[:N], converged[:N]
     return popt, r2, converged
+
+
+def _shard_mapped_monoexp_pallas(
+    x, y_sharded, p0_sharded, mesh: Mesh, axis_name: str, p0_is_per_voxel: bool, **kwargs
+):
+    """Run the fused Pallas monoexp kernel per shard under ``shard_map``.
+
+    The kernel is a ``pallas_call`` — XLA cannot auto-partition it from a
+    NamedSharding alone, so each device runs the kernel on its local voxel
+    block explicitly. No collectives: the fit is voxel-independent.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas
+
+    x = jnp.asarray(x, jnp.float32)
+    row = P(axis_name, *([None] * (y_sharded.ndim - 1)))
+
+    def per_shard(y_local, p0_local):
+        return monoexp_lm_pallas(x, y_local, p0_local, **kwargs)
+
+    p0_spec = P(axis_name, None) if p0_is_per_voxel else P()
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(row, p0_spec),
+        out_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
+        # pallas_call out_shapes carry no varying-mesh-axes info; skip the check.
+        check_vma=False,
+    )
+    return fn(y_sharded, jnp.asarray(p0_sharded, jnp.float32))
 
 
 def sharded_unet_inference(model, v: np.ndarray, mesh: Optional[Mesh] = None):

@@ -48,6 +48,83 @@ class TestShardedFit:
         assert sharded.shape[0] == 16  # padded to multiple of 8
         assert pad == 6
 
+    def test_pallas_kernel_under_shard_map_matches_generic(self):
+        """The flagship fused kernel runs per-shard via shard_map and agrees
+        with the generic engine on an 8-virtual-device mesh (VERDICT r1 #8).
+
+        Uses Pallas interpret mode (no TPU in CI); on a real pod the same
+        code path compiles the Mosaic kernel per device.
+        """
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.core.fitting import monoexponential
+        from dosma_tpu.parallel.sharding import get_mesh, sharded_lm_fit
+
+        rs = np.random.RandomState(7)
+        N = 600  # not divisible by 8 -> exercises pad + unpad
+        x = np.array([5.0, 15.0, 30.0, 55.0], np.float32)
+        b = -1 / (rs.rand(N).astype(np.float32) * 70 + 10)
+        a = 0.5 + rs.rand(N).astype(np.float32)
+        Y = (a[:, None] * np.exp(b[:, None] * x[None, :])).astype(np.float32)
+        p0 = np.array([1.0, -1 / 30], np.float32)
+
+        mesh = get_mesh()
+        with pltpu.force_tpu_interpret_mode():
+            popt_p, r2_p, conv_p = sharded_lm_fit(
+                monoexponential, x, Y, p0, mesh=mesh, kernel="pallas_monoexp", max_iter=50
+            )
+        popt_g, r2_g, conv_g = sharded_lm_fit(
+            monoexponential, x, Y, p0, mesh=mesh, kernel="generic", max_iter=50
+        )
+
+        popt_p, popt_g = np.asarray(popt_p), np.asarray(popt_g)
+        assert popt_p.shape == (N, 2)
+        assert np.asarray(conv_p).mean() > 0.98
+        both = np.isfinite(popt_p[:, 1]) & np.isfinite(popt_g[:, 1])
+        assert both.mean() > 0.98
+        np.testing.assert_allclose(popt_p[both], popt_g[both], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(r2_p)[both], np.asarray(r2_g)[both], atol=1e-4)
+
+    def test_kernel_auto_stays_generic_off_tpu(self):
+        """auto must not pick the compiled Pallas path on the CPU backend."""
+        from dosma_tpu.core.fitting import monoexponential
+        from dosma_tpu.ops.monoexp_pallas import pallas_supported
+        from dosma_tpu.parallel.sharding import get_mesh, sharded_lm_fit
+
+        assert not pallas_supported()  # tests force the CPU platform
+        rs = np.random.RandomState(1)
+        x = np.array([10.0, 20.0, 30.0], np.float32)
+        b = -1 / (rs.rand(64).astype(np.float32) * 50 + 10)
+        Y = np.exp(b[:, None] * x[None, :]).astype(np.float32)
+        popt, _, conv = sharded_lm_fit(
+            monoexponential, x, Y, np.array([1.0, -0.03], np.float32),
+            mesh=get_mesh(), kernel="auto", max_iter=50,
+        )
+        assert np.asarray(conv).mean() > 0.95
+        np.testing.assert_allclose(np.asarray(popt)[:, 1], b, atol=1e-3)
+
+
+class TestShardedUnetInference:
+    def test_sharded_matches_single_device(self):
+        from dosma_tpu.models.unet2d import init_unet2d_params, unet2d_forward
+        from dosma_tpu.parallel.sharding import get_mesh, sharded_unet_inference
+
+        rs = np.random.RandomState(2)
+        params = init_unet2d_params(
+            jax.random.PRNGKey(0), num_classes=2, features=(8, 16, 32)
+        )
+        v = rs.rand(10, 32, 32, 1).astype(np.float32)  # 10 slices over 8 devices
+
+        class _Model:
+            pass
+
+        model = _Model()
+        model.params = params
+        out_sharded = sharded_unet_inference(model, v, mesh=get_mesh())
+        out_single = np.asarray(jax.jit(unet2d_forward)(params, jnp.asarray(v)))
+        assert out_sharded.shape == out_single.shape
+        np.testing.assert_allclose(out_sharded, out_single, atol=1e-5)
+
 
 class TestSegTrainer:
     def test_loss_decreases(self):
