@@ -77,6 +77,16 @@ def _signature(fn):
     return inspect.signature(fn, eval_str=True)
 
 
+def _is_tissue_annotation(ann) -> bool:
+    """True for ``Tissue`` or any Union/Sequence annotation built from it
+    (e.g. ``Union[Tissue, Sequence[Tissue]]`` on multi-tissue segment)."""
+    import typing
+
+    if ann is Tissue:
+        return True
+    return any(_is_tissue_annotation(a) for a in typing.get_args(ann))
+
+
 # ======================================================================
 # Scan container
 # ======================================================================
@@ -367,7 +377,7 @@ def add_scans(dosma_subparser):
                 wrapper.name, aliases=wrapper.aliases, help=wrapper.help
             )
             for param_name, param in _signature(action).parameters.items():
-                if param_name == "self" or param.annotation is Tissue:
+                if param_name == "self" or _is_tissue_annotation(param.annotation):
                     continue
                 if param.annotation is inspect._empty:
                     raise ValueError(
@@ -394,7 +404,7 @@ def _build_params(vargin, scan, parameters, tissue=None):
         ptype = param.annotation
         if param_name == "self":
             continue
-        if ptype is Tissue:
+        if _is_tissue_annotation(ptype):
             assert tissue is not None
             param_dict["tissue"] = tissue
         elif ptype in CUSTOM_TYPE_TO_HANDLE_DICT:
