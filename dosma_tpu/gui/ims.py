@@ -1,17 +1,29 @@
-"""Main GUI application (re-design of ``/root/reference/dosma/gui/ims.py:32``).
+"""Main GUI application (feature model: ``/root/reference/dosma/gui/ims.py``).
 
-Tkinter app with three tabs: scan analysis (action forms generated from the
-same ``cmd_line_actions`` reflection the CLI uses), a preferences editor,
-and a slice-scroll image viewer with mask overlay.
+Tkinter app with four tabs:
+
+- **Analyze**: scan selection, tissue checkboxes, per-action parameter forms
+  generated from the same ``cmd_line_actions`` reflection the CLI uses
+  (via :class:`~dosma_tpu.gui.dosma_gui.ScanReader`), plus a live preview of
+  the equivalent command-line string.
+- **Knee**: the MSK knee workflow (pid, medial→lateral, tissue and
+  quantitative-value checkboxes) — ref ``ims.py:95-256`` (AnalysisFrame).
+- **Viewer**: slice scrolling with multi-label mask overlay and on-the-fly
+  orientation reformat — ref ``ims.py:466-599`` (PageThree).
+- **Preferences**: typed editor over all preference leaves.
+
+A console pane at the bottom mirrors the log stream (ref
+``gui_utils/console_output.py``).
 """
 
 from __future__ import annotations
 
-import inspect
-import os
+import logging
 import threading
 
 __all__ = ["DosmaViewer"]
+
+_logger = logging.getLogger(__name__)
 
 
 class DosmaViewer:
@@ -23,44 +35,63 @@ class DosmaViewer:
 
         self.root = root or tk.Tk()
         self.root.title("DOSMA-TPU")
-        self.root.geometry("900x650")
+        self.root.geometry("980x760")
 
         notebook = ttk.Notebook(self.root)
         notebook.pack(fill=tk.BOTH, expand=True)
 
         self.scan_frame = tk.Frame(notebook)
-        self.pref_frame = tk.Frame(notebook)
+        self.knee_frame = tk.Frame(notebook)
         self.viewer_frame = tk.Frame(notebook)
+        self.pref_frame = tk.Frame(notebook)
         notebook.add(self.scan_frame, text="Analyze")
+        notebook.add(self.knee_frame, text="Knee")
         notebook.add(self.viewer_frame, text="Viewer")
         notebook.add(self.pref_frame, text="Preferences")
 
         self._build_scan_tab()
+        self._build_knee_tab()
+
+        from dosma_tpu.gui.im_viewer import ImageViewer
         from dosma_tpu.gui.preferences_viewer import PreferencesViewer
 
         self.preferences_viewer = PreferencesViewer(self.pref_frame)
-        from dosma_tpu.gui.im_viewer import ImageViewer
-
         self.image_viewer = ImageViewer(self.viewer_frame)
 
+        self._build_console()
+
+    # ------------------------------------------------------------------
+    # Console pane
+    # ------------------------------------------------------------------
+    def _build_console(self):
+        import tkinter as tk
+
+        from dosma_tpu.gui.gui_utils.console_output import WidgetLogger
+
+        self.console = tk.Text(self.root, height=7, bg="#111", fg="#ddd")
+        self.console.pack(side=tk.BOTTOM, fill=tk.X)
+        self._console_handler = WidgetLogger(self.console)
+        logging.getLogger("dosma_tpu").addHandler(self._console_handler)
+
+    # ------------------------------------------------------------------
+    # Analyze tab
     # ------------------------------------------------------------------
     def _build_scan_tab(self):
         import tkinter as tk
-        from tkinter import filedialog, ttk
+        from tkinter import ttk
 
         from dosma_tpu.cli import SUPPORTED_SCAN_TYPES
+        from dosma_tpu.gui.dosma_gui import ScanReader
+        from dosma_tpu.gui.gui_utils.filedialog_reader import FileDialogReader
+        from dosma_tpu.msk import knee
 
         frame = self.scan_frame
         self.dicom_var = tk.StringVar()
         self.save_var = tk.StringVar()
 
-        def browse(var, directory=True):
-            def _cb():
-                path = filedialog.askdirectory() if directory else filedialog.askopenfilename()
-                if path:
-                    var.set(path)
-
-            return _cb
+        def browse(var):
+            reader = FileDialogReader(string_var=var)
+            return reader.get_dirpath
 
         row = 0
         tk.Label(frame, text="DICOM directory:").grid(row=row, column=0, sticky="w")
@@ -84,6 +115,19 @@ class DosmaViewer:
         scan_menu.bind("<<ComboboxSelected>>", lambda e: self._refresh_actions())
         row += 1
 
+        # Tissue checkboxes (shared with the knee tab's tissue list).
+        tk.Label(frame, text="Tissues:").grid(row=row, column=0, sticky="nw")
+        tissue_frame = tk.Frame(frame)
+        tissue_frame.grid(row=row, column=1, sticky="w")
+        self.tissue_vars = {}
+        for i, tcls in enumerate(knee.SUPPORTED_TISSUES):
+            var = tk.BooleanVar(value=tcls.STR_ID == "fc")
+            self.tissue_vars[tcls.STR_ID] = var
+            tk.Checkbutton(tissue_frame, text=tcls.FULL_NAME, variable=var).grid(
+                row=0, column=i, sticky="w"
+            )
+        row += 1
+
         tk.Label(frame, text="Action:").grid(row=row, column=0, sticky="w")
         self.action_var = tk.StringVar()
         self.action_menu = ttk.Combobox(frame, textvariable=self.action_var, state="readonly")
@@ -92,7 +136,16 @@ class DosmaViewer:
         row += 1
 
         self.param_frame = tk.Frame(frame)
-        self.param_frame.grid(row=row, column=0, columnspan=3, sticky="nsew")
+        self.param_frame.grid(row=row, column=0, columnspan=4, sticky="nsew")
+        self.scan_reader = ScanReader(self.param_frame)
+        row += 1
+
+        # Live equivalent-CLI preview (ref dosma_gui.py:104-120).
+        self.cmd_var = tk.StringVar()
+        tk.Label(frame, text="CLI equivalent:").grid(row=row, column=0, sticky="w")
+        tk.Entry(frame, textvariable=self.cmd_var, width=80, state="readonly").grid(
+            row=row, column=1, columnspan=3, sticky="ew"
+        )
         row += 1
 
         self.run_button = tk.Button(frame, text="Run", command=self._run_action)
@@ -109,6 +162,9 @@ class DosmaViewer:
             if s.NAME == self.scan_var.get():
                 return s
 
+    def _selected_tissues(self):
+        return [sid for sid, var in self.tissue_vars.items() if var.get()]
+
     def _refresh_actions(self):
         scan = self._scan_type()
         names = [w.name for _, w in scan.cmd_line_actions()]
@@ -118,44 +174,35 @@ class DosmaViewer:
         self._refresh_params()
 
     def _refresh_params(self):
-        import tkinter as tk
-
-        from dosma_tpu.cli import BASIC_TYPES, _signature
-        from dosma_tpu.tissues.tissue import Tissue
-
-        for child in self.param_frame.winfo_children():
-            child.destroy()
-        self.param_vars = {}
-
         scan = self._scan_type()
-        action = next(
-            (a for a, w in scan.cmd_line_actions() if w.name == self.action_var.get()), None
-        )
-        if action is None:
+        if not self.action_var.get():
             return
-        sig = _signature(action)
-        r = 0
-        for name, param in sig.parameters.items():
-            if name == "self" or param.annotation is Tissue:
-                continue
-            if param.annotation not in BASIC_TYPES:
-                continue
-            tk.Label(self.param_frame, text=name).grid(row=r, column=0, sticky="w", padx=4)
-            default = "" if param.default is inspect._empty else str(param.default)
-            var = tk.StringVar(value=default)
-            self.param_vars[name] = (var, param.annotation)
-            tk.Entry(self.param_frame, textvariable=var).grid(row=r, column=1, sticky="ew")
-            r += 1
+        self.scan_reader.show_action_params(scan, self.action_var.get())
+        self._update_cmd_preview()
+
+    def _update_cmd_preview(self):
+        try:
+            self.cmd_var.set(
+                self.scan_reader.get_cmd_line_str(
+                    dicom_path=self.dicom_var.get() or None,
+                    save_path=self.save_var.get() or None,
+                    tissues=self._selected_tissues(),
+                )
+            )
+        except Exception:  # incomplete form — preview is best-effort
+            self.cmd_var.set("")
 
     def _run_action(self):
         self.status_var.set("running...")
         self.run_button.configure(state="disabled")
+        self._update_cmd_preview()
         threading.Thread(target=self._run_action_impl, daemon=True).start()
 
     def _run_action_impl(self):
         try:
-            from dosma_tpu.cli import CommandLineScanContainer
+            from dosma_tpu.cli import CommandLineScanContainer, get_model
             from dosma_tpu.defaults import preferences
+            from dosma_tpu.msk import knee
 
             scan_type = self._scan_type()
             scan = CommandLineScanContainer(
@@ -163,15 +210,43 @@ class DosmaViewer:
                 dicom_path=self.dicom_var.get() or None,
                 load_path=self.save_var.get() or None,
             )
-            kwargs = {}
-            for name, (var, ptype) in self.param_vars.items():
-                raw = var.get()
-                if raw in ("", "None"):
-                    continue
-                if ptype is bool:
-                    kwargs[name] = raw.lower() in ("1", "true", "yes")
-                else:
-                    kwargs[name] = ptype(raw)
+            kwargs = self.scan_reader.get_kwargs()
+
+            tissues = [
+                cls()
+                for cls in knee.SUPPORTED_TISSUES
+                if self.tissue_vars[cls.STR_ID].get()
+            ]
+
+            # Segmentation forms expand into weights_dir/model/batch_size;
+            # assemble the SegModel exactly like cli.handle_segmentation.
+            if "weights_dir" in kwargs:
+                weights_dir = kwargs.pop("weights_dir")
+                model_name = kwargs.pop("model")
+                batch_size = kwargs.pop("batch_size", preferences.segmentation_batch_size)
+                target = tissues[0] if len(tissues) == 1 else tissues
+                weights = (
+                    [t.find_weights(weights_dir) for t in tissues]
+                    if isinstance(target, list)
+                    else target.find_weights(weights_dir)
+                )
+                wpath = weights[0] if isinstance(weights, list) else weights
+                dims = scan.scan.get_dimensions()
+                model = get_model(
+                    model_name, input_shape=(dims[0], dims[1], 1), weights_path=wpath
+                )
+                model.batch_size = batch_size
+                kwargs["model"] = model
+                kwargs["tissue"] = target
+            elif tissues:
+                import inspect as _inspect
+
+                sig_params = _inspect.signature(
+                    getattr(scan_type, self.action_var.get())
+                ).parameters
+                if "tissue" in sig_params:
+                    kwargs["tissue"] = tissues[0]
+
             getattr(scan, self.action_var.get())(**kwargs)
             if self.save_var.get():
                 scan.save(self.save_var.get(), image_data_format=preferences.image_data_format)
@@ -180,9 +255,111 @@ class DosmaViewer:
             self.image_viewer.set_volume(vol)
             self.status_var.set("done")
         except Exception as e:  # pragma: no cover - GUI error path
+            _logger.exception("GUI action failed")
             self.status_var.set(f"error: {e}")
         finally:
             self.run_button.configure(state="normal")
+
+    # ------------------------------------------------------------------
+    # Knee workflow tab (ref ims.py:95-256 AnalysisFrame)
+    # ------------------------------------------------------------------
+    def _build_knee_tab(self):
+        import tkinter as tk
+
+        from dosma_tpu.gui.gui_utils.filedialog_reader import FileDialogReader
+        from dosma_tpu.msk import knee
+
+        frame = self.knee_frame
+        row = 0
+
+        tk.Label(frame, text="Patient ID:").grid(row=row, column=0, sticky="w")
+        self.knee_pid_var = tk.StringVar()
+        tk.Entry(frame, textvariable=self.knee_pid_var, width=30).grid(row=row, column=1, sticky="w")
+        row += 1
+
+        tk.Label(frame, text="Load directory:").grid(row=row, column=0, sticky="w")
+        self.knee_load_var = tk.StringVar()
+        tk.Entry(frame, textvariable=self.knee_load_var, width=50).grid(row=row, column=1)
+        tk.Button(
+            frame,
+            text="Browse",
+            command=FileDialogReader(string_var=self.knee_load_var).get_dirpath,
+        ).grid(row=row, column=2)
+        row += 1
+
+        self.knee_ml_var = tk.BooleanVar(value=False)
+        tk.Checkbutton(
+            frame, text="slices go medial → lateral", variable=self.knee_ml_var
+        ).grid(row=row, column=1, sticky="w")
+        row += 1
+
+        tk.Label(frame, text="Tissues:").grid(row=row, column=0, sticky="nw")
+        tframe = tk.Frame(frame)
+        tframe.grid(row=row, column=1, sticky="w")
+        self.knee_tissue_vars = {}
+        for i, tcls in enumerate(knee.SUPPORTED_TISSUES):
+            var = tk.BooleanVar(value=False)
+            self.knee_tissue_vars[tcls.STR_ID] = var
+            tk.Checkbutton(tframe, text=tcls.FULL_NAME, variable=var).grid(
+                row=i // 2, column=i % 2, sticky="w"
+            )
+        row += 1
+
+        tk.Label(frame, text="Quantitative values:").grid(row=row, column=0, sticky="nw")
+        qframe = tk.Frame(frame)
+        qframe.grid(row=row, column=1, sticky="w")
+        self.knee_qv_vars = {}
+        for i, qv in enumerate(knee.SUPPORTED_QUANTITATIVE_VALUES):
+            var = tk.BooleanVar(value=False)
+            self.knee_qv_vars[qv.name.lower()] = var
+            tk.Checkbutton(qframe, text=qv.name.lower(), variable=var).grid(
+                row=0, column=i, sticky="w"
+            )
+        row += 1
+
+        self.knee_run_button = tk.Button(frame, text="Run knee analysis", command=self._run_knee)
+        self.knee_run_button.grid(row=row, column=1, pady=8)
+        self.knee_status_var = tk.StringVar(value="ready")
+        tk.Label(frame, textvariable=self.knee_status_var).grid(row=row, column=2)
+
+    def knee_vargin(self) -> dict:
+        """Current knee-tab state as the vargin dict ``handle_knee`` takes."""
+        import uuid
+
+        from dosma_tpu.msk import knee
+
+        vargin = {
+            knee.LOAD_KEY: self.knee_load_var.get() or None,
+            knee.SAVE_KEY: self.knee_load_var.get() or None,
+            knee.PID_KEY: self.knee_pid_var.get() or str(uuid.uuid4()),
+            knee.MEDIAL_TO_LATERAL_KEY: bool(self.knee_ml_var.get()),
+            knee.TISSUES_KEY: [
+                cls()
+                for cls in knee.SUPPORTED_TISSUES
+                if self.knee_tissue_vars[cls.STR_ID].get()
+            ],
+        }
+        for name, var in self.knee_qv_vars.items():
+            vargin[name] = bool(var.get())
+        return vargin
+
+    def _run_knee(self):
+        self.knee_status_var.set("running...")
+        self.knee_run_button.configure(state="disabled")
+
+        def impl():
+            try:
+                from dosma_tpu.msk import knee
+
+                knee.handle_knee(self.knee_vargin())
+                self.knee_status_var.set("done")
+            except Exception as e:  # pragma: no cover - GUI error path
+                _logger.exception("knee workflow failed")
+                self.knee_status_var.set(f"error: {e}")
+            finally:
+                self.knee_run_button.configure(state="normal")
+
+        threading.Thread(target=impl, daemon=True).start()
 
     def mainloop(self):
         self.root.mainloop()

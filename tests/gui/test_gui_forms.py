@@ -1,0 +1,233 @@
+"""Headless GUI tests: form reflection, CLI-string building, dialog reader,
+console logger, overlay math (model: reference GUI behavior, testable
+without a display)."""
+
+import logging
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from dosma_tpu.gui.gui_utils import forms
+from dosma_tpu.gui.gui_utils.console_output import WidgetLogger
+from dosma_tpu.gui.gui_utils.filedialog_reader import FileDialogReader
+from dosma_tpu.gui.im_viewer import label2rgb
+
+
+# ----------------------------------------------------------------------
+# forms
+# ----------------------------------------------------------------------
+class TestFieldReflection:
+    def test_every_scan_action_reflects(self):
+        """Every CLI-exposed action must produce a well-formed field list."""
+        from dosma_tpu.cli import SUPPORTED_SCAN_TYPES
+
+        n_forms = 0
+        for scan in SUPPORTED_SCAN_TYPES:
+            for _, wrapper in scan.cmd_line_actions():
+                w, fields = forms.action_fields(scan, wrapper.name)
+                assert w.name == wrapper.name
+                for f in fields:
+                    assert f.kind in ("str", "bool", "int", "float", "list", "filepath", "choice")
+                n_forms += 1
+        assert n_forms >= 6  # qdess(2) + cubequant + mapss + cones actions
+
+    def test_segment_action_expands_segmodel(self):
+        from dosma_tpu.scan_sequences.mri.qdess import QDess
+
+        _, fields = forms.action_fields(QDess, "segment")
+        names = [f.name for f in fields]
+        assert "weights_dir" in names and "model" in names and "batch_size" in names
+        assert "tissue" not in names  # handled by scan-level checkboxes
+        model_field = next(f for f in fields if f.name == "model")
+        assert model_field.kind == "choice" and "iwoai-2019-t6" in model_field.choices
+
+    def test_filepath_heuristic(self):
+        assert forms.is_filepath_param("mask_path")
+        assert forms.is_filepath_param("weights_dir")
+        assert forms.is_filepath_param("output_directory")
+        assert not forms.is_filepath_param("beta")
+        assert not forms.is_filepath_param("mask_path", ptype=int)
+
+
+class TestParseValue:
+    def test_types(self):
+        assert forms.parse_value("3", forms.FieldSpec("n", "int")) == 3
+        assert forms.parse_value("2.5", forms.FieldSpec("x", "float")) == 2.5
+        assert forms.parse_value("yes", forms.FieldSpec("b", "bool")) is True
+        assert forms.parse_value("false", forms.FieldSpec("b", "bool")) is False
+        assert forms.parse_value("[1, 2]", forms.FieldSpec("l", "list")) == [1, 2]
+        assert forms.parse_value("abc", forms.FieldSpec("s", "str")) == "abc"
+
+    def test_empty_means_default(self):
+        assert forms.parse_value("", forms.FieldSpec("x", "float")) is None
+        assert forms.parse_value("None", forms.FieldSpec("s", "str")) is None
+
+    def test_bad_list_raises(self):
+        with pytest.raises(ValueError):
+            forms.parse_value("3", forms.FieldSpec("l", "list"))
+
+    def test_unknown_kind_rejected(self):
+        with pytest.raises(ValueError):
+            forms.FieldSpec("x", "volume")
+
+
+class TestBuildCliString:
+    def test_string_shape(self):
+        spec_b = forms.FieldSpec("rss", "bool", flag="--rss")
+        spec_f = forms.FieldSpec("beta", "float")
+        cmd = forms.build_cli_string(
+            "qdess", "t2",
+            dicom_path="/d", save_path="/s", tissues=["fc"],
+            values={"rss": ("True", spec_b), "beta": ("1.5", spec_f)},
+        )
+        assert cmd == "--d /d --s /s qdess --fc t2 --rss --beta 1.5"
+
+    def test_generated_string_parses_with_real_cli_parser(self):
+        """The GUI's CLI mirror must be accepted by the actual parser."""
+        from dosma_tpu.cli import _build_parser
+        from dosma_tpu.scan_sequences.mri.qdess import QDess
+
+        _, fields = forms.action_fields(QDess, "segment")
+        values = {}
+        for f in fields:
+            raw = {"weights_dir": "/w", "model": "iwoai-2019-t6", "batch_size": "4"}.get(
+                f.name, "" if f.default is None else str(f.default)
+            )
+            values[f.name] = (raw, f)
+        cmd = forms.build_cli_string(
+            "qdess", "segment", dicom_path="/d", save_path="/s",
+            tissues=["fc"], values=values,
+        )
+        parser, _flags = _build_parser()
+        args = parser.parse_args(cmd.split())
+        assert vars(args)["scan"] == "qdess"
+        assert vars(args)["scan_action"] == "segment"
+
+
+# ----------------------------------------------------------------------
+# FileDialogReader (dialogs injected)
+# ----------------------------------------------------------------------
+class _Var:
+    def __init__(self):
+        self.value = None
+
+    def set(self, v):
+        self.value = v
+
+
+class TestFileDialogReader:
+    def test_load_volume_nifti(self, tmp_path):
+        from dosma_tpu.core.io.nifti_io import NiftiWriter
+        from dosma_tpu.core.med_volume import MedicalVolume
+
+        path = str(tmp_path / "vol.nii.gz")
+        NiftiWriter().save(MedicalVolume(np.ones((4, 4, 3), np.float32), np.eye(4)), path)
+
+        var = _Var()
+        reader = FileDialogReader(string_var=var, ask_open=lambda **kw: (path,))
+        vol = reader.load_volume()
+        assert vol.shape == (4, 4, 3)
+        assert var.value == path
+        # last-visited dir is remembered for the next dialog
+        assert reader._last_dir == str(tmp_path)
+
+    def test_dcm_file_resolves_to_series_dir(self, tmp_path):
+        dcm = tmp_path / "I0001.dcm"
+        dcm.write_bytes(b"")
+        reader = FileDialogReader(ask_open=lambda **kw: (str(dcm),))
+        assert reader.get_volume_filepath() == str(tmp_path)
+
+    def test_cancelled_dialog_returns_none(self):
+        reader = FileDialogReader(ask_open=lambda **kw: (), ask_dir=lambda **kw: "")
+        assert reader.get_volume_filepath() is None
+        assert reader.get_filepath() is None
+        assert reader.get_dirpath() is None
+        assert reader.get_save_dirpath() is None
+
+
+# ----------------------------------------------------------------------
+# WidgetLogger
+# ----------------------------------------------------------------------
+class _StubText:
+    def __init__(self):
+        self.lines = []
+        self.state = None
+
+    def configure(self, state=None):
+        self.state = state
+
+    def insert(self, index, text):
+        assert self.state == "normal", "widget must be writable during insert"
+        self.lines.append(text)
+
+    def see(self, index):
+        pass
+
+
+def test_widget_logger_appends_and_relocks():
+    widget = _StubText()
+    handler = WidgetLogger(widget)
+    logger = logging.getLogger("dosma_tpu.test_gui_console")
+    logger.addHandler(handler)
+    try:
+        logger.warning("hello %s", "world")
+    finally:
+        logger.removeHandler(handler)
+    assert widget.lines == ["WARNING: hello world\n"]
+    assert widget.state == "disabled"  # read-only between writes
+
+
+# ----------------------------------------------------------------------
+# label2rgb overlay math
+# ----------------------------------------------------------------------
+class TestLabel2Rgb:
+    def test_background_untouched_labels_blended(self):
+        im = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+        labels = np.zeros((4, 4), np.int32)
+        labels[1, 1] = 1
+        labels[2, 2] = 3
+        rgb = label2rgb(im, labels, alpha=0.5)
+        assert rgb.shape == (4, 4, 3)
+        # background pixels are pure gray: all three channels equal
+        assert np.allclose(rgb[0, 0], im[0, 0] / im.max() * 0 + (im[0, 0] - im.min()) / (im.max() - im.min()))
+        # label 1 pixel blends toward red: R channel dominates
+        assert rgb[1, 1, 0] > rgb[1, 1, 1] and rgb[1, 1, 0] > rgb[1, 1, 2]
+        # label 3 pixel blends toward blue
+        assert rgb[2, 2, 2] > rgb[2, 2, 0]
+
+    def test_constant_image_ok(self):
+        rgb = label2rgb(np.ones((3, 3)), np.zeros((3, 3), np.int32))
+        assert np.all(rgb == 0)
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            label2rgb(np.zeros((3, 3)), np.zeros((4, 4), np.int32))
+
+
+# ----------------------------------------------------------------------
+# number validator (preferences)
+# ----------------------------------------------------------------------
+def test_number_validator_prefixes():
+    from dosma_tpu.gui.preferences_viewer import PreferencesViewer
+
+    vfloat = PreferencesViewer._make_number_validator(float)
+    assert vfloat("") and vfloat("-") and vfloat("3.") and vfloat("3.5")
+    assert not vfloat("abc")
+    vint = PreferencesViewer._make_number_validator(int)
+    assert vint("42") and not vint("4.2")
+
+
+# ----------------------------------------------------------------------
+# Widget construction (needs display)
+# ----------------------------------------------------------------------
+@pytest.mark.skipif(not os.environ.get("DISPLAY"), reason="no display")
+def test_full_app_constructs():  # pragma: no cover - needs X display
+    from dosma_tpu.gui.ims import DosmaViewer
+
+    viewer = DosmaViewer()
+    assert set(viewer.tissue_vars) == {"fc", "men", "tc", "pc"}
+    vargin = viewer.knee_vargin()
+    assert "pid" in vargin
+    viewer.root.destroy()
