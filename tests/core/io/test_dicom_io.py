@@ -101,6 +101,83 @@ class TestDicomWriter:
         assert np.array_equal(np.asarray(vol.volume), np.asarray(vol2.volume))
 
 
+    def test_write_4d_multi_echo(self, tmp_path):
+        """A 4D (rows, cols, slices, echoes) volume writes one file per
+        slice-echo and reloads into the original echo groups."""
+        import dosma_tpu.core.numpy_routines as nr
+
+        src = tmp_path / "src"
+        dst = tmp_path / "dst"
+        write_dicom_series(str(src), shape=(16, 12, 4), n_echos=2)
+        vols = DicomReader().load(str(src))
+        v4 = nr.stack(vols, axis=-1)
+        assert v4.shape == (16, 12, 4, 2)
+
+        DicomWriter().save(v4, str(dst))
+        files = [f for f in os.listdir(dst) if f.endswith(".dcm")]
+        assert len(files) == 8  # 4 slices x 2 echoes
+
+        back = DicomReader().load(str(dst), group_by="EchoNumbers")
+        assert len(back) == 2
+        for orig, reloaded in zip(vols, back):
+            assert np.array_equal(np.asarray(orig.volume), np.asarray(reloaded.volume))
+            assert np.allclose(orig.affine, reloaded.affine)
+
+    def test_write_sort_by_instance_number(self, tmp_path):
+        """sort_by reorders output files by the header attribute."""
+        src = tmp_path / "src"
+        dst = tmp_path / "dst"
+        write_dicom_series(str(src), shape=(8, 8, 3), n_echos=1)
+        vol = DicomReader().load(str(src))[0]
+        DicomWriter().save(vol, str(dst), sort_by="InstanceNumber")
+        files = sorted(f for f in os.listdir(dst) if f.endswith(".dcm"))
+        # file k holds InstanceNumber k (ascending)
+        from dosma_tpu.core.io.dicom.reader import read_dicom
+
+        numbers = [int(read_dicom(str(dst / f)).InstanceNumber) for f in files]
+        assert numbers == sorted(numbers)
+
+    def test_write_custom_fname_fmt(self, tmp_path):
+        src = tmp_path / "src"
+        dst = tmp_path / "dst"
+        write_dicom_series(str(src), shape=(8, 8, 3), n_echos=1)
+        vol = DicomReader().load(str(src))[0]
+        DicomWriter().save(vol, str(dst), fname_fmt="slice_%03d.dcm")
+        assert sorted(os.listdir(dst)) == ["slice_001.dcm", "slice_002.dcm", "slice_003.dcm"]
+
+    def test_write_float_data_coerced_to_header_bits(self, tmp_path):
+        """Float voxels are coerced to a 16-bit dtype covering their range
+        (the header declares BitsAllocated=16)."""
+        src = tmp_path / "src"
+        dst = tmp_path / "dst"
+        write_dicom_series(str(src), shape=(8, 8, 2), n_echos=1)
+        vol = DicomReader().load(str(src))[0]
+        shifted = (vol - 5).astype(np.int32)  # negative ints, 32-bit
+        DicomWriter().save(shifted, str(dst))
+        back = DicomReader().load(str(dst))[0]
+        assert np.array_equal(np.asarray(back.volume), np.asarray(shifted.volume))
+        assert back.headers().flatten()[0].BitsAllocated == 16
+
+    def test_write_out_of_range_raises(self, tmp_path):
+        src = tmp_path / "src"
+        dst = tmp_path / "dst"
+        write_dicom_series(str(src), shape=(8, 8, 2), n_echos=1)
+        vol = DicomReader().load(str(src))[0]
+        too_big = vol.astype(np.float32) * 1e9  # exceeds every 16-bit dtype
+        with pytest.raises(ValueError):
+            DicomWriter().save(too_big, str(dst))
+
+    def test_write_parallel_workers_match_serial(self, tmp_path):
+        src = tmp_path / "src"
+        write_dicom_series(str(src), shape=(8, 8, 4), n_echos=1)
+        vol = DicomReader().load(str(src))[0]
+        DicomWriter(num_workers=0).save(vol, str(tmp_path / "serial"))
+        DicomWriter(num_workers=4).save(vol, str(tmp_path / "parallel"))
+        a = DicomReader().load(str(tmp_path / "serial"))[0]
+        b = DicomReader().load(str(tmp_path / "parallel"))[0]
+        assert np.array_equal(np.asarray(a.volume), np.asarray(b.volume))
+
+
 class TestToRASAffine:
     def test_single_slice_cross_product(self):
         ds = build_dicom_dataset(np.zeros((4, 4), dtype=np.uint16))
