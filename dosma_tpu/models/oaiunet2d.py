@@ -34,20 +34,25 @@ class OAIUnet2D(JaxSegModel):
         return Unet2D(input_shape, num_classes=1)
 
     def generate_mask(self, volume: MedicalVolume):
-        """Sagittal reformat → preprocess → per-slice batched inference →
-        threshold 0.5 → reformat back (ref ``oaiunet2d.py:146-171``)."""
+        """Sagittal reformat → per-slice batched inference → threshold 0.5 →
+        reformat back (ref ``oaiunet2d.py:146-171``).
+
+        Transfer-minimizing: slices are uploaded in their source dtype and
+        whitening/thresholding run on device (``unet2d_predict_mask``); only
+        the uint8 mask returns to the host.
+        """
         vol_copy = deepcopy(volume)
         vol_copy.reformat(SAGITTAL, inplace=True)
 
         vol = np.asarray(vol_copy.volume)
-        vol = self.__preprocess_volume__(vol)
+        mean, std = self.__whiten_stats__(vol) or (0.0, 1.0)
 
         # (slice, H, W, 1)
-        v = np.transpose(vol, (2, 0, 1))
-        v = np.expand_dims(v, axis=-1)
-
-        mask = self.seg_model.predict(v, batch_size=self.batch_size)
-        mask = (mask > self.sigmoid_threshold).astype(np.uint8)
+        v = np.expand_dims(np.transpose(vol, (2, 0, 1)), axis=-1)
+        mask = self.seg_model.predict_mask(
+            v, batch_size=self.batch_size,
+            threshold=self.sigmoid_threshold, mean=mean, std=std,
+        )
 
         mask = np.transpose(np.squeeze(mask, axis=-1), (1, 2, 0))
         vol_copy.volume = mask
@@ -56,6 +61,13 @@ class OAIUnet2D(JaxSegModel):
 
     def __preprocess_volume__(self, volume: np.ndarray):
         return whiten_volume(volume, eps=1e-8)
+
+    def __whiten_stats__(self, volume: np.ndarray):
+        """Whitening scalars matching ``__preprocess_volume__`` (None = no
+        normalization); applied on device by the fused inference path."""
+        from dosma_tpu.models.seg_model import whiten_stats
+
+        return whiten_stats(volume, eps=1e-8)
 
 
 class IWOAIOAIUnet2D(OAIUnet2D):
@@ -78,13 +90,13 @@ class IWOAIOAIUnet2D(OAIUnet2D):
         vol_copy.reformat(SAGITTAL, inplace=True)
 
         vol = np.asarray(vol_copy.volume)
-        vol = self.__preprocess_volume__(vol)
+        mean, std = self.__whiten_stats__(vol) or (0.0, 1.0)
 
-        v = np.transpose(vol, (2, 0, 1))
-        v = np.expand_dims(v, axis=-1)
-
-        mask = self.seg_model.predict(v, batch_size=self.batch_size)
-        mask = (mask > self.sigmoid_threshold).astype(np.uint8)
+        v = np.expand_dims(np.transpose(vol, (2, 0, 1)), axis=-1)
+        mask = self.seg_model.predict_mask(
+            v, batch_size=self.batch_size,
+            threshold=self.sigmoid_threshold, mean=mean, std=std,
+        )
 
         # (H, W, slice, classes)
         mask = np.transpose(mask, (1, 2, 0, 3))
@@ -100,6 +112,9 @@ class IWOAIOAIUnet2D(OAIUnet2D):
     def __preprocess_volume__(self, volume: np.ndarray):
         return volume
 
+    def __whiten_stats__(self, volume: np.ndarray):
+        return None  # IWOAI 2019 T6 runs on raw intensities
+
 
 class IWOAIOAIUnet2DNormalized(IWOAIOAIUnet2D):
     """IWOAI 2019 Team 6 model with zero-mean/unit-std input normalization."""
@@ -109,3 +124,8 @@ class IWOAIOAIUnet2DNormalized(IWOAIOAIUnet2D):
 
     def __preprocess_volume__(self, volume: np.ndarray):
         return whiten_volume(volume)
+
+    def __whiten_stats__(self, volume: np.ndarray):
+        from dosma_tpu.models.seg_model import whiten_stats
+
+        return whiten_stats(volume, eps=0.0)

@@ -81,3 +81,12 @@ def whiten_volume(x: np.ndarray, eps: float = 0.0) -> np.ndarray:
     if len(x.shape) != __VOLUME_DIMENSIONS__:
         raise ValueError(f"Input has {x.ndim} dimensions. Expected {__VOLUME_DIMENSIONS__}")
     return (x - np.mean(x)) / (np.std(x) + eps)
+
+
+def whiten_stats(x: np.ndarray, eps: float = 0.0):
+    """(mean, std + eps) of the whole volume — the whitening scalars the
+    fused device-side inference path applies on-chip (so the volume itself
+    never needs a host-side f32 copy)."""
+    if len(x.shape) != __VOLUME_DIMENSIONS__:
+        raise ValueError(f"Input has {x.ndim} dimensions. Expected {__VOLUME_DIMENSIONS__}")
+    return float(np.mean(x)), float(np.std(x)) + eps

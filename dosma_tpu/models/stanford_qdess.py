@@ -43,13 +43,13 @@ class StanfordQDessUNet2D(JaxSegModel):
         vol_copy.reformat(SAGITTAL, inplace=True)
 
         vol = np.asarray(vol_copy.volume)
-        vol = self.__preprocess_volume__(vol)
+        mean, std = self.__whiten_stats__(vol)
 
-        v = np.transpose(vol, (2, 0, 1))
-        v = np.expand_dims(v, axis=-1)
-
-        mask = self.seg_model.predict(v, batch_size=self.batch_size)
-        mask = (mask > self.sigmoid_threshold).astype(np.uint8)
+        v = np.expand_dims(np.transpose(vol, (2, 0, 1)), axis=-1)
+        mask = self.seg_model.predict_mask(
+            v, batch_size=self.batch_size,
+            threshold=self.sigmoid_threshold, mean=mean, std=std,
+        )
         mask = np.transpose(mask, (1, 2, 0, 3))
 
         vols = {}
@@ -62,3 +62,8 @@ class StanfordQDessUNet2D(JaxSegModel):
 
     def __preprocess_volume__(self, volume: np.ndarray):
         return whiten_volume(volume, eps=1e-8)
+
+    def __whiten_stats__(self, volume: np.ndarray):
+        from dosma_tpu.models.seg_model import whiten_stats
+
+        return whiten_stats(volume, eps=1e-8)

@@ -33,9 +33,15 @@ def _monoexp_pipeline(
     T, N = yT.shape
 
     if use_polyfit_seed:
-        # ref ``fitting.py:701-718``: log of eps-shifted volumes, deg-1 polyfit.
-        eps = 1e-10
-        safe = yT + eps * (yT == 0)
+        # ref ``fitting.py:701-718``: deg-1 polyfit on log(y). Unlike the
+        # reference's absolute eps shift, clamp each voxel to a RELATIVE
+        # floor (1e-3 of its peak): noisy echoes can dip <= 0, and an
+        # absolute clamp of log(1e-10) = -23 produces runaway seeds
+        # (|b| ~ 0.7, a ~ 1e4) that overflow the f32 LM kernel into NaN.
+        # The relative floor bounds the seed's log dynamic range to
+        # log(1e3), keeping every seed inside the kernel's stable basin.
+        peak = jnp.max(yT, axis=0)  # (N,)
+        safe = jnp.maximum(yT, jnp.maximum(1e-3 * peak, 1e-10))
         coef, _ = batched_polyfit(x, jnp.log(safe), 1)  # (2, N): [b, log a]
         p0 = jnp.stack([jnp.exp(coef[1]), coef[0]], axis=-1)  # (N, 2)
     else:

@@ -174,3 +174,34 @@ class TestGoldenOutputs:
         # Mask may differ only at probabilities within tolerance of 0.5.
         disagree = mask != golden_mask
         assert np.all(np.abs(probs[disagree] - 0.5) < 1e-5)
+
+
+def test_predict_mask_matches_host_threshold():
+    """The fused device-side mask path (source-dtype upload + on-device
+    whiten/threshold) must reproduce predict() + host thresholding."""
+    import jax
+
+    from dosma_tpu.models.seg_model import whiten_stats, whiten_volume
+    from dosma_tpu.models.unet2d import Unet2D
+
+    rs = np.random.RandomState(11)
+    vol = (rs.rand(64, 64, 5) * 1000).astype(np.uint16)
+
+    model = Unet2D((64, 64, 1), num_classes=4)
+    model.params = init_unet2d_params(jax.random.PRNGKey(3), num_classes=4)
+
+    # host path: f32 whiten -> predict -> threshold
+    white = whiten_volume(vol.astype(np.float32), eps=1e-8)
+    v_host = np.expand_dims(np.transpose(white, (2, 0, 1)), -1)
+    probs = model.predict(v_host, batch_size=2)
+    host_mask = (probs > 0.5).astype(np.uint8)
+
+    # device path: uint16 upload, whiten + threshold on device
+    mean, std = whiten_stats(vol, eps=1e-8)
+    v_dev = np.expand_dims(np.transpose(vol, (2, 0, 1)), -1)
+    dev_mask = model.predict_mask(v_dev, batch_size=2, threshold=0.5, mean=mean, std=std)
+
+    assert dev_mask.dtype == np.uint8
+    # identical up to f32 rounding at the decision boundary
+    assert np.mean(host_mask != dev_mask) < 1e-3
+    assert dev_mask.shape == host_mask.shape
