@@ -108,8 +108,58 @@ class _Fit:
         raise NotImplementedError  # pragma: no cover
 
 
+# ----------------------------------------------------------------------
+# Option validators shared by the fitter facades.
+# ----------------------------------------------------------------------
+def _validate_out_ufuncs(ufuncs, nparams: int):
+    ok = isinstance(ufuncs, Callable) or all(
+        fn is None or isinstance(fn, Callable) for fn in ufuncs
+    )
+    if not ok:
+        raise TypeError(f"`out_ufuncs` must be callable or sequence of callables. Got {ufuncs}")
+    if isinstance(ufuncs, Sequence) and len(ufuncs) > nparams:
+        warnings.warn(
+            f"len(out_ufuncs)={len(ufuncs)}, but only {nparams} parameters. "
+            f"Extra ufuncs will be ignored."
+        )
+    return ufuncs
+
+
+def _validate_out_bounds(bounds):
+    bounds = np.asarray(bounds)
+    if bounds.shape[-1] != 2 or bounds.ndim > 2:
+        raise ValueError("Invalid `out_bounds` - shape must be ([num_params,] 2)")
+    if np.any(bounds[..., 0] > bounds[..., 1]):
+        raise ValueError("Invalid `out_bounds` - lower bound must be <= upper bound")
+    return bounds
+
+
+def _validate_r2_threshold(threshold):
+    if isinstance(threshold, str):
+        if threshold != "preferences":
+            raise ValueError(
+                f"Invalid value r2_threshold='{threshold}'. "
+                f"Expected `None`, a number between [0, 1], or 'preferences'."
+            )
+        return preferences.fitting_r2_threshold
+    return threshold
+
+
+def _bounds_as_rows(bounds: np.ndarray, nparams: int):
+    """(lb_row, ub_row) broadcastable against a (..., P) param array."""
+    if bounds.ndim == 2:
+        missing = nparams - bounds.shape[0]
+        if missing > 0:
+            fill = np.tile(np.array([[-np.inf, np.inf]]), (missing, 1))
+            bounds = np.concatenate([bounds, fill], axis=0)
+        bounds = bounds.T
+    return bounds[0], bounds[1]
+
+
 class _Fitter:
-    """Orchestrates MedicalVolume-level fitting (ref ``fitting.py:51-235``)."""
+    """Orchestrates MedicalVolume-level fitting (ref ``fitting.py:51-235``):
+    reorient → flatten → (mask-select) → ``_fit`` kernel → post-process →
+    scatter back → rewrap as MedicalVolumes."""
 
     nan_to_num: Optional[float]
     out_ufuncs: Optional[Union[Callable, Sequence[Callable]]]
@@ -117,37 +167,15 @@ class _Fitter:
     r2_threshold: Optional[float]
     y_bounds: Optional[Tuple[float, float]]
 
-    def _format_out_ufuncs(self, _out_ufuncs, _func_nparams):
-        if not isinstance(_out_ufuncs, Callable) and not all(
-            isinstance(ufunc, Callable) or ufunc is None for ufunc in _out_ufuncs
-        ):
-            raise TypeError(
-                f"`out_ufuncs` must be callable or sequence of callables. Got {_out_ufuncs}"
-            )
-        if isinstance(_out_ufuncs, Sequence) and len(_out_ufuncs) > _func_nparams:
-            warnings.warn(
-                f"len(out_ufuncs)={len(_out_ufuncs)}, but only {_func_nparams} parameters. "
-                f"Extra ufuncs will be ignored."
-            )
-        return _out_ufuncs
+    # Back-compat method aliases for the validators above.
+    def _format_out_ufuncs(self, ufuncs, nparams):
+        return _validate_out_ufuncs(ufuncs, nparams)
 
-    def _format_out_bounds(self, _out_bounds):
-        out_bounds = np.asarray(_out_bounds)
-        if out_bounds.shape[-1] != 2 or out_bounds.ndim > 2:
-            raise ValueError("Invalid `out_bounds` - shape must be ([num_params,] 2)")
-        if np.any(out_bounds[..., 0] > out_bounds[..., 1]):
-            raise ValueError("Invalid `out_bounds` - lower bound must be <= upper bound")
-        return out_bounds
+    def _format_out_bounds(self, bounds):
+        return _validate_out_bounds(bounds)
 
-    def _format_r2_threshold(self, _r2_threshold):
-        if isinstance(_r2_threshold, str):
-            if _r2_threshold != "preferences":
-                raise ValueError(
-                    f"Invalid value r2_threshold='{_r2_threshold}'. "
-                    f"Expected `None`, a number between [0, 1], or 'preferences'."
-                )
-            _r2_threshold = preferences.fitting_r2_threshold
-        return _r2_threshold
+    def _format_r2_threshold(self, threshold):
+        return _validate_r2_threshold(threshold)
 
     def _process_mask(self, mask, y: MedicalVolume):
         import jax
@@ -162,48 +190,74 @@ class _Fitter:
         return mask > 0
 
     def _process_params(self, x: np.ndarray, r_squared: np.ndarray) -> np.ndarray:
-        """Apply out_ufuncs → out_bounds → r² threshold → nan_to_num
-        (ref ``fitting.py:109-146``). ``x``: (..., P) numpy array."""
-        nan_to_num = self.nan_to_num
-        out_ufuncs = self.out_ufuncs
-        out_bounds = self.out_bounds
-        r2_threshold = self.r2_threshold
+        """Post-process pipeline: out_ufuncs → out_bounds → r² threshold →
+        nan_to_num (ref ``fitting.py:109-146``). ``x``: (..., P), in place
+        where possible."""
         nparams = x.shape[-1]
 
-        if isinstance(out_ufuncs, Callable):
-            x = out_ufuncs(x)
-        elif isinstance(out_ufuncs, Sequence):
-            for i in range(min(nparams, len(out_ufuncs))):
-                if out_ufuncs[i] is not None:
-                    x[..., i] = out_ufuncs[i](x[..., i])
+        if isinstance(self.out_ufuncs, Callable):
+            x = self.out_ufuncs(x)
+        elif isinstance(self.out_ufuncs, Sequence):
+            for i, fn in enumerate(self.out_ufuncs[:nparams]):
+                if fn is not None:
+                    x[..., i] = fn(x[..., i])
 
-        if out_bounds is not None:
-            if out_bounds.ndim == 2:
-                extra = nparams - out_bounds.shape[0]
-                if extra > 0:
-                    pad = np.stack([(-np.inf, np.inf)] * extra, axis=0)
-                    out_bounds = np.concatenate([out_bounds, pad], axis=0)
-                out_bounds = out_bounds.T
-            lb, ub = out_bounds[0], out_bounds[1]
+        if self.out_bounds is not None:
+            lb, ub = _bounds_as_rows(self.out_bounds, nparams)
             with np.errstate(invalid="ignore"):
                 x[(x < lb) | (x > ub)] = np.nan
 
-        if r2_threshold is not None:
-            x[(r_squared < r2_threshold)] = np.nan
+        if self.r2_threshold is not None:
+            x[r_squared < self.r2_threshold] = np.nan
 
-        if nan_to_num is not None:
-            x = np.nan_to_num(x, nan=nan_to_num, copy=False)
+        if self.nan_to_num is not None:
+            x = np.nan_to_num(x, nan=self.nan_to_num, copy=False)
         return x
 
     def _fit(self, x, y, **kwargs):
         raise NotImplementedError  # pragma: no cover
 
-    def fit(self, x, y: Sequence[MedicalVolume], mask=None, copy_headers: bool = True, **kwargs):
-        """Fit ``y`` volumes against ``x``; see class docs (ref ``fitting.py:157-235``)."""
+    # -- fit() decomposition ------------------------------------------
+    @staticmethod
+    def _flatten_echoes(y: Sequence[MedicalVolume]) -> np.ndarray:
+        """(T, N) host matrix: one row per echo, voxels flattened."""
+        return np.concatenate([np.asarray(v.volume).reshape(1, -1) for v in y], axis=0)
+
+    def _scatter_to_volume(self, popt, r_squared, mask, n_total):
+        """Place masked-fit results back into full-length vectors."""
+        fill = np.nan if self.nan_to_num is None else self.nan_to_num
+        popt_full = np.full((n_total,) + popt.shape[-1:], fill, popt.dtype)
+        r2_full = np.full((n_total,), fill, r_squared.dtype)
+        popt_full[mask] = popt
+        r2_full[mask] = r_squared
+        return popt_full, r2_full
+
+    @staticmethod
+    def _wrap_outputs(ref: MedicalVolume, popt, r_squared, copy_headers: bool):
         from copy import deepcopy
 
-        if (not isinstance(y, (list, tuple))) or (
-            not all(isinstance(_y, MedicalVolume) for _y in y)
+        if not copy_headers:
+            return (
+                ref._partial_clone(volume=popt, headers=None),
+                ref._partial_clone(volume=r_squared, headers=None),
+            )
+        headers = ref.headers()
+        if headers is not None:
+            headers = deepcopy(headers)
+            extra_dims = popt.ndim - ref.volume.ndim
+            if extra_dims > 0:
+                headers = np.expand_dims(
+                    headers, axis=tuple(range(-extra_dims, 0))
+                )
+        return (
+            ref._partial_clone(volume=popt, headers=headers),
+            ref._partial_clone(volume=r_squared, headers=True),
+        )
+
+    def fit(self, x, y: Sequence[MedicalVolume], mask=None, copy_headers: bool = True, **kwargs):
+        """Fit ``y`` volumes against ``x``; see class docs (ref ``fitting.py:157-235``)."""
+        if not isinstance(y, (list, tuple)) or not all(
+            isinstance(v, MedicalVolume) for v in y
         ):
             raise TypeError("`y` must be sequence of MedicalVolumes.")
 
@@ -213,19 +267,14 @@ class _Fitter:
                 f"Dimension mismatch: x.shape[-1]={x.shape[-1]}, but len(y)={len(y)}"
             )
 
-        orientation = y[0].orientation
-        y = [_y.reformat(orientation) for _y in y]
+        y = [v.reformat(y[0].orientation) for v in y]
+        ref = y[0]
 
         if mask is not None:
-            mask = self._process_mask(mask, y[0])
-            mask = np.asarray(mask.volume).reshape(-1)
+            mask = np.asarray(self._process_mask(mask, ref).volume).reshape(-1)
 
-        original_shape = y[0].shape
-        svs = np.concatenate(
-            [np.asarray(_y.volume).reshape((1, -1)) for _y in y], axis=0
-        )
-        flattened_shape = svs.shape
-
+        svs = self._flatten_echoes(y)
+        n_total = svs.shape[-1]
         if mask is not None:
             svs = svs[:, mask]
 
@@ -235,30 +284,11 @@ class _Fitter:
         popt = self._process_params(popt, r_squared)
 
         if mask is not None:
-            nan_val = np.nan if self.nan_to_num is None else self.nan_to_num
-            popt_full = np.full(flattened_shape[-1:] + popt.shape[-1:], nan_val, popt.dtype)
-            r2_full = np.full(flattened_shape[-1], nan_val, r_squared.dtype)
-            popt_full[mask] = popt
-            r2_full[mask] = r_squared
-            popt, r_squared = popt_full, r2_full
+            popt, r_squared = self._scatter_to_volume(popt, r_squared, mask, n_total)
 
-        popt = popt.reshape(original_shape + popt.shape[-1:])
-        r_squared = r_squared.reshape(original_shape)
-
-        if copy_headers:
-            headers = y[0].headers()
-            if headers is not None:
-                headers = deepcopy(headers)
-                if popt.ndim > y[0].volume.ndim:
-                    axis = tuple(-i for i in range(1, popt.ndim - y[0].volume.ndim + 1))
-                    headers = np.expand_dims(headers, axis=axis)
-            popt_headers, r2_headers = headers, True
-        else:
-            popt_headers, r2_headers = None, None
-
-        popt = y[0]._partial_clone(volume=popt, headers=popt_headers)
-        rsquared_volume = y[0]._partial_clone(volume=r_squared, headers=r2_headers)
-        return popt, rsquared_volume
+        popt = popt.reshape(ref.shape + popt.shape[-1:])
+        r_squared = r_squared.reshape(ref.shape)
+        return self._wrap_outputs(ref, popt, r_squared, copy_headers)
 
 
 class CurveFitter(_Fitter):

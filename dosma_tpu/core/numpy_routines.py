@@ -48,78 +48,47 @@ def reduce_array_op(fname, x, axis=None, **kwargs):
     return x._reduce_array(func, arr, axis=axis, **kwargs)
 
 
-@implements(np.amin)
-def amin(x, axis=None, keepdims=False, initial=_NoValue, where=_NoValue):
-    return reduce_array_op("amin", x, axis=axis, keepdims=keepdims, initial=initial, where=where)
+def _make_reduction(fname):
+    """Build a reduction wrapper: extra numpy kwargs (keepdims/dtype/ddof/
+    initial/where) pass through ``reduce_array_op``, which drops NoValue
+    sentinels before dispatching to the device's array module."""
+
+    def reduction(x, axis=None, **kwargs):
+        return reduce_array_op(fname, x, axis=axis, **kwargs)
+
+    reduction.__name__ = fname
+    reduction.__qualname__ = fname
+    reduction.__doc__ = f"Device-aware ``{fname}`` over a MedicalVolume."
+    return reduction
 
 
-@implements(np.amax)
-def amax(x, axis=None, keepdims=False, initial=_NoValue, where=_NoValue):
-    return reduce_array_op("amax", x, axis=axis, keepdims=keepdims, initial=initial, where=where)
+# One wrapper per reduction; table keyed by the numpy functions it handles.
+# Local binding names keep the reference's public aliases (sum_np etc.).
+_REDUCTION_TABLE = {
+    "amin": (np.amin,),
+    "amax": (np.amax,),
+    "argmin": (np.argmin,),
+    "argmax": (np.argmax,),
+    "sum": (np.sum,),
+    "mean": (np.mean,),
+    "std": (np.std,),
+    "nanmin": (np.nanmin,),
+    "nanmax": (np.nanmax,),
+    "nanargmin": (np.nanargmin,),
+    "nanargmax": (np.nanargmax,),
+    "nansum": (np.nansum,),
+    "nanmean": (np.nanmean,),
+    "nanstd": (np.nanstd,),
+    "all": (np.all,),
+    "any": (np.any,),
+}
+# numpy-shadowing names get a `_np` suffix, matching the reference exports.
+_ALIAS = {"sum": "sum_np", "mean": "mean_np", "all": "all_np", "any": "any_np"}
 
-
-@implements(np.argmin)
-def argmin(x, axis=None):
-    return reduce_array_op("argmin", x, axis=axis)
-
-
-@implements(np.argmax)
-def argmax(x, axis=None):
-    return reduce_array_op("argmax", x, axis=axis)
-
-
-@implements(np.sum)
-def sum_np(x, axis=None, dtype=None, keepdims=False, initial=_NoValue, where=_NoValue):
-    return reduce_array_op(
-        "sum", x, axis=axis, dtype=dtype, keepdims=keepdims, initial=initial, where=where
-    )
-
-
-@implements(np.mean)
-def mean_np(x, axis=None, dtype=None, keepdims=False, where=_NoValue):
-    return reduce_array_op("mean", x, axis=axis, dtype=dtype, keepdims=keepdims, where=where)
-
-
-@implements(np.std)
-def std(x, axis=None, dtype=None, ddof=0, keepdims=False, where=_NoValue):
-    return reduce_array_op(
-        "std", x, axis=axis, dtype=dtype, ddof=ddof, keepdims=keepdims, where=where
-    )
-
-
-@implements(np.nanmin)
-def nanmin(x, axis=None, keepdims=False):
-    return reduce_array_op("nanmin", x, axis=axis, keepdims=keepdims)
-
-
-@implements(np.nanmax)
-def nanmax(x, axis=None, keepdims=False):
-    return reduce_array_op("nanmax", x, axis=axis, keepdims=keepdims)
-
-
-@implements(np.nanargmin)
-def nanargmin(x, axis=None):
-    return reduce_array_op("nanargmin", x, axis=axis)
-
-
-@implements(np.nanargmax)
-def nanargmax(x, axis=None):
-    return reduce_array_op("nanargmax", x, axis=axis)
-
-
-@implements(np.nansum)
-def nansum(x, axis=None, dtype=None, keepdims=False):
-    return reduce_array_op("nansum", x, axis=axis, dtype=dtype, keepdims=keepdims)
-
-
-@implements(np.nanmean)
-def nanmean(x, axis=None, dtype=None, keepdims=False):
-    return reduce_array_op("nanmean", x, axis=axis, dtype=dtype, keepdims=keepdims)
-
-
-@implements(np.nanstd)
-def nanstd(x, axis=None, dtype=None, ddof=0, keepdims=False):
-    return reduce_array_op("nanstd", x, axis=axis, dtype=dtype, ddof=ddof, keepdims=keepdims)
+for _fname, _np_funcs in _REDUCTION_TABLE.items():
+    _fn = implements(*_np_funcs)(_make_reduction(_fname))
+    globals()[_ALIAS.get(_fname, _fname)] = _fn
+del _fname, _np_funcs, _fn
 
 
 @implements(np.nan_to_num)
@@ -295,50 +264,39 @@ def where(*args, **kwargs):
     return np.where(np.asarray(args[0]), *args[1:], **kwargs)
 
 
-@implements(np.all)
-def all_np(x, axis=None, keepdims=_NoValue):
-    return reduce_array_op("all", x, axis=axis, keepdims=keepdims)
+def _make_fill_like(fname, np_func):
+    """zeros_like/ones_like factory: numpy keeps order/subok, jax drops them."""
+
+    def fill_like(a, dtype=None, order="K", subok=True, shape=None):
+        if a.device == _cpu():
+            vol = np_func(a.A, dtype=dtype, order=order, subok=subok, shape=shape)
+        else:
+            vol = getattr(_xp(a), fname)(a.A, dtype=dtype, shape=shape)
+        return a._partial_clone(volume=vol)
+
+    fill_like.__name__ = fname
+    return fill_like
 
 
-@implements(np.any)
-def any_np(x, axis=None, keepdims=_NoValue):
-    return reduce_array_op("any", x, axis=axis, keepdims=keepdims)
+zeros_like = implements(np.zeros_like)(_make_fill_like("zeros_like", np.zeros_like))
+ones_like = implements(np.ones_like)(_make_fill_like("ones_like", np.ones_like))
 
 
-@implements(np.zeros_like)
-def zeros_like(a, dtype=None, order="K", subok=True, shape=None):
-    if a.device == _cpu():
-        vol = np.zeros_like(a.A, dtype=dtype, order=order, subok=subok, shape=shape)
-    else:
-        vol = _xp(a).zeros_like(a.A, dtype=dtype, shape=shape)
-    return a._partial_clone(volume=vol)
+def _make_memory_check(np_func):
+    """Volume AND header buffers must both satisfy the memory predicate."""
+
+    def check(a, b, max_work=None):
+        same = np_func(a.A, b.A, max_work=max_work)
+        if a.headers() is not None or b.headers() is not None:
+            same = same and np_func(a.headers(), b.headers(), max_work=max_work)
+        return same
+
+    check.__name__ = np_func.__name__
+    return check
 
 
-@implements(np.ones_like)
-def ones_like(a, dtype=None, order="K", subok=True, shape=None):
-    if a.device == _cpu():
-        vol = np.ones_like(a.A, dtype=dtype, order=order, subok=subok, shape=shape)
-    else:
-        vol = _xp(a).ones_like(a.A, dtype=dtype, shape=shape)
-    return a._partial_clone(volume=vol)
-
-
-@implements(np.shares_memory)
-def shares_memory(a, b, max_work=None):
-    vol = np.shares_memory(a.A, b.A, max_work=max_work)
-    headers = True
-    if a.headers() is not None or b.headers() is not None:
-        headers = np.shares_memory(a.headers(), b.headers(), max_work=max_work)
-    return vol and headers
-
-
-@implements(np.may_share_memory)
-def may_share_memory(a, b, max_work=None):
-    vol = np.may_share_memory(a.A, b.A, max_work=max_work)
-    headers = True
-    if a.headers() is not None or b.headers() is not None:
-        headers = np.may_share_memory(a.headers(), b.headers(), max_work=max_work)
-    return vol and headers
+shares_memory = implements(np.shares_memory)(_make_memory_check(np.shares_memory))
+may_share_memory = implements(np.may_share_memory)(_make_memory_check(np.may_share_memory))
 
 
 def _to_positive_axis(

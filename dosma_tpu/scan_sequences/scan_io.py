@@ -1,11 +1,16 @@
 """Scan save/load: pickle of scan state + custom MedicalVolume serialization.
 
-Behavior-parity re-design of ``/root/reference/dosma/scan_sequences/scan_io.py``:
-``from_dicom`` records reload args (ref ``:37-80``); ``from_dict`` uses
-signature introspection (ref ``:82-120``); ``save`` pickles serializable
-attrs and optionally saves MedicalVolumes as nifti/dicom with
-``{__dtype__, __value__}`` path placeholders (ref ``:122-180, 258-356``);
-``load`` falls back to re-reading original dicoms (ref ``:182-245``).
+Behavior-parity re-design of ``/root/reference/dosma/scan_sequences/scan_io.py``
+sharing its on-disk contract: ``<save_dir>/<NAME>.data`` pickle whose
+MedicalVolume-valued attributes are swapped for
+``{"__dtype__": MedicalVolume, "__value__": <path>}`` placeholders
+(ref ``:122-180, 258-356``); ``load`` resolves placeholders and falls back
+to re-reading the original dicoms recorded by ``from_dicom``
+(ref ``:37-80, 182-245``).
+
+Implementation here is built around one generic container walker
+(:func:`_walk`) used by both directions instead of the reference's two
+hand-rolled recursions.
 """
 
 from __future__ import annotations
@@ -14,7 +19,7 @@ import inspect
 import os
 import warnings
 from pathlib import Path
-from typing import Any, Dict, Mapping, Set, Union
+from typing import Any, Callable, Dict, Mapping, Set, Union
 
 from dosma_tpu.core.io.dicom_io import DicomReader
 from dosma_tpu.core.io.format_io import ImageDataFormat
@@ -25,19 +30,39 @@ from dosma_tpu.utils import io_utils
 
 __all__ = ["ScanIOMixin"]
 
+_PATHLIKE = (str, Path, os.PathLike)
+
+
+def _is_container(value) -> bool:
+    return not isinstance(value, str) and isinstance(value, (list, tuple, set))
+
+
+def _walk(value, leaf_fn: Callable[[Any, str], Any], path: str = ""):
+    """Apply ``leaf_fn(leaf, path)`` to every non-container element,
+    rebuilding dicts/lists/tuples/sets around the results. Mapping keys
+    extend ``path`` by name, sequence elements by zero-padded index —
+    producing the per-element file paths of the save format."""
+    if isinstance(value, Mapping):
+        return {k: _walk(v, leaf_fn, os.path.join(path, str(k))) for k, v in value.items()}
+    if _is_container(value):
+        items = list(value)
+        walked = (
+            _walk(v, leaf_fn, os.path.join(path, f"{i:03d}")) for i, v in enumerate(items)
+        )
+        return type(value)(walked)
+    return leaf_fn(value, path)
+
 
 def _contains_type(value, types) -> bool:
     """True if ``value`` is or recursively contains an instance of ``types``."""
+    import numpy as np
+
     if isinstance(value, types):
         return True
     if isinstance(value, Mapping):
-        return any(_contains_type(v, types) for v in value.values()) or any(
-            _contains_type(k, types) for k in value.keys()
-        )
-    if not isinstance(value, str) and isinstance(value, (list, tuple, set)):
+        return any(_contains_type(x, types) for pair in value.items() for x in pair)
+    if _is_container(value):
         return any(_contains_type(v, types) for v in value)
-    import numpy as np
-
     if isinstance(value, np.ndarray) and value.dtype == object:
         return any(_contains_type(v, types) for v in value.flatten())
     return False
@@ -49,6 +74,9 @@ class ScanIOMixin:
     NAME: str = ""
     __DEFAULT_SPLIT_BY__ = "EchoNumbers"
 
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
     @classmethod
     def from_dicom(
         cls,
@@ -59,45 +87,52 @@ class ScanIOMixin:
         verbose: bool = False,
         **kwargs,
     ):
-        """Load scan from dicom files (ref ``scan_io.py:37-80``)."""
-        dr = DicomReader(num_workers, verbose)
-        if group_by is None:
-            group_by = cls.__DEFAULT_SPLIT_BY__
-        volumes = dr.load(dir_or_files, group_by, ignore_ext=ignore_ext)
+        """Load scan from dicom files, recording the absolute source paths
+        so a partial save can be reloaded later (ref ``scan_io.py:37-80``)."""
+        reader = DicomReader(num_workers, verbose)
+        volumes = reader.load(
+            dir_or_files,
+            cls.__DEFAULT_SPLIT_BY__ if group_by is None else group_by,
+            ignore_ext=ignore_ext,
+        )
 
-        if isinstance(dir_or_files, (str, Path, os.PathLike)):
-            dir_or_files = os.path.abspath(dir_or_files)
+        if isinstance(dir_or_files, _PATHLIKE):
+            source = os.path.abspath(dir_or_files)
         else:
-            dir_or_files = type(dir_or_files)([os.path.abspath(x) for x in dir_or_files])
+            source = type(dir_or_files)(os.path.abspath(x) for x in dir_or_files)
 
         scan = cls(volumes, **kwargs)
         scan._from_file_args = {
-            "dir_or_files": dir_or_files,
+            "dir_or_files": source,
             "ignore_ext": ignore_ext,
-            "group_by": group_by,
+            "group_by": group_by if group_by is not None else cls.__DEFAULT_SPLIT_BY__,
             "_type": "dicom",
         }
         return scan
 
     @classmethod
     def from_dict(cls, data: Dict[str, Any], force: bool = False):
-        """Reconstruct scan from a data dict via signature introspection
+        """Reconstruct a scan: constructor params are pulled from ``data``
+        by signature introspection, the rest become attributes
         (ref ``scan_io.py:82-120``)."""
-        data = cls._convert_attr_name(data)
-        data = cls.load_custom_data(data)
+        data = cls.load_custom_data(cls._convert_attr_name(data))
 
-        signature = inspect.signature(cls)
-        init_metadata = {k: v for k, v in data.items() if k in signature.parameters}
-        scan = cls(**init_metadata)
-        data = {k: v for k, v in data.items() if k not in init_metadata}
-
-        for k, v in data.items():
-            if not hasattr(scan, k) and not force:
-                warnings.warn(f"{cls.__name__} does not have attribute {k}. Skipping...")
-                continue
-            setattr(scan, k, v)
+        ctor_params = set(inspect.signature(cls).parameters)
+        scan = cls(**{k: v for k, v in data.items() if k in ctor_params})
+        cls._assign_attrs(scan, {k: v for k, v in data.items() if k not in ctor_params}, force)
         return scan
 
+    @classmethod
+    def _assign_attrs(cls, scan, attrs: Dict[str, Any], force: bool = False):
+        for name, value in attrs.items():
+            if force or hasattr(scan, name):
+                setattr(scan, name, value)
+            else:
+                warnings.warn(f"{cls.__name__} does not have attribute {name}. Skipping...")
+
+    # ------------------------------------------------------------------
+    # Save
+    # ------------------------------------------------------------------
     def save(
         self,
         path: str,
@@ -105,35 +140,76 @@ class ScanIOMixin:
         image_data_format: ImageDataFormat = None,
         num_workers: int = 0,
     ) -> str:
-        """Save scan state to ``path/NAME.data`` (ref ``scan_io.py:122-180``)."""
+        """Pickle serializable attrs to ``path/NAME.data``; with
+        ``save_custom``, MedicalVolume attrs are written as image files and
+        replaced by path placeholders (ref ``scan_io.py:122-180``)."""
         if image_data_format is None:
             image_data_format = preferences.image_data_format
 
         os.makedirs(path, exist_ok=True)
-        filepath = os.path.join(path, f"{self.NAME}.data")
-
-        metadata: Dict = {}
-        for attr in self.__serializable_variables__():
-            metadata[attr] = getattr(self, attr)
-
+        state = {attr: getattr(self, attr) for attr in self.__serializable_variables__()}
         if save_custom:
-            metadata = self._save(
-                metadata, path, image_data_format=image_data_format, num_workers=num_workers
+            state = self._save(
+                state, path, image_data_format=image_data_format, num_workers=num_workers
             )
 
-        io_utils.save_pik(filepath, metadata)
-        return filepath
+        out_file = os.path.join(path, f"{self.NAME}.data")
+        io_utils.save_pik(out_file, state)
+        return out_file
 
+    def _save(self, metadata: Dict[str, Any], save_dir: str, fname_fmt: Dict = None, **kwargs):
+        """Externalize each top-level attr under ``save_dir/<attr>/...``.
+        ``fname_fmt`` maps types to basename templates (default:
+        MedicalVolume -> ``image-{}``)."""
+        fname_fmt = {MedicalVolume: "image-{}", **(fname_fmt or {})}
+        out = {}
+        for attr, value in metadata.items():
+            root = os.path.abspath(os.path.join(save_dir, attr))
+            try:
+                out[attr] = self.save_custom_data(value, root, fname_fmt, **kwargs)
+            except Exception as e:
+                raise RuntimeError(f"Failed to save metadata {attr} - {e}")
+        return out
+
+    def save_custom_data(self, metadata, paths, fname_fmt: Dict = None, **kwargs):
+        """Recursively externalize savable leaves inside containers
+        (ref ``scan_io.py:290-330``)."""
+        fname_fmt = fname_fmt or {}
+
+        def leaf(value, rel_path):
+            full = os.path.join(paths, rel_path) if rel_path else paths
+            template = next(
+                (fname_fmt[t] for t in type(value).__mro__ if t in fname_fmt), None
+            )
+            return self._save_custom_data_base(value, full, template, **kwargs)
+
+        return _walk(metadata, leaf)
+
+    def _save_custom_data_base(self, metadata, path, formatter: str = None, **kwargs):
+        if formatter:
+            path = os.path.join(os.path.dirname(path), formatter.format(os.path.basename(path)))
+        if isinstance(metadata, MedicalVolume):
+            fmt = kwargs.get("image_data_format", preferences.image_data_format)
+            path = fio_utils.convert_image_data_format(path, fmt)
+            metadata.save_volume(path, data_format=fmt)
+            return {"__dtype__": MedicalVolume, "__value__": path}
+        return metadata
+
+    # ------------------------------------------------------------------
+    # Load
+    # ------------------------------------------------------------------
     @classmethod
     def load(cls, path_or_data: Union[str, Dict], num_workers: int = 0):
-        """Load scan; falls back to re-reading original dicoms
-        (ref ``scan_io.py:182-245``)."""
-        if isinstance(path_or_data, (str, Path, os.PathLike)):
-            if os.path.isdir(path_or_data):
-                path_or_data = os.path.join(path_or_data, f"{cls.NAME}.data")
-            if not os.path.isfile(path_or_data):
-                raise FileNotFoundError(f"File {path_or_data} does not exist")
-            data = io_utils.load_pik(path_or_data)
+        """Load a saved scan. If reconstruction from the pickle fails (e.g.
+        volumes were not saved), re-read the original dicoms recorded by
+        ``from_dicom`` (ref ``scan_io.py:182-245``)."""
+        if isinstance(path_or_data, _PATHLIKE):
+            data_file = path_or_data
+            if os.path.isdir(data_file):
+                data_file = os.path.join(data_file, f"{cls.NAME}.data")
+            if not os.path.isfile(data_file):
+                raise FileNotFoundError(f"File {data_file} does not exist")
+            data = io_utils.load_pik(data_file)
         else:
             data = path_or_data
 
@@ -144,86 +220,29 @@ class ScanIOMixin:
                 f"Failed to load {cls.__name__} from data. Trying to load from dicom file."
             )
 
-        data = cls._convert_attr_name(data)
-        data = cls.load_custom_data(data, num_workers=num_workers)
+        data = cls.load_custom_data(cls._convert_attr_name(data), num_workers=num_workers)
+        scan = cls._reload_from_source(data, num_workers)
+        if scan is None:
+            raise ValueError(f"Data is insufficient to construct {cls.__name__}")
+        cls._assign_attrs(scan, data)
+        return scan
 
-        scan = None
+    @classmethod
+    def _reload_from_source(cls, data: Dict, num_workers: int):
+        """Re-read dicoms from either the modern ``_from_file_args`` record
+        or the legacy ``dicom_path``/``split_by`` keys."""
         if "_from_file_args" in data:
             dicom_args = dict(data.pop("_from_file_args"))
             assert dicom_args.pop("_type") == "dicom"
-            scan = cls.from_dicom(**dicom_args, num_workers=num_workers)
-        elif "dicom_path" in data:
-            dicom_path = data.pop("dicom_path")
-            ignore_ext = data.pop("ignore_ext", False)
-            group_by = data.pop("split_by", cls.__DEFAULT_SPLIT_BY__)
-            scan = cls.from_dicom(
-                dicom_path, ignore_ext=ignore_ext, group_by=group_by, num_workers=num_workers
+            return cls.from_dicom(**dicom_args, num_workers=num_workers)
+        if "dicom_path" in data:
+            return cls.from_dicom(
+                data.pop("dicom_path"),
+                ignore_ext=data.pop("ignore_ext", False),
+                group_by=data.pop("split_by", cls.__DEFAULT_SPLIT_BY__),
+                num_workers=num_workers,
             )
-
-        if scan is None:
-            raise ValueError(f"Data is insufficient to construct {cls.__name__}")
-
-        for k, v in data.items():
-            if not hasattr(scan, k):
-                warnings.warn(f"{cls.__name__} does not have attribute {k}. Skipping...")
-                continue
-            setattr(scan, k, v)
-        return scan
-
-    # ------------------------------------------------------------------
-    # Custom (de)serialization of MedicalVolume-valued attributes.
-    # ------------------------------------------------------------------
-    def _save(self, metadata: Dict[str, Any], save_dir: str, fname_fmt: Dict = None, **kwargs):
-        if fname_fmt is None:
-            fname_fmt = {}
-        default_fname_fmt = {MedicalVolume: "image-{}"}
-        for k, v in default_fname_fmt.items():
-            fname_fmt.setdefault(k, v)
-
-        for attr in list(metadata.keys()):
-            path = os.path.abspath(os.path.join(save_dir, attr))
-            try:
-                metadata[attr] = self.save_custom_data(metadata[attr], path, fname_fmt, **kwargs)
-            except Exception as e:
-                raise RuntimeError(f"Failed to save metadata {attr} - {e}")
-        return metadata
-
-    def save_custom_data(self, metadata, paths, fname_fmt: Dict = None, **kwargs):
-        """Recursively save MedicalVolumes in containers (ref ``scan_io.py:290-330``)."""
-        if fname_fmt is None:
-            fname_fmt = {}
-        if isinstance(metadata, Mapping):
-            keys = list(metadata.keys())
-            sub_paths = [os.path.join(paths, f"{k}") for k in keys]
-            values = [
-                self.save_custom_data(metadata[k], p, fname_fmt, **kwargs)
-                for k, p in zip(keys, sub_paths)
-            ]
-            return {k: v for k, v in zip(keys, values)}
-        if not isinstance(metadata, str) and isinstance(metadata, (list, tuple, set)):
-            values = list(metadata)
-            sub_paths = [os.path.join(paths, f"{i:03d}") for i in range(len(values))]
-            values = [
-                self.save_custom_data(v, p, fname_fmt, **kwargs)
-                for v, p in zip(values, sub_paths)
-            ]
-            return type(metadata)(values)
-        formatter = None
-        for t in type(metadata).__mro__:
-            if t in fname_fmt:
-                formatter = fname_fmt[t]
-                break
-        return self._save_custom_data_base(metadata, paths, formatter, **kwargs)
-
-    def _save_custom_data_base(self, metadata, path, formatter: str = None, **kwargs):
-        if formatter:
-            path = os.path.join(os.path.dirname(path), formatter.format(os.path.basename(path)))
-        if isinstance(metadata, MedicalVolume):
-            image_data_format = kwargs.get("image_data_format", preferences.image_data_format)
-            path = fio_utils.convert_image_data_format(path, image_data_format)
-            metadata.save_volume(path, data_format=image_data_format)
-            return {"__dtype__": MedicalVolume, "__value__": path}
-        return metadata
+        return None
 
     @classmethod
     def _convert_attr_name(cls, data: Dict[str, Any]):
@@ -233,48 +252,51 @@ class ScanIOMixin:
     def load_custom_data(cls, data: Any, **kwargs):
         """Recursively resolve ``{__dtype__, __value__}`` placeholders
         (ref ``scan_io.py:358-418``)."""
-        dtype = type(data)
-        if isinstance(data, Mapping) and "__value__" in data:
-            dtype = data["__dtype__"]
-            data = data["__value__"]
 
-        if isinstance(data, Mapping) and not (isinstance(dtype, type) and issubclass(dtype, str)):
-            keys = list(data.keys())
-            values = [cls.load_custom_data(v, **kwargs) for v in data.values()]
-            return {k: v for k, v in zip(keys, values)}
-        if (
-            not isinstance(data, str)
-            and isinstance(data, (list, tuple, set))
-        ):
-            return type(data)(cls.load_custom_data(x, **kwargs) for x in data)
-        return cls._load_custom_data_base(data, dtype, **kwargs)
+        def leaf(value, _path):
+            dtype = type(value)
+            if isinstance(value, Mapping) and "__value__" in value:
+                dtype, value = value["__dtype__"], value["__value__"]
+                if isinstance(value, (Mapping,)) or _is_container(value):
+                    # Placeholder wrapped a container: keep walking inside.
+                    return _walk(value, leaf)
+            return cls._load_custom_data_base(value, dtype, **kwargs)
+
+        # Placeholder dicts are themselves Mappings, so intercept them
+        # before the generic walker descends into their keys.
+        if isinstance(data, Mapping) and "__value__" in data:
+            return leaf(data, "")
+        if isinstance(data, Mapping):
+            return {k: cls.load_custom_data(v, **kwargs) for k, v in data.items()}
+        if _is_container(data):
+            return type(data)(cls.load_custom_data(v, **kwargs) for v in data)
+        return cls._load_custom_data_base(data, type(data), **kwargs)
 
     @classmethod
     def _load_custom_data_base(cls, data, dtype=None, **kwargs):
         if dtype is None:
             dtype = type(data)
         if isinstance(data, str) and isinstance(dtype, type) and issubclass(dtype, MedicalVolume):
-            data = fio_utils.generic_load(data, expected_num_volumes=1)
+            return fio_utils.generic_load(data, expected_num_volumes=1)
         return data
 
+    # ------------------------------------------------------------------
     def __serializable_variables__(self, ignore_types=None, ignore_attrs=()) -> Set:
-        """All instance attrs except headers/MedicalVolumes/Tissues/temps/CAPS
-        (ref ``scan_io.py:420-447``)."""
+        """All instance attrs except headers/MedicalVolumes/Tissues, temp
+        paths, dunder/CAPS names, and callables (ref ``scan_io.py:420-447``)."""
         from dosma_tpu.core.io.dicom import Dataset
         from dosma_tpu.tissues.tissue import Tissue
 
         if ignore_types is None:
             ignore_types = (Dataset, Tissue)
 
-        serializable = []
-        for attr, value in self.__dict__.items():
-            if attr in ignore_attrs or _contains_type(value, ignore_types):
-                continue
-            if attr.startswith("temp") or attr.startswith("_temp"):
-                continue
+        def keep(attr: str, value) -> bool:
+            if attr in ignore_attrs or attr.startswith(("temp", "_temp")):
+                return False
             if attr.upper() == attr or (attr.startswith("__") and attr.endswith("__")):
-                continue
+                return False
             if callable(value) or isinstance(value, property):
-                continue
-            serializable.append(attr)
-        return set(serializable)
+                return False
+            return not _contains_type(value, ignore_types)
+
+        return {a for a, v in self.__dict__.items() if keep(a, v)}
