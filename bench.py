@@ -33,9 +33,26 @@ import time
 import numpy as np
 
 # Persistent XLA compilation cache: first-ever run pays the (slow, tunneled)
-# TPU compiles; later processes reuse them.
+# TPU compiles; later processes reuse them. NOTE: env vars are too late here
+# — the axon sitecustomize imports jax at interpreter startup (before this
+# file runs), so the cache must be enabled through jax.config (same trap as
+# JAX_PLATFORMS; see DEVNOTES).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dosma_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dosma_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass
+
+
+_enable_compile_cache()
 
 NOISE_SIGMA = 0.005  # additive gaussian noise, a=1.0 signal scale
 
