@@ -315,47 +315,49 @@ def register_pair(
     transform (fixed-world point → moving-world point), ``theta`` the raw
     parameter vector of the final level, and ``info`` diagnostic losses.
     """
-    fixed_arr = np.asarray(fixed_arr, np.float32)
-    moving_arr = np.asarray(moving_arr, np.float32)
+    # Device-resident pyramid: the full volumes go host->device exactly
+    # once; per-level downsampling, theta carries, and the final matrix all
+    # stay on device (the old per-level np.asarray round trips dominated
+    # warm wall time through slow interconnects).
+    fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
+    moving_dev = jnp.asarray(moving_arr, jnp.float32)
+    mask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
 
     # World-space center of the fixed image (rotation center).
-    center_idx = (np.asarray(fixed_arr.shape) - 1) / 2.0
+    center_idx = (np.asarray(fixed_dev.shape) - 1) / 2.0
     center = (np.asarray(fixed_affine) @ np.array([*center_idx, 1.0]))[:3].astype(np.float32)
+    center_dev = jnp.asarray(center)
 
     spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
 
-    theta = np.zeros(params.nparams, np.float32)
+    theta0 = np.zeros(params.nparams, np.float32)
     if init_matrix is not None and params.transform == "translation":
-        theta[:3] = np.asarray(init_matrix)[:3, 3]
+        theta0[:3] = np.asarray(init_matrix)[:3, 3]
+    theta = jnp.asarray(theta0)
 
     factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
-    info = {"losses": []}
+    level_losses = []
     for factor in factors:
-        f_arr = np.asarray(_downsample(jnp.asarray(fixed_arr), factor))
-        m_arr = np.asarray(_downsample(jnp.asarray(moving_arr), factor))
+        f_arr = _downsample(fixed_dev, factor)
+        m_arr = _downsample(moving_dev, factor)
         f_aff = _scale_affine(fixed_affine, factor)
         m_aff = _scale_affine(moving_affine, factor)
-        f_mask = None
-        if fixed_mask is not None:
-            f_mask = np.asarray(
-                _downsample(jnp.asarray(np.asarray(fixed_mask, np.float32)), factor)
-            )
+        f_mask = _downsample(mask_dev, factor) if mask_dev is not None else None
 
         scale = _param_scale(params.transform, f_arr.shape, spacing * factor)
-        theta_j, losses = _optimize_level(
-            jnp.asarray(f_arr), jnp.asarray(f_aff, jnp.float32),
-            jnp.asarray(f_mask) if f_mask is not None else None,
-            jnp.asarray(m_arr), jnp.asarray(m_aff, jnp.float32),
-            jnp.asarray(theta), jnp.asarray(scale), jnp.asarray(center),
+        theta, losses = _optimize_level(
+            f_arr, jnp.asarray(f_aff, jnp.float32), f_mask,
+            m_arr, jnp.asarray(m_aff, jnp.float32),
+            theta, jnp.asarray(scale), center_dev,
             params.transform, params.metric,
             params.iterations, params.num_samples, params.num_bins,
             params.learning_rate, params.seed,
         )
-        theta = np.asarray(theta_j)
-        info["losses"].append(np.asarray(losses))
+        level_losses.append(losses)
 
-    M = np.asarray(_params_to_matrix(jnp.asarray(theta), jnp.asarray(center), params.transform))
-    return M, theta, info
+    M = np.asarray(_params_to_matrix(theta, center_dev, params.transform))
+    info = {"losses": [np.asarray(l) for l in level_losses]}
+    return M, np.asarray(theta), info
 
 
 def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_shape):
@@ -369,6 +371,14 @@ def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_sha
     from dosma_tpu.ops.bspline import bspline_displacement
 
     fixed_shape = tuple(int(s) for s in fixed_shape)
+
+    stages = list(stages)
+    if all(kind == "matrix" for kind, *_ in stages):
+        # Matrix-only chain: compose on host and run the single jitted warp
+        # (one compiled program instead of an eager op stream).
+        M = compose_transforms([payload[0] for _kind, *payload in stages])
+        return warp_volume(moving_arr, M, fixed_affine, moving_affine, fixed_shape)
+
     moving_arr = jnp.asarray(moving_arr, jnp.float32)
     fixed_affine = jnp.asarray(fixed_affine, jnp.float32)
     inv_fixed = jnp.linalg.inv(fixed_affine)
@@ -545,47 +555,43 @@ def register_pair_batch(
     intra-registration case (e.g. CubeQuant spin locks). Returns
     ``(Ms (M, 4, 4), thetas (M, P), info)``.
     """
-    fixed_arr = np.asarray(fixed_arr, np.float32)
-    moving_arrs = np.asarray(moving_arrs, np.float32)
-    M_count = moving_arrs.shape[0]
+    # Device-resident batch pyramid (one H2D of the stack; see register_pair).
+    fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
+    moving_dev = jnp.asarray(moving_arrs, jnp.float32)
+    mask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
+    M_count = moving_dev.shape[0]
 
-    center_idx = (np.asarray(fixed_arr.shape) - 1) / 2.0
+    center_idx = (np.asarray(fixed_dev.shape) - 1) / 2.0
     center = (np.asarray(fixed_affine) @ np.array([*center_idx, 1.0]))[:3].astype(np.float32)
+    center_dev = jnp.asarray(center)
     spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
 
-    thetas = np.zeros((M_count, params.nparams), np.float32)
+    thetas = jnp.zeros((M_count, params.nparams), jnp.float32)
 
     factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
     info = {"losses": []}
     for factor in factors:
-        f_arr = jnp.asarray(np.asarray(_downsample(jnp.asarray(fixed_arr), factor)))
-        m_arrs = jnp.stack(
-            [_downsample(jnp.asarray(moving_arrs[i]), factor) for i in range(M_count)]
-        )
+        f_arr = _downsample(fixed_dev, factor)
+        m_arrs = jax.vmap(lambda m: _downsample(m, factor))(moving_dev)
         f_aff = jnp.asarray(_scale_affine(fixed_affine, factor), jnp.float32)
         m_aff = jnp.asarray(_scale_affine(moving_affine, factor), jnp.float32)
-        f_mask = None
-        if fixed_mask is not None:
-            f_mask = jnp.asarray(
-                np.asarray(_downsample(jnp.asarray(np.asarray(fixed_mask, np.float32)), factor))
-            )
+        f_mask = _downsample(mask_dev, factor) if mask_dev is not None else None
 
         scale = jnp.asarray(_param_scale(params.transform, f_arr.shape, spacing * factor))
 
         def _one(m_arr, theta, seed_offset):
             return _optimize_level(
                 f_arr, f_aff, f_mask, m_arr, m_aff,
-                theta, scale, jnp.asarray(center),
+                theta, scale, center_dev,
                 params.transform, params.metric,
                 params.iterations, params.num_samples, params.num_bins,
                 params.learning_rate, params.seed + seed_offset,
             )
 
-        thetas_j, losses = jax.vmap(_one)(
-            m_arrs, jnp.asarray(thetas), jnp.arange(M_count)
-        )
-        thetas = np.asarray(thetas_j)
-        info["losses"].append(np.asarray(losses))
+        thetas, losses = jax.vmap(_one)(m_arrs, thetas, jnp.arange(M_count))
+        info["losses"].append(losses)
+    thetas = np.asarray(thetas)
+    info["losses"] = [np.asarray(l) for l in info["losses"]]
 
     Ms = np.stack(
         [
