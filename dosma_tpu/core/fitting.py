@@ -686,6 +686,17 @@ def curve_fit(
             )
             return np.asarray(popt), np.asarray(r2)
 
+    if func is biexponential and nparams == 4:
+        from dosma_tpu.ops.biexp_pallas import biexp_lm_pallas, pallas_supported
+
+        if pallas_supported():
+            popt, r2, _converged = biexp_lm_pallas(
+                x, y, p0_mat,
+                max_iter=int(maxfev), ftol=ftol, y_bounds=y_bounds,
+                y_layout="tn",
+            )
+            return np.asarray(popt), np.asarray(r2)
+
     popt, r2, _converged = lm_fit(
         model,
         x,

@@ -68,7 +68,11 @@ class TestShardedFit:
         Y = (a[:, None] * np.exp(b[:, None] * x[None, :])).astype(np.float32)
         p0 = np.array([1.0, -1 / 30], np.float32)
 
-        mesh = get_mesh()
+        # Interpret-mode Pallas simulates the full TPU in lockstep across the
+        # mesh via io_callbacks; on low-core hosts (nproc=1 CI boxes) an
+        # 8-device lockstep deadlocks waiting for executor threads. Two
+        # devices still exercise shard_map + pad/unpad and run anywhere.
+        mesh = get_mesh(jax.devices()[:2])
         with pltpu.force_tpu_interpret_mode():
             popt_p, r2_p, conv_p = sharded_lm_fit(
                 monoexponential, x, Y, p0, mesh=mesh, kernel="pallas_monoexp", max_iter=50
