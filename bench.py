@@ -390,6 +390,49 @@ def _bench_unet(B: int = 16, H: int = 384, W: int = 384, iters: int = 4):
     return round(B / dt, 1)
 
 
+# ----------------------------------------------------------------------
+# Biexponential fit throughput (fused Pallas 4-param kernel)
+# ----------------------------------------------------------------------
+def _bench_biexp(N: int = 512 * 512 * 16, T: int = 8, iters: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from dosma_tpu.ops.biexp_pallas import biexp_lm_pallas, pallas_supported
+
+    if not pallas_supported():  # pragma: no cover - bench runs on TPU
+        return {"skipped": "no TPU backend"}
+
+    rs = np.random.RandomState(0)
+    x = np.linspace(0.0, 10.0, T).astype(np.float32)
+    a1 = 0.8 + 0.4 * rs.rand(N).astype(np.float32)
+    b1 = -(0.4 + 0.2 * rs.rand(N).astype(np.float32))
+    a2 = 0.3 + 0.3 * rs.rand(N).astype(np.float32)
+    b2 = -(0.03 + 0.03 * rs.rand(N).astype(np.float32))
+    Y = a1[:, None] * np.exp(b1[:, None] * x) + a2[:, None] * np.exp(b2[:, None] * x)
+    Yd = jax.device_put(jnp.asarray(np.ascontiguousarray(Y.T.astype(np.float32))))
+    p0 = np.array([1.0, -0.5, 0.4, -0.04], np.float32)
+
+    def run():
+        return biexp_lm_pallas(x, Yd, p0, max_iter=100, y_layout="tn")
+
+    popt, r2, conv = run()
+    _readback(popt)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        popt, r2, conv = run()
+        _readback(popt)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "n_voxels": N,
+        "n_echoes": T,
+        "fit_seconds": round(dt, 4),
+        "voxels_per_sec": round(N / dt, 1),
+        "converged_fraction": round(float(jnp.mean(conv.astype(jnp.float32))), 4),
+    }
+
+
 def _try(fn, *args, **kwargs):
     try:
         return fn(*args, **kwargs)
@@ -416,6 +459,8 @@ def main():
 
     c1 = _bench_monoexp(N, T)
     unet_rate = _try(_bench_unet)
+    unet_rate_b64 = _try(_bench_unet, B=64)
+    biexp = _try(_bench_biexp)
     c2 = _try(_bench_qdess_e2e)
     c3 = _try(_bench_cubequant_e2e)
     c4 = _try(_bench_iwoai_fullvol)
@@ -439,7 +484,9 @@ def main():
                     "config4_iwoai_fullvol_seg": c4,
                     "config5_bilateral_pipeline": c5,
                     "registration_affine_pair": reg,
+                    "biexp_pallas_fit": biexp,
                     "unet_seg_slices_per_sec_384x384_b16": unet_rate,
+                    "unet_seg_slices_per_sec_384x384_b64": unet_rate_b64,
                 },
             })
         )
