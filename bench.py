@@ -38,7 +38,7 @@ import numpy as np
 # file runs), so the cache must be enabled through jax.config (same trap as
 # JAX_PLATFORMS; see DEVNOTES).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dosma_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def _enable_compile_cache():
@@ -46,7 +46,7 @@ def _enable_compile_cache():
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/dosma_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - older jax without these flags
         pass

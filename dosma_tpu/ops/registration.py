@@ -7,8 +7,10 @@ optimization:
 
 - transform models: translation / rigid (Euler) / affine, parameterized in
   world (RAS) space about the fixed-image center,
-- multi-resolution pyramid (average-pool downsampling), mirroring elastix's
-  MultiResolution strategy (``parameters-affine.txt:7-60``),
+- multi-resolution Gaussian SMOOTHING pyramid (elastix's
+  FixedSmoothingImagePyramid; ``parameters-affine.txt:7-60``) — constant
+  shapes across levels, so one stage = ONE compiled XLA program with the
+  level loop as a ``lax.scan``,
 - metrics: Mattes-style mutual information via differentiable soft
   (linear-kernel) joint histograms, plus MSE and NCC,
 - stochastic sampling: a fresh random subset of fixed voxels per iteration
@@ -65,6 +67,17 @@ class RegistrationParams:
 # ----------------------------------------------------------------------
 # Transform parameterization (world space, centered).
 # ----------------------------------------------------------------------
+def _mm(a, b):
+    """Full-f32 matmul for world-coordinate math.
+
+    TPU matmuls default to bf16 inputs; with ~100 mm world coordinates the
+    ~8-bit mantissa quantizes positions by ~0.4 mm, which measurably skews
+    registration (2.6-voxel translation error observed at 192^3 before this
+    pin). These are 4xN products — HIGHEST precision costs nothing.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _params_to_matrix(theta: jnp.ndarray, center: jnp.ndarray, transform: str) -> jnp.ndarray:
     """4x4 world->world matrix. Rotation/scaling about ``center``.
 
@@ -85,7 +98,7 @@ def _params_to_matrix(theta: jnp.ndarray, center: jnp.ndarray, transform: str) -
         Rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
         Ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
         Rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-        R = Rz @ Ry @ Rx
+        R = _mm(Rz, _mm(Ry, Rx))
     else:  # affine: 9 matrix deviations + 3 translations
         R = jnp.eye(3) + theta[:9].reshape(3, 3)
         t = theta[9:12]
@@ -93,7 +106,39 @@ def _params_to_matrix(theta: jnp.ndarray, center: jnp.ndarray, transform: str) -
     M = jnp.eye(4)
     M = M.at[:3, :3].set(R)
     # x' = R (x - c) + c + t
-    M = M.at[:3, 3].set(center - R @ center + t)
+    M = M.at[:3, 3].set(center - _mm(R, center) + t)
+    return M
+
+
+def _params_to_matrix_np(theta, center, transform: str) -> np.ndarray:
+    """Host (numpy) twin of :func:`_params_to_matrix`.
+
+    Converting a handful of scalars to a 4x4 matrix is host work; doing it
+    eagerly in jnp dispatches ~10 single-op XLA programs per call, which on
+    tunneled backends costs seconds of compile latency per fresh process.
+    """
+    theta = np.asarray(theta, np.float64)
+    center = np.asarray(center, np.float64)
+    if transform == "translation":
+        M = np.eye(4)
+        M[:3, 3] = theta[:3]
+        return M
+    if transform == "rigid":
+        rx, ry, rz = theta[:3]
+        t = theta[3:6]
+        cx, sx = np.cos(rx), np.sin(rx)
+        cy, sy = np.cos(ry), np.sin(ry)
+        cz, sz = np.cos(rz), np.sin(rz)
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        R = Rz @ Ry @ Rx
+    else:
+        R = np.eye(3) + theta[:9].reshape(3, 3)
+        t = theta[9:12]
+    M = np.eye(4)
+    M[:3, :3] = R
+    M[:3, 3] = center - R @ center + t
     return M
 
 
@@ -110,7 +155,7 @@ def _trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 def _world_matrix_to_index_map(M, fixed_affine, moving_affine):
     """Index-space map: moving_idx = B @ fixed_idx_homog; B = A_m^-1 M A_f."""
-    return jnp.linalg.inv(moving_affine) @ M @ fixed_affine
+    return _mm(jnp.linalg.inv(moving_affine), _mm(M, fixed_affine))
 
 
 def warp_volume(moving_arr, M, fixed_affine, moving_affine, fixed_shape) -> jnp.ndarray:
@@ -135,7 +180,7 @@ def _warp_volume_impl(moving_arr, M, fixed_affine, moving_affine, fixed_shape):
         indexing="ij",
     )
     idx = jnp.stack([i.ravel(), j.ravel(), k.ravel(), jnp.ones(d0 * d1 * d2, jnp.float32)])
-    m_idx = B @ idx
+    m_idx = _mm(B, idx)
     out = _trilinear_sample(moving_arr, m_idx[:3])
     return out.reshape(fixed_shape)
 
@@ -194,8 +239,14 @@ def _ncc(fixed_vals, moving_vals, weights):
 # ----------------------------------------------------------------------
 # Pyramid
 # ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("factor",))
 def _downsample(arr: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Average-pool by ``factor`` (pads to a multiple with edge values)."""
+    """Average-pool by ``factor`` (pads to a multiple with edge values).
+
+    Jitted (static factor) so each pyramid level is ONE compiled program
+    instead of an eager pad/reduce_window/divide stream — eager single-op
+    compiles cost ~0.4 s each through tunneled backends.
+    """
     if factor == 1:
         return arr
     pads = [(0, (-s) % factor) for s in arr.shape]
@@ -219,74 +270,127 @@ def _scale_affine(affine: np.ndarray, factor: int) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
-# Per-level optimization (one compiled program per level shape)
+# Whole-pyramid optimization (ONE compiled program per stage)
 # ----------------------------------------------------------------------
+_SMOOTH_RADIUS = 8  # taps = 2R+1; covers sigma up to ~2.7 voxels (factor 8 pyramids)
+
+
+def _gauss_smooth3(arr: jnp.ndarray, sigma) -> jnp.ndarray:
+    """Separable 3D Gaussian blur with a TRACED sigma (static kernel width).
+
+    ``sigma`` in voxels; near-zero sigma degenerates to a delta kernel, so
+    the finest pyramid level is (numerically) the unsmoothed volume. Edge
+    padding matches the decimating pyramid's edge-pool behavior.
+    """
+    offs = jnp.arange(-_SMOOTH_RADIUS, _SMOOTH_RADIUS + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-3)) ** 2)
+    w = w / jnp.sum(w)
+
+    def conv_axis(a, axis):
+        pads = [(0, 0)] * 3
+        pads[axis] = (_SMOOTH_RADIUS, _SMOOTH_RADIUS)
+        ap = jnp.pad(a, pads, mode="edge")
+        out = jnp.zeros_like(a)
+        n = a.shape[axis]
+        for k in range(2 * _SMOOTH_RADIUS + 1):
+            out = out + w[k] * jax.lax.dynamic_slice_in_dim(ap, k, n, axis)
+        return out
+
+    for ax in range(3):
+        arr = conv_axis(arr, ax)
+    return arr
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("transform", "metric", "iterations", "num_samples", "num_bins"),
 )
-def _optimize_level(
+def _optimize_pyramid(
     fixed_arr, fixed_affine, fixed_mask,
     moving_arr, moving_affine,
-    theta0, param_scale, center,
+    theta0, param_scale, center, sigmas,
     transform: str, metric: str,
     iterations: int, num_samples: int, num_bins: int,
     learning_rate, seed,
 ):
+    """Multi-resolution registration as ONE jitted program.
+
+    Instead of the classic decimating pyramid (one program per level shape,
+    which costs a compile + device program load per level per fresh
+    process), every level works on the FULL grid smoothed by a per-level
+    Gaussian (elastix's FixedSmoothingImagePyramid): shapes are static
+    across levels, so the level loop is a ``lax.scan`` carrying theta, and
+    the whole stage — smoothing, sampling, Adam — is a single XLA program.
+    Compute is equivalent: the metric samples ``num_samples`` random points
+    per iteration regardless of grid size.
+    """
     import optax
 
     fshape = fixed_arr.shape
-    f_lo, f_hi = jnp.min(fixed_arr), jnp.max(fixed_arr)
-    m_lo, m_hi = jnp.min(moving_arr), jnp.max(moving_arr)
     B_fix = fixed_affine  # index -> world
-
     inv_moving = jnp.linalg.inv(moving_affine)
 
-    def loss_fn(theta_n, key):
-        theta = theta_n * param_scale
-        M = _params_to_matrix(theta, center, transform)
-        # Random fixed-voxel samples (continuous coords, RandomCoordinate-style).
-        u = jax.random.uniform(key, (3, num_samples))
-        idx = u * (jnp.array(fshape, jnp.float32)[:, None] - 1)
-        idx_h = jnp.concatenate([idx, jnp.ones((1, num_samples))], axis=0)
+    def level_step(theta, level):
+        sigma, level_idx = level
+        f_s = _gauss_smooth3(fixed_arr, sigma)
+        m_s = _gauss_smooth3(moving_arr, sigma)
+        mask_s = _gauss_smooth3(fixed_mask, sigma) if fixed_mask is not None else None
+        f_lo, f_hi = jnp.min(f_s), jnp.max(f_s)
+        m_lo, m_hi = jnp.min(m_s), jnp.max(m_s)
 
-        fixed_vals = _trilinear_sample(fixed_arr, idx)
-        weights = (
-            _trilinear_sample(fixed_mask, idx) if fixed_mask is not None
-            else jnp.ones(num_samples)
+        def loss_fn(theta_n, key):
+            th = theta_n * param_scale
+            M = _params_to_matrix(th, center, transform)
+            # Random fixed-voxel samples (continuous, RandomCoordinate-style).
+            u = jax.random.uniform(key, (3, num_samples))
+            idx = u * (jnp.array(fshape, jnp.float32)[:, None] - 1)
+            idx_h = jnp.concatenate([idx, jnp.ones((1, num_samples))], axis=0)
+
+            fixed_vals = _trilinear_sample(f_s, idx)
+            weights = (
+                _trilinear_sample(mask_s, idx) if mask_s is not None
+                else jnp.ones(num_samples)
+            )
+
+            world = _mm(B_fix, idx_h)
+            m_idx = _mm(inv_moving, _mm(M, world))[:3]
+            moving_vals = _trilinear_sample(m_s, m_idx)
+            # Downweight samples that map outside the moving volume.
+            inside = jnp.all(
+                (m_idx >= 0) & (m_idx <= jnp.array(m_s.shape, jnp.float32)[:, None] - 1),
+                axis=0,
+            )
+            weights = weights * (0.01 + 0.99 * inside)
+
+            if metric == "mi":
+                return _soft_mi(
+                    fixed_vals, moving_vals, weights, num_bins, f_lo, f_hi, m_lo, m_hi
+                )
+            elif metric == "ncc":
+                return _ncc(fixed_vals, moving_vals, weights)
+            return _mse(fixed_vals, moving_vals, weights)
+
+        opt = optax.adam(learning_rate)
+
+        def step(carry, it):
+            theta_n, opt_state = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), level_idx * iterations + it)
+            loss, grads = jax.value_and_grad(loss_fn)(theta_n, key)
+            updates, opt_state = opt.update(grads, opt_state)
+            theta_n = optax.apply_updates(theta_n, updates)
+            return (theta_n, opt_state), loss
+
+        theta_n0 = theta / param_scale
+        (theta_n, _), losses = jax.lax.scan(
+            step, (theta_n0, opt.init(theta_n0)), jnp.arange(iterations)
         )
+        return theta_n * param_scale, losses
 
-        world = B_fix @ idx_h
-        m_idx = (inv_moving @ (M @ world))[:3]
-        moving_vals = _trilinear_sample(moving_arr, m_idx)
-        # Downweight samples that map outside the moving volume.
-        inside = jnp.all(
-            (m_idx >= 0) & (m_idx <= jnp.array(moving_arr.shape, jnp.float32)[:, None] - 1),
-            axis=0,
-        )
-        weights = weights * (0.01 + 0.99 * inside)
-
-        if metric == "mi":
-            return _soft_mi(fixed_vals, moving_vals, weights, num_bins, f_lo, f_hi, m_lo, m_hi)
-        elif metric == "ncc":
-            return _ncc(fixed_vals, moving_vals, weights)
-        return _mse(fixed_vals, moving_vals, weights)
-
-    opt = optax.adam(learning_rate)
-    opt_state = opt.init(theta0 / param_scale)
-
-    def step(carry, it):
-        theta_n, opt_state = carry
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), it)
-        loss, grads = jax.value_and_grad(loss_fn)(theta_n, key)
-        updates, opt_state = opt.update(grads, opt_state)
-        theta_n = optax.apply_updates(theta_n, updates)
-        return (theta_n, opt_state), loss
-
-    (theta_n, _), losses = jax.lax.scan(
-        step, (theta0 / param_scale, opt_state), jnp.arange(iterations)
+    n_levels = sigmas.shape[0]
+    theta, losses = jax.lax.scan(
+        level_step, theta0, (sigmas, jnp.arange(n_levels, dtype=jnp.int32))
     )
-    return theta_n * param_scale, losses
+    return theta, losses
 
 
 def _param_scale(transform: str, fixed_shape, spacing) -> np.ndarray:
@@ -315,10 +419,10 @@ def register_pair(
     transform (fixed-world point → moving-world point), ``theta`` the raw
     parameter vector of the final level, and ``info`` diagnostic losses.
     """
-    # Device-resident pyramid: the full volumes go host->device exactly
-    # once; per-level downsampling, theta carries, and the final matrix all
-    # stay on device (the old per-level np.asarray round trips dominated
-    # warm wall time through slow interconnects).
+    # The whole multi-resolution stage is ONE jitted program (smoothing
+    # pyramid, level scan, Adam): full volumes go host->device exactly once
+    # and a fresh process pays a single compile / executable load instead
+    # of one per pyramid level.
     fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
     moving_dev = jnp.asarray(moving_arr, jnp.float32)
     mask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
@@ -326,38 +430,47 @@ def register_pair(
     # World-space center of the fixed image (rotation center).
     center_idx = (np.asarray(fixed_dev.shape) - 1) / 2.0
     center = (np.asarray(fixed_affine) @ np.array([*center_idx, 1.0]))[:3].astype(np.float32)
-    center_dev = jnp.asarray(center)
 
     spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
 
     theta0 = np.zeros(params.nparams, np.float32)
     if init_matrix is not None and params.transform == "translation":
         theta0[:3] = np.asarray(init_matrix)[:3, 3]
-    theta = jnp.asarray(theta0)
 
-    factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
-    level_losses = []
-    for factor in factors:
-        f_arr = _downsample(fixed_dev, factor)
-        m_arr = _downsample(moving_dev, factor)
-        f_aff = _scale_affine(fixed_affine, factor)
-        m_aff = _scale_affine(moving_affine, factor)
-        f_mask = _downsample(mask_dev, factor) if mask_dev is not None else None
+    theta_host, losses = _run_pyramid_stage(
+        fixed_dev, fixed_affine, mask_dev, moving_dev, moving_affine,
+        theta0, center, spacing, params,
+    )
+    M = _params_to_matrix_np(theta_host, center, params.transform)
+    info = {"losses": [np.asarray(l) for l in losses]}
+    return M, theta_host, info
 
-        scale = _param_scale(params.transform, f_arr.shape, spacing * factor)
-        theta, losses = _optimize_level(
-            f_arr, jnp.asarray(f_aff, jnp.float32), f_mask,
-            m_arr, jnp.asarray(m_aff, jnp.float32),
-            theta, jnp.asarray(scale), center_dev,
-            params.transform, params.metric,
-            params.iterations, params.num_samples, params.num_bins,
-            params.learning_rate, params.seed,
-        )
-        level_losses.append(losses)
 
-    M = np.asarray(_params_to_matrix(theta, center_dev, params.transform))
-    info = {"losses": [np.asarray(l) for l in level_losses]}
-    return M, np.asarray(theta), info
+def _pyramid_sigmas(resolutions: int) -> np.ndarray:
+    """Per-level smoothing sigmas (voxels): factor/2 for factor 2^(L-1-l),
+    0 at the finest level — the smoothing-pyramid equivalent of the classic
+    decimate-by-2 schedule."""
+    factors = [2 ** (resolutions - 1 - lvl) for lvl in range(resolutions)]
+    return np.array([f / 2.0 if f > 1 else 0.0 for f in factors], np.float32)
+
+
+def _run_pyramid_stage(
+    fixed_dev, fixed_affine, mask_dev, moving_dev, moving_affine,
+    theta0, center, spacing, params: RegistrationParams,
+):
+    """Drive :func:`_optimize_pyramid` for one parameter stage."""
+    scale = _param_scale(params.transform, fixed_dev.shape, spacing)
+    sigmas = _pyramid_sigmas(params.resolutions)
+    theta, losses = _optimize_pyramid(
+        fixed_dev, jnp.asarray(fixed_affine, jnp.float32), mask_dev,
+        moving_dev, jnp.asarray(moving_affine, jnp.float32),
+        jnp.asarray(theta0, jnp.float32), jnp.asarray(scale),
+        jnp.asarray(center), jnp.asarray(sigmas),
+        params.transform, params.metric,
+        params.iterations, params.num_samples, params.num_bins,
+        params.learning_rate, params.seed,
+    )
+    return np.asarray(theta), np.asarray(losses)
 
 
 def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_shape):
@@ -393,14 +506,14 @@ def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_sha
     )
     n = d0 * d1 * d2
     idx = jnp.stack([i.ravel(), j.ravel(), k.ravel(), jnp.ones(n, jnp.float32)])
-    world = fixed_affine @ idx
+    world = _mm(fixed_affine, idx)
 
     for kind, *payload in reversed(list(stages)):
         if kind == "matrix":
-            world = jnp.asarray(payload[0], jnp.float32) @ world
+            world = _mm(jnp.asarray(payload[0], jnp.float32), world)
         elif kind == "bspline":
             ctrl, spacing_vox = payload
-            fidx = (inv_fixed @ world)[:3]
+            fidx = _mm(inv_fixed, world)[:3]
             disp = bspline_displacement(
                 jnp.asarray(ctrl, jnp.float32), fidx, jnp.asarray(spacing_vox, jnp.float32)
             )
@@ -408,7 +521,7 @@ def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_sha
         else:  # pragma: no cover
             raise ValueError(f"Unknown stage kind {kind}")
 
-    m_idx = inv_moving @ world
+    m_idx = _mm(inv_moving, world)
     out = _trilinear_sample(moving_arr, m_idx[:3])
     return out.reshape(fixed_shape)
 
@@ -449,10 +562,10 @@ def _optimize_bspline_level(
         )
 
         idx_h = jnp.concatenate([idx_level, jnp.ones((1, num_samples))], axis=0)
-        world = fixed_affine @ idx_h
+        world = _mm(fixed_affine, idx_h)
         disp = bspline_displacement(ctrl, idx_full, spacing_vox)
         world = world.at[:3].add(disp)
-        m_idx = (inv_moving @ world)[:3]
+        m_idx = _mm(inv_moving, world)[:3]
         moving_vals = _trilinear_sample(moving_arr, m_idx)
         inside = jnp.all(
             (m_idx >= 0) & (m_idx <= jnp.array(moving_arr.shape, jnp.float32)[:, None] - 1),
@@ -555,7 +668,8 @@ def register_pair_batch(
     intra-registration case (e.g. CubeQuant spin locks). Returns
     ``(Ms (M, 4, 4), thetas (M, P), info)``.
     """
-    # Device-resident batch pyramid (one H2D of the stack; see register_pair).
+    # One vmapped whole-pyramid program: the moving stack goes host->device
+    # once and every image optimizes all levels in a single XLA program.
     fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
     moving_dev = jnp.asarray(moving_arrs, jnp.float32)
     mask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
@@ -563,43 +677,30 @@ def register_pair_batch(
 
     center_idx = (np.asarray(fixed_dev.shape) - 1) / 2.0
     center = (np.asarray(fixed_affine) @ np.array([*center_idx, 1.0]))[:3].astype(np.float32)
-    center_dev = jnp.asarray(center)
     spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
 
-    thetas = jnp.zeros((M_count, params.nparams), jnp.float32)
+    scale = jnp.asarray(_param_scale(params.transform, fixed_dev.shape, spacing))
+    sigmas = jnp.asarray(_pyramid_sigmas(params.resolutions))
+    f_aff = jnp.asarray(fixed_affine, jnp.float32)
+    m_aff = jnp.asarray(moving_affine, jnp.float32)
+    center_dev = jnp.asarray(center)
+    thetas0 = jnp.zeros((M_count, params.nparams), jnp.float32)
 
-    factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
-    info = {"losses": []}
-    for factor in factors:
-        f_arr = _downsample(fixed_dev, factor)
-        m_arrs = jax.vmap(lambda m: _downsample(m, factor))(moving_dev)
-        f_aff = jnp.asarray(_scale_affine(fixed_affine, factor), jnp.float32)
-        m_aff = jnp.asarray(_scale_affine(moving_affine, factor), jnp.float32)
-        f_mask = _downsample(mask_dev, factor) if mask_dev is not None else None
+    def _one(m_arr, theta0, seed_offset):
+        return _optimize_pyramid(
+            fixed_dev, f_aff, mask_dev, m_arr, m_aff,
+            theta0, scale, center_dev, sigmas,
+            params.transform, params.metric,
+            params.iterations, params.num_samples, params.num_bins,
+            params.learning_rate, params.seed + seed_offset,
+        )
 
-        scale = jnp.asarray(_param_scale(params.transform, f_arr.shape, spacing * factor))
-
-        def _one(m_arr, theta, seed_offset):
-            return _optimize_level(
-                f_arr, f_aff, f_mask, m_arr, m_aff,
-                theta, scale, center_dev,
-                params.transform, params.metric,
-                params.iterations, params.num_samples, params.num_bins,
-                params.learning_rate, params.seed + seed_offset,
-            )
-
-        thetas, losses = jax.vmap(_one)(m_arrs, thetas, jnp.arange(M_count))
-        info["losses"].append(losses)
+    thetas, losses = jax.vmap(_one)(moving_dev, thetas0, jnp.arange(M_count))
     thetas = np.asarray(thetas)
-    info["losses"] = [np.asarray(l) for l in info["losses"]]
+    info = {"losses": [np.asarray(l) for l in losses.swapaxes(0, 1)]}
 
     Ms = np.stack(
-        [
-            np.asarray(
-                _params_to_matrix(jnp.asarray(thetas[i]), jnp.asarray(center), params.transform)
-            )
-            for i in range(M_count)
-        ]
+        [_params_to_matrix_np(thetas[i], center, params.transform) for i in range(M_count)]
     )
     return Ms, thetas, info
 
