@@ -52,16 +52,24 @@ def shard_voxels(arr: np.ndarray, mesh: Mesh, axis_name: str = "data"):
     return jax.device_put(arr, sharding), pad
 
 
-def _is_monoexponential(model_fn) -> bool:
-    """True when ``model_fn`` is the library monoexponential ``a * exp(b x)``."""
+def _is_library_model(model_fn, name: str) -> bool:
+    """True when ``model_fn`` is the named library model function."""
     try:
-        from dosma_tpu.core.fitting import monoexponential
+        from dosma_tpu.core import fitting
 
-        if model_fn is monoexponential:
+        if model_fn is getattr(fitting, name):
             return True
-    except ImportError:  # pragma: no cover
+    except (ImportError, AttributeError):  # pragma: no cover
         pass
-    return getattr(model_fn, "__name__", "") == "monoexponential"
+    return getattr(model_fn, "__name__", "") == name
+
+
+def _is_monoexponential(model_fn) -> bool:
+    return _is_library_model(model_fn, "monoexponential")
+
+
+def _is_biexponential(model_fn) -> bool:
+    return _is_library_model(model_fn, "biexponential")
 
 
 def sharded_lm_fit(
@@ -83,17 +91,18 @@ def sharded_lm_fit(
 
     ``kernel`` selects the per-shard engine:
 
-    - ``"auto"``: the fused Pallas monoexponential kernel when ``model_fn``
-      is the library monoexponential and the backend compiles Pallas TPU
+    - ``"auto"``: the fused Pallas kernel when ``model_fn`` is the library
+      monoexponential or biexponential and the backend compiles Pallas TPU
       kernels; the generic vmapped LM otherwise.
-    - ``"pallas_monoexp"``: force the Pallas kernel (each shard runs it
-      under ``shard_map``; works in interpret mode on CPU for tests).
+    - ``"pallas_monoexp"`` / ``"pallas_biexp"``: force the fused kernel
+      (each shard runs it under ``shard_map``; works in interpret mode on
+      CPU for tests).
     - ``"generic"``: force the generic engine.
     """
     from dosma_tpu.ops.monoexp_pallas import pallas_supported
     from dosma_tpu.ops.nlls import lm_fit
 
-    if kernel not in ("auto", "pallas_monoexp", "generic"):
+    if kernel not in ("auto", "pallas_monoexp", "pallas_biexp", "generic"):
         raise ValueError(f"Unknown kernel {kernel!r}")
     if mesh is None:
         mesh = get_mesh()
@@ -108,21 +117,29 @@ def sharded_lm_fit(
     else:
         p0_sharded = p0
 
-    use_pallas = kernel == "pallas_monoexp" or (
-        kernel == "auto" and _is_monoexponential(model_fn) and pallas_supported()
-    )
-    if use_pallas:
-        popt, r2, converged = _shard_mapped_monoexp_pallas(
-            x, y_sharded, p0_sharded, mesh, axis_name, p0_is_per_voxel, **kwargs
+    if kernel == "auto" and pallas_supported():
+        if _is_monoexponential(model_fn):
+            kernel = "pallas_monoexp"
+        elif _is_biexponential(model_fn):
+            kernel = "pallas_biexp"
+    if kernel in ("pallas_monoexp", "pallas_biexp"):
+        popt, r2, converged = _shard_mapped_pallas(
+            kernel, x, y_sharded, p0_sharded, mesh, axis_name, p0_is_per_voxel, **kwargs
         )
     else:
-        if _is_monoexponential(model_fn):
-            # The library model is curve_fit-style (x, a, b); lm_fit wants
-            # model_fn(x_col, params_tuple).
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
+        if _is_monoexponential(model_fn):
+            # The library models are curve_fit-style (x, a, b, ...); lm_fit
+            # wants model_fn(x_col, params_tuple).
             def model_fn(x_col, params):  # noqa: F811
                 return params[0] * jnp.exp(params[1] * x_col)
+
+        elif _is_biexponential(model_fn):
+            def model_fn(x_col, params):  # noqa: F811
+                return params[0] * jnp.exp(params[1] * x_col) + params[2] * jnp.exp(
+                    params[3] * x_col
+                )
 
         popt, r2, converged = lm_fit(model_fn, x, y_sharded, p0_sharded, **kwargs)
     if pad:
@@ -130,10 +147,11 @@ def sharded_lm_fit(
     return popt, r2, converged
 
 
-def _shard_mapped_monoexp_pallas(
-    x, y_sharded, p0_sharded, mesh: Mesh, axis_name: str, p0_is_per_voxel: bool, **kwargs
+def _shard_mapped_pallas(
+    kernel: str, x, y_sharded, p0_sharded, mesh: Mesh, axis_name: str,
+    p0_is_per_voxel: bool, **kwargs
 ):
-    """Run the fused Pallas monoexp kernel per shard under ``shard_map``.
+    """Run a fused Pallas LM kernel per shard under ``shard_map``.
 
     The kernel is a ``pallas_call`` — XLA cannot auto-partition it from a
     NamedSharding alone, so each device runs the kernel on its local voxel
@@ -142,13 +160,16 @@ def _shard_mapped_monoexp_pallas(
     import jax.numpy as jnp
     from jax import shard_map
 
-    from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas
+    if kernel == "pallas_monoexp":
+        from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas as kernel_fn
+    else:
+        from dosma_tpu.ops.biexp_pallas import biexp_lm_pallas as kernel_fn
 
     x = jnp.asarray(x, jnp.float32)
     row = P(axis_name, *([None] * (y_sharded.ndim - 1)))
 
     def per_shard(y_local, p0_local):
-        return monoexp_lm_pallas(x, y_local, p0_local, **kwargs)
+        return kernel_fn(x, y_local, p0_local, **kwargs)
 
     p0_spec = P(axis_name, None) if p0_is_per_voxel else P()
     fn = shard_map(

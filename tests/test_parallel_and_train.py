@@ -89,6 +89,47 @@ class TestShardedFit:
         np.testing.assert_allclose(popt_p[both], popt_g[both], atol=2e-4)
         np.testing.assert_allclose(np.asarray(r2_p)[both], np.asarray(r2_g)[both], atol=1e-4)
 
+    def test_biexp_kernel_under_shard_map_matches_generic(self):
+        """The fused biexponential kernel runs per-shard via shard_map and
+        agrees with the generic engine (2-device mesh; see the monoexp
+        test above for why not 8)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.core.fitting import biexponential
+        from dosma_tpu.parallel.sharding import get_mesh, sharded_lm_fit
+
+        rs = np.random.RandomState(11)
+        N = 150  # not divisible by 2 -> exercises pad + unpad
+        x = np.linspace(0.0, 10.0, 8).astype(np.float32)
+        a1 = 0.8 + 0.4 * rs.rand(N).astype(np.float32)
+        b1 = -(0.4 + 0.2 * rs.rand(N).astype(np.float32))
+        a2 = 0.3 + 0.3 * rs.rand(N).astype(np.float32)
+        b2 = -(0.03 + 0.03 * rs.rand(N).astype(np.float32))
+        Y = (
+            a1[:, None] * np.exp(b1[:, None] * x) + a2[:, None] * np.exp(b2[:, None] * x)
+        ).astype(np.float32)
+        p0 = np.array([1.0, -0.5, 0.4, -0.04], np.float32)
+
+        mesh = get_mesh(jax.devices()[:2])
+        with pltpu.force_tpu_interpret_mode():
+            popt_p, r2_p, conv_p = sharded_lm_fit(
+                biexponential, x, Y, p0, mesh=mesh, kernel="pallas_biexp", max_iter=100
+            )
+        popt_g, r2_g, conv_g = sharded_lm_fit(
+            biexponential, x, Y, p0, mesh=mesh, kernel="generic", max_iter=100
+        )
+
+        popt_p, popt_g = np.asarray(popt_p), np.asarray(popt_g)
+        assert popt_p.shape == (N, 4)
+        assert np.asarray(conv_p).mean() > 0.9
+        both = np.all(np.isfinite(popt_p), axis=1) & np.all(np.isfinite(popt_g), axis=1)
+        assert both.mean() > 0.85
+
+        def curve(p):
+            return p[:, 0:1] * np.exp(p[:, 1:2] * x) + p[:, 2:3] * np.exp(p[:, 3:4] * x)
+
+        np.testing.assert_allclose(curve(popt_p[both]), curve(popt_g[both]), atol=5e-4)
+
     def test_kernel_auto_stays_generic_off_tpu(self):
         """auto must not pick the compiled Pallas path on the CPU backend."""
         from dosma_tpu.core.fitting import monoexponential
