@@ -1,8 +1,13 @@
-"""Bridge to the optional C++ I/O accelerator (``native/dosma_io.cpp``).
+"""Bridge to the optional C++ accelerators (``native/*.cpp``).
 
-Provides batched DICOM file parsing off the Python interpreter. Falls back
-gracefully (``available() == False``) when the shared library has not been
-built — all call sites must guard on :func:`available`.
+- ``libdosma_io.so``: batched threaded file reading (DICOM series).
+- ``libdosma_codecs.so``: compressed-pixel decoders (RLE Lossless, JPEG
+  Lossless SOF3) — the bit-serial Huffman scan is ~1000x faster in C++
+  than the pure-Python codec.
+
+Falls back gracefully (``available() == False`` / ``codecs_available() ==
+False``) when the shared libraries have not been built — all call sites
+must guard on those probes.
 """
 
 from __future__ import annotations
@@ -13,10 +18,27 @@ from typing import List, Optional
 
 _LIB = None
 _TRIED = False
+_CODECS = None
+_CODECS_TRIED = False
+
+
+def _lib_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_lib"
+    )
 
 
 def _lib_path() -> str:
-    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_lib", "libdosma_io.so")
+    return os.path.join(_lib_dir(), "libdosma_io.so")
+
+
+def _load_so(path: str):
+    if os.path.isfile(path):
+        try:
+            return ctypes.CDLL(path)
+        except OSError:
+            return None
+    return None
 
 
 def _load():
@@ -24,17 +46,68 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = _lib_path()
-    if os.path.isfile(path):
-        try:
-            _LIB = ctypes.CDLL(path)
-        except OSError:
-            _LIB = None
+    _LIB = _load_so(_lib_path())
     return _LIB
+
+
+def _load_codecs():
+    global _CODECS, _CODECS_TRIED
+    if _CODECS_TRIED:
+        return _CODECS
+    _CODECS_TRIED = True
+    _CODECS = _load_so(os.path.join(_lib_dir(), "libdosma_codecs.so"))
+    return _CODECS
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def codecs_available() -> bool:
+    return _load_codecs() is not None
+
+
+def rle_decode(data: bytes, rows: int, cols: int, samples: int, bits_allocated: int):
+    """RLE-decode one frame via C++; returns (rows, cols[, samples]) ndarray."""
+    import numpy as np
+
+    lib = _load_codecs()
+    nbytes = bits_allocated // 8
+    out = np.empty(rows * cols * samples * nbytes, np.uint8)
+    rc = lib.dosma_rle_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows, cols, samples, nbytes,
+    )
+    if rc != 0:
+        raise ValueError(f"native RLE decode failed (code {rc})")
+    dtype = np.dtype({1: ">u1", 2: ">u2", 4: ">u4"}[nbytes])
+    arr = out.view(dtype).reshape(rows, cols, samples)
+    return arr[..., 0] if samples == 1 else arr
+
+
+def jpeg_lossless_decode(data: bytes):
+    """Decode a single-component SOF3 stream via C++; returns uint16 array."""
+    import numpy as np
+
+    lib = _load_codecs()
+    meta = (ctypes.c_int * 4)()
+    rc = lib.dosma_jpeg_lossless_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        None, ctypes.c_longlong(0), meta, 1,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG lossless header parse failed (code {rc})")
+    rows, cols = meta[0], meta[1]
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.dosma_jpeg_lossless_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_longlong(out.size), meta, 0,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG lossless decode failed (code {rc})")
+    return out
 
 
 def read_dicom_files(files: List[str]):

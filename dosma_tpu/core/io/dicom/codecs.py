@@ -536,15 +536,30 @@ def decode_frames(
     nframes: int = 1,
 ) -> np.ndarray:
     """Decode encapsulated fragments into an ndarray (native byte order)."""
+    from dosma_tpu.core.io import _native
+
+    use_native = _native.codecs_available()
     frames = encapsulated.frames(nframes)
     decoded = []
     for frame in frames:
         if transfer_syntax == RLE_LOSSLESS:
-            img = rle_decode_frame(frame, rows, cols, samples, bits_allocated)
+            if use_native:
+                try:
+                    img = _native.rle_decode(frame, rows, cols, samples, bits_allocated)
+                except ValueError:
+                    img = rle_decode_frame(frame, rows, cols, samples, bits_allocated)
+            else:
+                img = rle_decode_frame(frame, rows, cols, samples, bits_allocated)
         elif transfer_syntax in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
             if samples != 1:
                 raise NotImplementedError("JPEG lossless decode supports 1 sample/pixel")
-            img = jpeg_lossless_decode(frame)
+            if use_native:
+                try:
+                    img = _native.jpeg_lossless_decode(frame)
+                except ValueError:
+                    img = jpeg_lossless_decode(frame)
+            else:
+                img = jpeg_lossless_decode(frame)
             if bits_allocated == 8:
                 img = img.astype(np.uint8)
         else:

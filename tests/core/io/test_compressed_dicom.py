@@ -213,3 +213,73 @@ class TestCompressedSeriesEndToEnd:
 
         (mv,) = DicomReader().load(str(tmp_path))
         np.testing.assert_array_equal(np.asarray(mv.volume).squeeze(), vol)
+
+
+_native_missing = True
+try:
+    from dosma_tpu.core.io import _native as _native_mod
+
+    _native_missing = not _native_mod.codecs_available()
+except Exception:  # pragma: no cover
+    pass
+
+
+@pytest.mark.skipif(_native_missing, reason="native codec library not built")
+class TestNativeCodecParity:
+    """The C++ decoders (native/dosma_codecs.cpp) must be bit-exact twins
+    of the Python codecs — decode_frames dispatches to them when built."""
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_rle_parity(self, dtype):
+        rs = np.random.RandomState(3)
+        arr = (rs.rand(61, 83) * (255 if dtype == np.uint8 else 65535)).astype(dtype)
+        enc = rle_encode_frame(arr)
+        bits = arr.dtype.itemsize * 8
+        py = rle_decode_frame(enc, 61, 83, 1, bits)
+        nat = _native_mod.rle_decode(enc, 61, 83, 1, bits)
+        assert np.array_equal(np.asarray(py, dtype), np.asarray(nat, dtype))
+
+    def test_rle_multi_sample_parity(self):
+        rs = np.random.RandomState(4)
+        arr = (rs.rand(32, 40, 3) * 65535).astype(np.uint16)
+        enc = rle_encode_frame(arr)
+        py = rle_decode_frame(enc, 32, 40, 3, 16)
+        nat = _native_mod.rle_decode(enc, 32, 40, 3, 16)
+        assert np.array_equal(np.asarray(py, np.uint16), np.asarray(nat, np.uint16))
+
+    @pytest.mark.parametrize("predictor", list(range(1, 8)))
+    def test_jpeg_lossless_parity(self, predictor):
+        rs = np.random.RandomState(predictor)
+        arr = (rs.rand(45, 57) * 4000).astype(np.uint16)
+        je = jpeg_lossless_encode(arr, 16, predictor=predictor)
+        assert np.array_equal(jpeg_lossless_decode(je), _native_mod.jpeg_lossless_decode(je))
+        assert np.array_equal(_native_mod.jpeg_lossless_decode(je), arr)
+
+    def test_jpeg_point_transform_parity(self):
+        rs = np.random.RandomState(9)
+        arr = ((rs.rand(40, 44) * 4000).astype(np.uint16)) & np.uint16(0xFFF8)
+        je = jpeg_lossless_encode(arr, 16, point_transform=3)
+        assert np.array_equal(jpeg_lossless_decode(je), _native_mod.jpeg_lossless_decode(je))
+
+    def test_corrupt_stream_raises_not_crashes(self):
+        with pytest.raises(ValueError):
+            _native_mod.jpeg_lossless_decode(b"\xff\xd8\xff\xc3garbage")
+        with pytest.raises(ValueError):
+            _native_mod.rle_decode(b"\x00" * 63, 8, 8, 1, 16)
+
+    def test_decode_frames_uses_native_path(self, monkeypatch):
+        """decode_frames must route through the native decoder when built."""
+        rs = np.random.RandomState(11)
+        arr = (rs.rand(16, 16) * 65535).astype(np.uint16)
+        enc = EncapsulatedPixelData([rle_encode_frame(arr)])
+        hits = {}
+        real = _native_mod.rle_decode
+
+        def spy(*a, **k):
+            hits["native"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(_native_mod, "rle_decode", spy)
+        out = codecs.decode_frames(enc, RLE_LOSSLESS, 16, 16, 1, 16)
+        assert hits.get("native")
+        assert np.array_equal(out, arr)
