@@ -86,6 +86,52 @@ def rle_decode(data: bytes, rows: int, cols: int, samples: int, bits_allocated: 
     return arr[..., 0] if samples == 1 else arr
 
 
+def rle_encode(arr) -> bytes:
+    """RLE-encode one frame via C++ (byte-identical to the Python encoder)."""
+    import numpy as np
+
+    lib = _load_codecs()
+    a = np.ascontiguousarray(arr)
+    if a.ndim == 2:
+        a = a[..., None]
+    rows, cols, samples = a.shape
+    nbytes = a.dtype.itemsize
+    src = np.ascontiguousarray(a.astype(a.dtype.newbyteorder(">"), copy=False)).view(np.uint8)
+    cap = 64 + (rows * cols + rows * cols // 128 + 2) * samples * nbytes + 64
+    out = np.empty(cap, np.uint8)
+    lib.dosma_rle_encode.restype = ctypes.c_longlong
+    n = lib.dosma_rle_encode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows, cols, samples, nbytes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_longlong(cap),
+    )
+    if n < 0:
+        raise ValueError(f"native RLE encode failed (code {n})")
+    return out[:n].tobytes()
+
+
+def jpeg_lossless_encode(arr, precision: int, predictor: int = 1, point_transform: int = 0) -> bytes:
+    """JPEG-lossless encode via C++ (byte-identical to the Python encoder)."""
+    import numpy as np
+
+    lib = _load_codecs()
+    a = np.ascontiguousarray(np.asarray(arr), dtype=np.uint16)
+    if a.ndim != 2:
+        raise ValueError("JPEG lossless encoder supports single-component 2D frames")
+    rows, cols = a.shape
+    cap = rows * cols * 5 + 4096
+    out = np.empty(cap, np.uint8)
+    lib.dosma_jpeg_lossless_encode.restype = ctypes.c_longlong
+    n = lib.dosma_jpeg_lossless_encode(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rows, cols, precision, predictor, point_transform,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_longlong(cap),
+    )
+    if n < 0:
+        raise ValueError(f"native JPEG lossless encode failed (code {n})")
+    return out[:n].tobytes()
+
+
 def jpeg_lossless_decode(data: bytes):
     """Decode a single-component SOF3 stream via C++; returns uint16 array."""
     import numpy as np

@@ -509,15 +509,30 @@ def encode_frames(
 
     ``pixel_array`` is (rows, cols[, samples]) or (frames, rows, cols[, samples]).
     """
+    from dosma_tpu.core.io import _native
+
+    use_native = _native.codecs_available()
     arr = np.asarray(pixel_array)
     frames = arr if (arr.ndim >= 3 and nframes > 1) else arr[None]
     frags = []
     for frame in frames:
         if transfer_syntax == RLE_LOSSLESS:
-            frag = rle_encode_frame(frame)
+            if use_native:
+                try:
+                    frag = _native.rle_encode(frame)
+                except ValueError:
+                    frag = rle_encode_frame(frame)
+            else:
+                frag = rle_encode_frame(frame)
         elif transfer_syntax in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
             bits = frame.dtype.itemsize * 8
-            frag = jpeg_lossless_encode(frame, precision=bits)
+            if use_native and frame.ndim == 2 and frame.dtype.itemsize <= 2:
+                try:
+                    frag = _native.jpeg_lossless_encode(frame, precision=bits)
+                except ValueError:
+                    frag = jpeg_lossless_encode(frame, precision=bits)
+            else:
+                frag = jpeg_lossless_encode(frame, precision=bits)
         else:
             raise NotImplementedError(f"No encoder for transfer syntax {transfer_syntax}")
         if len(frag) % 2:

@@ -307,4 +307,216 @@ int dosma_jpeg_lossless_decode(const uint8_t *data, long long n, uint16_t *dst,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Encoders (byte-identical twins of the Python codecs).
+// ---------------------------------------------------------------------------
+static long long packbits_encode(const uint8_t *src, long long n, uint8_t *dst,
+                                 long long cap) {
+  long long i = 0, o = 0;
+  while (i < n) {
+    long long run = 1;
+    while (i + run < n && run < 128 && src[i + run] == src[i]) ++run;
+    if (run >= 2) {
+      if (o + 2 > cap) return -1;
+      dst[o++] = (uint8_t)(257 - run);
+      dst[o++] = src[i];
+      i += run;
+      continue;
+    }
+    long long j = i + 1;
+    while (j < n && j - i < 128) {
+      if (j + 2 < n && src[j] == src[j + 1] && src[j] == src[j + 2]) break;
+      ++j;
+    }
+    if (o + 1 + (j - i) > cap) return -1;
+    dst[o++] = (uint8_t)(j - i - 1);
+    std::memcpy(dst + o, src + i, (size_t)(j - i));
+    o += j - i;
+    i = j;
+  }
+  return o;
+}
+
+// Encode one frame as RLE Lossless. src_be: big-endian sample bytes in
+// pixel-major order (rows*cols*samples*nbytes). Returns total bytes written
+// to dst (header + segments), or negative on overflow/invalid input.
+long long dosma_rle_encode(const uint8_t *src_be, int rows, int cols,
+                           int samples, int nbytes, uint8_t *dst,
+                           long long cap) {
+  int nseg = samples * nbytes;
+  if (nseg < 1 || nseg > 15) return -2;
+  long long plane_len = (long long)rows * cols;
+  if (cap < 64) return -1;
+
+  uint32_t header[16] = {0};
+  header[0] = (uint32_t)nseg;
+  long long o = 64;
+  std::vector<uint8_t> plane((size_t)plane_len);
+  long long stride = (long long)samples * nbytes;
+  int k = 0;
+  for (int s = 0; s < samples; ++s) {
+    for (int b = 0; b < nbytes; ++b, ++k) {
+      const uint8_t *base = src_be + (long long)s * nbytes + b;
+      for (long long p = 0; p < plane_len; ++p) plane[(size_t)p] = base[p * stride];
+      long long got = packbits_encode(plane.data(), plane_len, dst + o, cap - o);
+      if (got < 0) return -1;
+      if (got % 2) {
+        if (o + got + 1 > cap) return -1;
+        dst[o + got] = 0x00;
+        ++got;
+      }
+      header[1 + k] = (uint32_t)o;
+      o += got;
+    }
+  }
+  std::memcpy(dst, header, 64);
+  return o;
+}
+
+namespace {
+
+struct BitWriter {
+  uint8_t *dst;
+  long long cap;
+  long long o = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  BitWriter(uint8_t *d, long long c) : dst(d), cap(c) {}
+
+  inline void write(uint32_t value, int want) {
+    if (want == 0) return;
+    acc = (acc << want) | (value & ((want >= 32) ? 0xFFFFFFFFu : ((1u << want) - 1)));
+    nbits += want;
+    while (nbits >= 8) {
+      uint8_t byte = (uint8_t)((acc >> (nbits - 8)) & 0xFF);
+      if (o >= cap) { overflow = true; return; }
+      dst[o++] = byte;
+      if (byte == 0xFF) {
+        if (o >= cap) { overflow = true; return; }
+        dst[o++] = 0x00;  // stuffing
+      }
+      nbits -= 8;
+    }
+    acc &= (nbits >= 64) ? ~0ULL : ((1ULL << nbits) - 1);
+  }
+
+  inline void flush() {
+    if (nbits) {
+      int pad = 8 - nbits;
+      write((1u << pad) - 1, pad);  // 1-padding per T.81 F.1.2.3
+    }
+  }
+};
+
+}  // namespace
+
+// Encode a 2D unsigned frame (uint16 samples) as a single-component JPEG
+// lossless (SOF3) stream with the fixed Huffman table the Python encoder
+// uses. Returns bytes written, negative on error.
+long long dosma_jpeg_lossless_encode(const uint16_t *src, int rows, int cols,
+                                     int precision, int predictor,
+                                     int point_transform, uint8_t *dst,
+                                     long long cap) {
+  if (precision < 2 || precision > 16) return -2;
+  if (predictor < 1 || predictor > 7) return -2;
+  // Fixed encoder table: categories 0-2 at 2 bits, 3..16 at 3..16 bits.
+  static const uint8_t enc_bits[16] = {0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1};
+  static const uint8_t enc_values[17] = {0, 1, 2, 3, 4, 5, 6, 7, 8,
+                                         9, 10, 11, 12, 13, 14, 15, 16};
+  uint16_t codes[17];
+  uint8_t lens[17];
+  {
+    int code = 0, vi = 0;
+    for (int l = 1; l <= 16; ++l) {
+      for (int c = 0; c < enc_bits[l - 1]; ++c) {
+        codes[enc_values[vi]] = (uint16_t)code;
+        lens[enc_values[vi]] = (uint8_t)l;
+        ++code;
+        ++vi;
+      }
+      code <<= 1;
+    }
+  }
+
+  long long o = 0;
+  auto put = [&](std::initializer_list<uint8_t> bytes) -> bool {
+    for (uint8_t b : bytes) {
+      if (o >= cap) return false;
+      dst[o++] = b;
+    }
+    return true;
+  };
+  if (!put({0xFF, 0xD8})) return -1;  // SOI
+  // SOF3: length 11, precision, lines, samples/line, 1 component (1, 1x1, 0)
+  if (!put({0xFF, 0xC3, 0x00, 11, (uint8_t)precision, (uint8_t)(rows >> 8),
+            (uint8_t)rows, (uint8_t)(cols >> 8), (uint8_t)cols, 1, 1, 0x11, 0}))
+    return -1;
+  // DHT (class 0, id 0)
+  int dht_len = 2 + 1 + 16 + 17;
+  if (!put({0xFF, 0xC4, (uint8_t)(dht_len >> 8), (uint8_t)dht_len, 0x00})) return -1;
+  for (int i = 0; i < 16; ++i)
+    if (!put({enc_bits[i]})) return -1;
+  for (int i = 0; i < 17; ++i)
+    if (!put({enc_values[i]})) return -1;
+  // SOS: 1 component, Ss=predictor, Se=0, Ah<<4|Al=point transform
+  if (!put({0xFF, 0xDA, 0x00, 8, 1, 1, 0x00, (uint8_t)predictor, 0,
+            (uint8_t)point_transform}))
+    return -1;
+
+  BitWriter bw(dst + o, cap - o);
+  int x0 = 1 << (precision - point_transform - 1);
+  std::vector<int32_t> prev((size_t)cols), cur((size_t)cols);
+  bool first_line = true;
+  for (int r = 0; r < rows; ++r) {
+    const uint16_t *row = src + (long long)r * cols;
+    for (int c = 0; c < cols; ++c) cur[(size_t)c] = (int32_t)(row[c] >> point_transform);
+    for (int c = 0; c < cols; ++c) {
+      int32_t px;
+      if (first_line) {
+        px = c > 0 ? cur[(size_t)(c - 1)] : x0;
+      } else if (c == 0) {
+        px = prev[0];
+      } else {
+        int32_t ra = cur[(size_t)(c - 1)], rb = prev[(size_t)c], rc = prev[(size_t)(c - 1)];
+        switch (predictor) {
+          case 1: px = ra; break;
+          case 2: px = rb; break;
+          case 3: px = rc; break;
+          case 4: px = ra + rb - rc; break;
+          case 5: px = ra + ((rb - rc) >> 1); break;
+          case 6: px = rb + ((ra - rc) >> 1); break;
+          default: px = (ra + rb) >> 1; break;
+        }
+      }
+      int32_t diff = (cur[(size_t)c] - px) & 0xFFFF;
+      if (diff >= 0x8000) diff -= 0x10000;
+      int ssss;
+      if (diff == -32768) {
+        ssss = 16;
+      } else {
+        uint32_t a = (uint32_t)(diff < 0 ? -diff : diff);
+        ssss = 0;
+        while (a) { ++ssss; a >>= 1; }
+      }
+      bw.write(codes[ssss], lens[ssss]);
+      if (ssss > 0 && ssss < 16) {
+        int32_t v = diff > 0 ? diff : diff + (1 << ssss) - 1;
+        bw.write((uint32_t)v, ssss);
+      }
+      if (bw.overflow) return -1;
+    }
+    std::swap(prev, cur);
+    first_line = false;
+  }
+  bw.flush();
+  if (bw.overflow) return -1;
+  o += bw.o;
+  if (o + 2 > cap) return -1;
+  dst[o++] = 0xFF;
+  dst[o++] = 0xD9;  // EOI
+  return o;
+}
+
 }  // extern "C"

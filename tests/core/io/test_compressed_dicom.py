@@ -283,3 +283,33 @@ class TestNativeCodecParity:
         out = codecs.decode_frames(enc, RLE_LOSSLESS, 16, 16, 1, 16)
         assert hits.get("native")
         assert np.array_equal(out, arr)
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_rle_encode_byte_parity(self, dtype):
+        rs = np.random.RandomState(21)
+        arr = (rs.rand(47, 61) * (255 if dtype == np.uint8 else 65535)).astype(dtype)
+        assert _native_mod.rle_encode(arr) == rle_encode_frame(arr)
+
+    @pytest.mark.parametrize("predictor", list(range(1, 8)))
+    def test_jpeg_encode_byte_parity(self, predictor):
+        rs = np.random.RandomState(predictor + 30)
+        arr = (rs.rand(33, 49) * 4000).astype(np.uint16)
+        assert _native_mod.jpeg_lossless_encode(
+            arr, 16, predictor=predictor
+        ) == jpeg_lossless_encode(arr, 16, predictor=predictor)
+
+    def test_encode_frames_uses_native_path(self, monkeypatch):
+        rs = np.random.RandomState(12)
+        arr = (rs.rand(16, 16) * 65535).astype(np.uint16)
+        hits = {}
+        real = _native_mod.rle_encode
+
+        def spy(*a, **k):
+            hits["native"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(_native_mod, "rle_encode", spy)
+        enc = codecs.encode_frames(arr, RLE_LOSSLESS)
+        assert hits.get("native")
+        out = codecs.decode_frames(enc, RLE_LOSSLESS, 16, 16, 1, 16)
+        assert np.array_equal(out, arr)
