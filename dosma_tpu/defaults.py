@@ -141,6 +141,10 @@ class _Preferences:
         return self.get("segmentation/batch.size")
 
     @property
+    def segmentation_precision(self) -> str:
+        return self.get("segmentation/precision")
+
+    @property
     def visualization_use_vmax(self) -> bool:
         return self.get("visualization/use.vmax")
 

@@ -31,7 +31,11 @@ class OAIUnet2D(JaxSegModel):
     sigmoid_threshold = 0.5
 
     def __load_model__(self, input_shape):
-        return Unet2D(input_shape, num_classes=1)
+        from dosma_tpu.defaults import preferences
+
+        return Unet2D(
+            input_shape, num_classes=1, precision=preferences.segmentation_precision
+        )
 
     def generate_mask(self, volume: MedicalVolume):
         """Sagittal reformat → per-slice batched inference → threshold 0.5 →
@@ -83,7 +87,11 @@ class IWOAIOAIUnet2D(OAIUnet2D):
         super().__init__(input_shape, weights_path)
 
     def __load_model__(self, input_shape):
-        return Unet2D(input_shape, num_classes=4)
+        from dosma_tpu.defaults import preferences
+
+        return Unet2D(
+            input_shape, num_classes=4, precision=preferences.segmentation_precision
+        )
 
     def generate_mask(self, volume: MedicalVolume):
         vol_copy = deepcopy(volume)

@@ -28,7 +28,11 @@ class StanfordQDessUNet2D(JaxSegModel):
     CATEGORIES = ["pc", "fc", "tc", "men"]
 
     def __load_model__(self, input_shape):
-        return Unet2D(input_shape, num_classes=4)
+        from dosma_tpu.defaults import preferences
+
+        return Unet2D(
+            input_shape, num_classes=4, precision=preferences.segmentation_precision
+        )
 
     def generate_mask(self, volume: MedicalVolume):
         """Segment from 3D RSS or 4D two-echo input (ref ``stanford_qdess.py:159-203``)."""

@@ -205,3 +205,27 @@ def test_predict_mask_matches_host_threshold():
     # identical up to f32 rounding at the decision boundary
     assert np.mean(host_mask != dev_mask) < 1e-3
     assert dev_mask.shape == host_mask.shape
+
+
+def test_precision_preference_plumbs_to_models(tmp_path):
+    """segmentation/precision flows from preferences into model inference;
+    bfloat16 masks agree with float32 away from the decision boundary."""
+    import jax
+
+    from dosma_tpu.defaults import preferences
+    from dosma_tpu.models.oaiunet2d import OAIUnet2D
+    from dosma_tpu.models.unet2d import init_unet2d_params
+    from dosma_tpu.models.weights import save_keras_unet2d_weights
+
+    wpath = str(tmp_path / "oai-unet2d_fc_weights.h5")
+    save_keras_unet2d_weights(wpath, init_unet2d_params(jax.random.PRNGKey(0)))
+
+    old = preferences.segmentation_precision
+    try:
+        preferences.set("precision", "bfloat16", prefix="segmentation")
+        model = OAIUnet2D((64, 64, 1), wpath)
+        assert model.seg_model.precision == "bfloat16"
+    finally:
+        preferences.set("precision", old, prefix="segmentation")
+    model32 = OAIUnet2D((64, 64, 1), wpath)
+    assert model32.seg_model.precision == "float32"
