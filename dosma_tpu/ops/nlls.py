@@ -291,8 +291,10 @@ def batched_polyfit(x, y, deg: int):
         xc = x - x_mean  # (T,)
         sxx = jnp.sum(xc * xc)
         y_mean = jnp.mean(y, axis=0)  # (N,)
-        # xc sums to zero, so xc @ (y - y_mean) == xc @ y.
-        slope = (xc @ y) / sxx
+        # xc sums to zero, so xc @ (y - y_mean) == xc @ y. Full-f32
+        # precision: TPU matmuls default to bf16 inputs, which costs ~1e-3
+        # relative slope error — visible in np.polyfit parity.
+        slope = jnp.matmul(xc, y, precision=jax.lax.Precision.HIGHEST) / sxx
         intercept = y_mean - slope * x_mean
         popts = jnp.stack([slope, intercept], axis=0)
         yhat = x[:, None] * slope[None, :] + intercept[None, :]
@@ -300,6 +302,6 @@ def batched_polyfit(x, y, deg: int):
 
     V = jnp.stack([x**i for i in range(deg, -1, -1)], axis=-1)  # (T, deg+1)
     popts, *_ = jnp.linalg.lstsq(V, y, rcond=None)  # (deg+1, N)
-    yhat = V @ popts
+    yhat = jnp.matmul(V, popts, precision=jax.lax.Precision.HIGHEST)
     r2 = r_squared(yhat, y, axis=0)
     return popts, r2

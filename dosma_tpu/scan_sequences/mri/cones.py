@@ -16,19 +16,22 @@ from typing import Sequence
 import numpy as np
 
 from dosma_tpu.core import quant_vals as qv
-from dosma_tpu.core.fitting import MonoExponentialFit
-from dosma_tpu.core.io import format_io_utils as fio_utils
 from dosma_tpu.core.med_volume import MedicalVolume
+from dosma_tpu.scan_sequences.mri._common import (
+    interregister_action,
+    monoexp_qv_fit,
+    qmap_action,
+    times_from_headers,
+)
 from dosma_tpu.scan_sequences.scans import NonTargetSequence
 from dosma_tpu.tissues.tissue import Tissue
-from dosma_tpu.utils.cmd_line_utils import ActionWrapper
 
 __all__ = ["Cones"]
 
 _logger = logging.getLogger(__name__)
 
-_T2STAR_RANGE = (0, np.inf)
-_T2STAR_DECIMALS = 3
+_T2STAR_BOUNDS = (0, np.inf)
+_DECIMALS = 3
 
 
 class Cones(NonTargetSequence):
@@ -38,16 +41,10 @@ class Cones(NonTargetSequence):
 
     def __init__(self, volumes, echo_times: Sequence[float] = None):
         super().__init__(volumes)
-        if echo_times is None:
-            try:
-                if all(x.headers() is not None for x in self.volumes):
-                    echo_times = [x.get_metadata("EchoTime", float) for x in self.volumes]
-            except (KeyError, AttributeError, RuntimeError) as e:
-                raise ValueError(
-                    f"Could not extract echo times from header. "
-                    f"Please specify `echo_times` argument - {e}"
-                )
-        self.echo_times = echo_times
+        self.echo_times = (
+            echo_times if echo_times is not None
+            else times_from_headers(self.volumes, "echo_times")
+        )
 
     def interregister(self, target_path: str, target_mask_path: str = None):
         """Anchor on the LAST (highest-SNR) echo; shared base-class flow."""
@@ -58,27 +55,10 @@ class Cones(NonTargetSequence):
     def generate_t2_star_map(self, tissue: Tissue = None, mask_path: str = None,
                              num_workers: int = 0):
         """Monoexponential T2* map, bounds (0, ∞) (ref ``cones.py:130-178``)."""
-        mask = tissue.get_mask() if tissue is not None else None
-        if mask_path is not None:
-            mask = (
-                fio_utils.generic_load(mask_path, expected_num_volumes=1)
-                if isinstance(mask_path, (str, os.PathLike))
-                else mask_path
-            )
-
-        fitter = MonoExponentialFit(
-            bounds=_T2STAR_RANGE,
-            tc0="polyfit",
-            decimal_precision=_T2STAR_DECIMALS,
-            num_workers=num_workers,
+        return monoexp_qv_fit(
+            self.echo_times, self.volumes, qv.T2Star, _T2STAR_BOUNDS, _DECIMALS,
+            tissue=tissue, mask_path=mask_path, num_workers=num_workers,
         )
-        t2star_map, r2 = fitter.fit(self.echo_times, self.volumes, mask=mask)
-
-        result = qv.T2Star(t2star_map)
-        result.add_additional_volume("r2", r2)
-        if tissue is not None:
-            tissue.add_quantitative_value(result)
-        return result
 
     def _save(self, metadata, save_dir, fname_fmt=None, **kwargs):
         fmt = {MedicalVolume: "echo-{}", **(fname_fmt or {})}
@@ -98,31 +78,11 @@ class Cones(NonTargetSequence):
     @classmethod
     def cmd_line_actions(cls):
         return [
-            (
-                cls.interregister,
-                ActionWrapper(
-                    name=cls.interregister.__name__,
-                    help="register to another scan",
-                    param_help={
-                        "target_path": "path to target image in nifti format (.nii.gz)",
-                        "target_mask_path": "path to target mask in nifti format (.nii.gz)",
-                    },
-                    alternative_param_names={
-                        "target_path": ["tp", "target"],
-                        "target_mask_path": ["tm", "target_mask"],
-                    },
-                ),
-            ),
-            (
+            interregister_action(cls.interregister),
+            qmap_action(
                 cls.generate_t2_star_map,
-                ActionWrapper(
-                    name=cls.generate_t2_star_map.__name__,
-                    help="generate T2-star map",
-                    param_help={
-                        "mask_path": "Mask used for fitting select voxels - "
-                        "in nifti format (.nii.gz)"
-                    },
-                    aliases=["t2_star"],
-                ),
+                "generate T2-star map",
+                aliases=["t2_star"],
+                mask_help="Mask used for fitting select voxels - in nifti format (.nii.gz)",
             ),
         ]

@@ -18,21 +18,24 @@ import numpy as np
 
 from dosma_tpu import file_constants as fc
 from dosma_tpu.core import quant_vals as qv
-from dosma_tpu.core.fitting import MonoExponentialFit
-from dosma_tpu.core.io import format_io_utils as fio_utils
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.core.registration import register
+from dosma_tpu.scan_sequences.mri._common import (
+    interregister_action,
+    intraregister_action,
+    monoexp_qv_fit,
+    qmap_action,
+    times_from_headers,
+)
 from dosma_tpu.scan_sequences.scans import NonTargetSequence
 from dosma_tpu.tissues.tissue import Tissue
-from dosma_tpu.utils.cmd_line_utils import ActionWrapper
 
 __all__ = ["CubeQuant"]
 
 _logger = logging.getLogger(__name__)
 
-__T1_RHO_LOWER_BOUND__ = 0
-__T1_RHO_UPPER_BOUND__ = 500
-__T1_RHO_DECIMAL_PRECISION__ = 3
+_T1RHO_BOUNDS = (0, 500)
+_DECIMALS = 3
 
 
 class CubeQuant(NonTargetSequence):
@@ -42,16 +45,10 @@ class CubeQuant(NonTargetSequence):
 
     def __init__(self, volumes: Sequence[MedicalVolume], spin_lock_times: Sequence[float] = None):
         super().__init__(volumes=volumes)
-        if spin_lock_times is None:
-            try:
-                if all(x.headers() is not None for x in self.volumes):
-                    spin_lock_times = [x.get_metadata("EchoTime", float) for x in self.volumes]
-            except (KeyError, AttributeError, RuntimeError) as e:
-                raise ValueError(
-                    f"Could not extract spin lock times from header. "
-                    f"Please specify `spin_lock_times` argument - {e}"
-                )
-        self.spin_lock_times = spin_lock_times
+        self.spin_lock_times = (
+            spin_lock_times if spin_lock_times is not None
+            else times_from_headers(self.volumes, "spin_lock_times")
+        )
 
     # ------------------------------------------------------------------
     def intraregister(self):
@@ -60,31 +57,28 @@ class CubeQuant(NonTargetSequence):
         self.__intraregister__()
 
     def __intraregister__(self):
-        volumes = self.volumes
-        spin_lock_times = self.spin_lock_times
-        idxs = np.argsort(spin_lock_times)
-        volumes = [volumes[i] for i in idxs]
+        order = np.argsort(self.spin_lock_times)
+        by_snr = [self.volumes[i] for i in order]
 
         _logger.info("Intraregistering...")
-        out_path = os.path.join(self.temp_path, "intraregister")
-        _, reg_vols = register(
-            volumes[0],
-            volumes[1:],
+        _, warped = register(
+            by_snr[0],
+            by_snr[1:],
             fc.ELASTIX_AFFINE_PARAMS_FILE,
-            out_path,
+            os.path.join(self.temp_path, "intraregister"),
             return_volumes=True,
             rtype=tuple,
         )
-        reg_vols = [volumes[0]] + list(reg_vols)
 
-        # Transplant header information from the originals.
-        reg_vols = [
-            reg._partial_clone(volume=False, headers=vol.headers())
-            for (reg, vol) in zip(reg_vols, volumes)
+        # Registered volumes carry the anchor's grid; headers come from the
+        # originals they replace.
+        registered = [by_snr[0]] + [
+            reg._partial_clone(volume=False, headers=orig.headers())
+            for reg, orig in zip(warped, by_snr[1:])
         ]
 
-        reverse_idxs = {v: i for i, v in enumerate(idxs)}
-        self.volumes = [reg_vols[reverse_idxs[k]] for k in sorted(reverse_idxs.keys())]
+        undo = {int(src): dst for dst, src in enumerate(order)}
+        self.volumes = [registered[undo[i]] for i in range(len(registered))]
 
     # ------------------------------------------------------------------
     def interregister(self, target_path: str, target_mask_path: str = None):
@@ -97,36 +91,15 @@ class CubeQuant(NonTargetSequence):
     # ------------------------------------------------------------------
     def generate_t1_rho_map(self, tissue: Tissue = None, mask_path: str = None, num_workers: int = 0):
         """Monoexponential T1ρ map (bounds (0, 500) ms — ref ``cube_quant.py:139-185``)."""
-        spin_lock_times = self.spin_lock_times
-        subvolumes_list = self.volumes
-
-        mask = tissue.get_mask() if tissue is not None else None
-        if mask_path is not None:
-            mask = (
-                fio_utils.generic_load(mask_path, expected_num_volumes=1)
-                if isinstance(mask_path, (str, os.PathLike))
-                else mask_path
-            )
-
-        mef = MonoExponentialFit(
-            bounds=(__T1_RHO_LOWER_BOUND__, __T1_RHO_UPPER_BOUND__),
-            tc0="polyfit",
-            decimal_precision=__T1_RHO_DECIMAL_PRECISION__,
-            num_workers=num_workers,
+        return monoexp_qv_fit(
+            self.spin_lock_times, self.volumes, qv.T1Rho, _T1RHO_BOUNDS, _DECIMALS,
+            tissue=tissue, mask_path=mask_path, num_workers=num_workers,
         )
-        t1rho_map, r2 = mef.fit(spin_lock_times, subvolumes_list, mask=mask)
-
-        quant_val_map = qv.T1Rho(t1rho_map)
-        quant_val_map.add_additional_volume("r2", r2)
-        if tissue is not None:
-            tissue.add_quantitative_value(quant_val_map)
-        return quant_val_map
 
     # ------------------------------------------------------------------
     def _save(self, metadata, save_dir: str, fname_fmt=None, **kwargs):
-        default_fmt = {MedicalVolume: "echo-{}"}
-        default_fmt.update(fname_fmt if fname_fmt else {})
-        return super()._save(metadata, save_dir, fname_fmt=default_fmt, **kwargs)
+        fmt = {MedicalVolume: "echo-{}", **(fname_fmt or {})}
+        return super()._save(metadata, save_dir, fname_fmt=fmt, **kwargs)
 
     @classmethod
     def from_dict(cls, data, force: bool = False) -> "CubeQuant":
@@ -141,31 +114,13 @@ class CubeQuant(NonTargetSequence):
 
     @classmethod
     def cmd_line_actions(cls):
-        intraregister_action = ActionWrapper(
-            name=cls.intraregister.__name__, help="register volumes within this scan"
-        )
-        interregister_action = ActionWrapper(
-            name=cls.interregister.__name__,
-            help="register to another scan",
-            param_help={
-                "target_path": "path to target image in nifti format (.nii.gz)",
-                "target_mask_path": "path to target mask in nifti format (.nii.gz)",
-            },
-            alternative_param_names={
-                "target_path": ["tp", "target"],
-                "target_mask_path": ["tm", "target_mask"],
-            },
-        )
-        generate_t1rho_map_action = ActionWrapper(
-            name=cls.generate_t1_rho_map.__name__,
-            help="generate T1-rho map",
-            aliases=["t1_rho"],
-            param_help={
-                "mask_path": "Mask used for fitting select voxels - in nifti format (.nii.gz)"
-            },
-        )
         return [
-            (cls.intraregister, intraregister_action),
-            (cls.interregister, interregister_action),
-            (cls.generate_t1_rho_map, generate_t1rho_map_action),
+            intraregister_action(cls.intraregister),
+            interregister_action(cls.interregister),
+            qmap_action(
+                cls.generate_t1_rho_map,
+                "generate T1-rho map",
+                aliases=["t1_rho"],
+                mask_help="Mask used for fitting select voxels - in nifti format (.nii.gz)",
+            ),
         ]
