@@ -248,10 +248,11 @@ def pixel_array(ds: Dataset) -> np.ndarray:
     bits = int(ds.get("BitsAllocated", 16))
     from dosma_tpu.core.io.dicom.codecs import EncapsulatedPixelData, decode_frames
 
+    signed = int(ds.get("PixelRepresentation", 0)) == 1
     if isinstance(raw, EncapsulatedPixelData):
         ts = ds.file_meta.get("TransferSyntaxUID") if ds.file_meta is not None else None
         nframes = ds.get("NumberOfFrames")
-        return decode_frames(
+        out = decode_frames(
             raw,
             ts,
             rows=int(ds.get("Rows")),
@@ -260,7 +261,11 @@ def pixel_array(ds: Dataset) -> np.ndarray:
             bits_allocated=bits,
             nframes=int(nframes) if nframes else 1,
         )
-    signed = int(ds.get("PixelRepresentation", 0)) == 1
+        # The codecs work on unsigned sample bytes; PixelRepresentation=1
+        # means those bytes ARE two's-complement signed values.
+        if signed and out.dtype.kind == "u":
+            out = out.view(out.dtype.str.replace("u", "i"))
+        return out
     rows = int(ds.get("Rows"))
     cols = int(ds.get("Columns"))
     samples = int(ds.get("SamplesPerPixel", 1))

@@ -12,6 +12,8 @@ import secrets
 import struct
 from typing import BinaryIO, Union
 
+import numpy as np
+
 from dosma_tpu.core.io.dicom import tags as T
 from dosma_tpu.core.io.dicom.dataset import DataElement, Dataset
 
@@ -164,7 +166,12 @@ def write_dicom(
                 "Dataset carries encapsulated PixelData but no known compressed "
                 "TransferSyntaxUID; pass transfer_syntax= explicitly"
             )
-    if transfer_syntax in codecs.COMPRESSED_SYNTAXES and not already_encapsulated:
+    stored_syntax = ds.file_meta.get("TransferSyntaxUID") if ds.file_meta else None
+    if transfer_syntax in codecs.COMPRESSED_SYNTAXES and (
+        not already_encapsulated or transfer_syntax != stored_syntax
+    ):
+        # Compress — or TRANSCODE when the stored fragments use a different
+        # syntax (pixel_array decodes them first).
         from dosma_tpu.core.io.dicom.reader import pixel_array
 
         nframes = ds.get("NumberOfFrames")
@@ -172,6 +179,15 @@ def write_dicom(
         encapsulated = codecs.encode_frames(pixel_array(ds), transfer_syntax, nframes=nframes)
         ds = ds.copy()
         ds.add_new(T.DICT["PixelData"][0], "OB", encapsulated)
+    elif transfer_syntax in (None, T.EXPLICIT_VR_LE) and already_encapsulated:
+        # Decompress request: expand the fragments back to native bytes so
+        # the written file matches the uncompressed syntax it declares.
+        from dosma_tpu.core.io.dicom.reader import pixel_array
+
+        arr = pixel_array(ds)
+        ds = ds.copy()
+        ds.add_new(T.DICT["PixelData"][0], "OW", np.ascontiguousarray(arr).tobytes())
+        transfer_syntax = T.EXPLICIT_VR_LE
     elif transfer_syntax not in (None, T.EXPLICIT_VR_LE) and not (
         transfer_syntax in codecs.COMPRESSED_SYNTAXES
     ):

@@ -219,25 +219,26 @@ class DosmaViewer:
             ]
 
             # Segmentation forms expand into weights_dir/model/batch_size;
-            # assemble the SegModel exactly like cli.handle_segmentation.
+            # mirror cli.handle_segmentation's weights resolution.
             if "weights_dir" in kwargs:
+                if not tissues:
+                    raise ValueError("Select at least one tissue to segment")
                 weights_dir = kwargs.pop("weights_dir")
                 model_name = kwargs.pop("model")
                 batch_size = kwargs.pop("batch_size", preferences.segmentation_batch_size)
-                target = tissues[0] if len(tissues) == 1 else tissues
-                weights = (
-                    [t.find_weights(weights_dir) for t in tissues]
-                    if isinstance(target, list)
-                    else target.find_weights(weights_dir)
-                )
-                wpath = weights[0] if isinstance(weights, list) else weights
+                weights = [t.find_weights(weights_dir) for t in tissues]
+                if any(w != weights[0] for w in weights):
+                    raise ValueError(
+                        "Selected tissues resolve to different weights files; "
+                        "segment them one at a time"
+                    )
                 dims = scan.scan.get_dimensions()
                 model = get_model(
-                    model_name, input_shape=(dims[0], dims[1], 1), weights_path=wpath
+                    model_name, input_shape=(dims[0], dims[1], 1), weights_path=weights[0]
                 )
                 model.batch_size = batch_size
                 kwargs["model"] = model
-                kwargs["tissue"] = target
+                kwargs["tissue"] = tissues[0] if len(tissues) == 1 else tissues
             elif tissues:
                 import inspect as _inspect
 

@@ -219,11 +219,25 @@ class Unet2D:
             jax.random.PRNGKey(0), in_channels=input_shape[2], num_classes=num_classes
         )
         self._forward = jax.jit(unet2d_forward)
+        self._bf16_params = None  # cast lazily, cached per weight load
 
     def load_weights(self, weights_path: str):
         from dosma_tpu.models.weights import load_keras_unet2d_weights
 
         self.params = load_keras_unet2d_weights(weights_path)
+        self._bf16_params = None
+
+    def _inference_params(self):
+        """Parameters at the model precision; the bfloat16 copy is cast once
+        per weight load, not per predict call (the cast walks the whole
+        tree on device)."""
+        if self.precision != "bfloat16":
+            return self.params
+        if self._bf16_params is None:
+            self._bf16_params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), self.params
+            )
+        return self._bf16_params
 
     def predict(self, v: np.ndarray, batch_size: int = 16, verbose: int = 0) -> np.ndarray:
         """Batched inference over the leading axis (Keras ``model.predict`` surface).
@@ -231,11 +245,8 @@ class Unet2D:
         Chunks are padded to ``batch_size`` so only one XLA program is compiled.
         """
         n = v.shape[0]
-        if self.precision == "bfloat16":
-            params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), self.params)
-            in_dtype = jnp.bfloat16
-        else:
-            params, in_dtype = self.params, jnp.float32
+        params = self._inference_params()
+        in_dtype = jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
         outs = []
         for start in range(0, n, batch_size):
             chunk = v[start : start + batch_size]
@@ -265,9 +276,7 @@ class Unet2D:
         :meth:`predict` + host thresholding.
         """
         n = v.shape[0]
-        params = self.params
-        if self.precision == "bfloat16":
-            params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+        params = self._inference_params()
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
         thr = jnp.asarray(threshold, jnp.float32)

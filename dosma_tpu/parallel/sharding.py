@@ -53,15 +53,16 @@ def shard_voxels(arr: np.ndarray, mesh: Mesh, axis_name: str = "data"):
 
 
 def _is_library_model(model_fn, name: str) -> bool:
-    """True when ``model_fn`` is the named library model function."""
+    """True when ``model_fn`` IS the library model function (identity only —
+    a user function that merely shares the name may use a different
+    parametrization, and silently fitting the wrong model would be far
+    worse than taking the generic path)."""
     try:
         from dosma_tpu.core import fitting
 
-        if model_fn is getattr(fitting, name):
-            return True
+        return model_fn is getattr(fitting, name)
     except (ImportError, AttributeError):  # pragma: no cover
-        pass
-    return getattr(model_fn, "__name__", "") == name
+        return False
 
 
 def _is_monoexponential(model_fn) -> bool:

@@ -258,8 +258,10 @@ class ScanIOMixin:
             if isinstance(value, Mapping) and "__value__" in value:
                 dtype, value = value["__dtype__"], value["__value__"]
                 if isinstance(value, (Mapping,)) or _is_container(value):
-                    # Placeholder wrapped a container: keep walking inside.
-                    return _walk(value, leaf)
+                    # Placeholder wrapped a container: recurse through
+                    # load_custom_data (NOT _walk) so placeholders nested
+                    # inside the container are themselves intercepted.
+                    return cls.load_custom_data(value, **kwargs)
             return cls._load_custom_data_base(value, dtype, **kwargs)
 
         # Placeholder dicts are themselves Mappings, so intercept them

@@ -125,10 +125,14 @@ class Tissue(ABC):
         ``weights_dir`` whose basename contains :attr:`STR_ID` and has the
         ``h5`` extension. Exactly one file may match.
         """
+        # endswith (not glob) so ".hdf5" matches the "h5" extension exactly
+        # as in the reference.
         candidates = [
             p
-            for p in glob.glob(os.path.join(weights_dir, f"*.{WEIGHTS_FILE_EXT}"))
-            if os.path.isfile(p) and self.STR_ID in os.path.basename(p)
+            for p in glob.glob(os.path.join(weights_dir, "*"))
+            if os.path.isfile(p)
+            and self.STR_ID in os.path.basename(p)
+            and p.endswith(WEIGHTS_FILE_EXT)
         ]
         if not candidates:
             raise ValueError(

@@ -313,3 +313,62 @@ class TestNativeCodecParity:
         assert hits.get("native")
         out = codecs.decode_frames(enc, RLE_LOSSLESS, 16, 16, 1, 16)
         assert np.array_equal(out, arr)
+
+
+class TestSignedAndTranscode:
+    """Regression tests: signed pixel data through compressed syntaxes, and
+    transfer-syntax changes on already-encapsulated datasets."""
+
+    def test_signed_rle_roundtrip(self):
+        arr = np.array([[-5, -1], [100, -32000]], np.int16)
+        ds = _mr_dataset(np.zeros((2, 2), np.uint16))
+        ds.PixelRepresentation = 1
+        ds["PixelData"] = arr.tobytes()
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=RLE_LOSSLESS)
+        out = read_dicom_bytes(buf.getvalue())
+        assert np.array_equal(out.pixel_array, arr)
+        assert out.pixel_array.dtype == np.int16
+
+    def test_signed_jpeg_lossless_roundtrip(self):
+        rs = np.random.RandomState(5)
+        arr = (rs.rand(16, 16) * 4000 - 2000).astype(np.int16)
+        ds = _mr_dataset(np.zeros((16, 16), np.uint16))
+        ds.PixelRepresentation = 1
+        ds["PixelData"] = arr.tobytes()
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=JPEG_LOSSLESS)
+        out = read_dicom_bytes(buf.getvalue())
+        assert np.array_equal(out.pixel_array, arr)
+
+    def test_decompress_on_write(self):
+        """Explicit VR LE request on an encapsulated dataset expands the
+        fragments instead of writing a corrupt file."""
+        from dosma_tpu.core.io.dicom import tags as T
+
+        rs = np.random.RandomState(6)
+        arr = (rs.rand(8, 8) * 65535).astype(np.uint16)
+        ds = _mr_dataset(arr)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=RLE_LOSSLESS)
+        compressed = read_dicom_bytes(buf.getvalue())
+
+        buf2 = io.BytesIO()
+        write_dicom(compressed, buf2, transfer_syntax=T.EXPLICIT_VR_LE)
+        plain = read_dicom_bytes(buf2.getvalue())
+        assert plain.file_meta.get("TransferSyntaxUID") == T.EXPLICIT_VR_LE
+        assert np.array_equal(plain.pixel_array, arr)
+
+    def test_transcode_between_compressed_syntaxes(self):
+        rs = np.random.RandomState(7)
+        arr = (rs.rand(8, 8) * 4000).astype(np.uint16)
+        ds = _mr_dataset(arr)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=RLE_LOSSLESS)
+        compressed = read_dicom_bytes(buf.getvalue())
+
+        buf2 = io.BytesIO()
+        write_dicom(compressed, buf2, transfer_syntax=JPEG_LOSSLESS)
+        out = read_dicom_bytes(buf2.getvalue())
+        assert out.file_meta.get("TransferSyntaxUID") == JPEG_LOSSLESS
+        assert np.array_equal(out.pixel_array, arr)

@@ -164,3 +164,25 @@ class TestSaveLoad:
             warnings.simplefilter("ignore")
             with pytest.raises(ValueError):
                 MockScan.load(data)
+
+
+class TestNestedPlaceholders:
+    def test_placeholder_inside_placeholder_container(self, dicom_dir, tmp_path):
+        """Placeholders nested inside a placeholder-wrapped container must
+        resolve (the reference's interregistered-subvolumes dict shape)."""
+        from dosma_tpu.core.med_volume import MedicalVolume
+
+        d, _ = dicom_dir
+        scan = MockScan.from_dicom(d)
+        vol = scan.volumes[0]
+        p = os.path.join(str(tmp_path), "vol.nii.gz")
+        vol.save_volume(p)
+
+        data = {
+            "__dtype__": dict,
+            "__value__": {0: {"__dtype__": MedicalVolume, "__value__": p}},
+        }
+        out = MockScan.load_custom_data(data)
+        assert isinstance(out, dict)
+        assert isinstance(out[0], MedicalVolume)
+        assert out[0].is_identical(vol) or np.allclose(np.asarray(out[0].A), np.asarray(vol.A))

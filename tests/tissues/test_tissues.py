@@ -192,3 +192,20 @@ class TestKneeWorkflow:
         import os
 
         assert os.path.isdir(tmp_path / "save" / "fc")
+
+
+def test_find_weights_extension_rule(tmp_path):
+    """Extension matching is endswith('h5') — reference semantics: '.h5'
+    matches, '.hdf5' does not (it ends in 'f5')."""
+    import pytest as _pytest
+
+    from dosma_tpu.tissues.femoral_cartilage import FemoralCartilage
+
+    (tmp_path / "iwoai_fc_weights.hdf5").write_bytes(b"x")
+    fc = FemoralCartilage()
+    with _pytest.raises(ValueError, match="No file found"):
+        fc.find_weights(str(tmp_path))
+
+    good = tmp_path / "iwoai_fc_weights.h5"
+    good.write_bytes(b"x")
+    assert fc.find_weights(str(tmp_path)) == str(good)
