@@ -29,10 +29,10 @@ def _cubic_bspline_weights(t: jnp.ndarray):
 def make_control_grid(fixed_shape, fixed_affine, grid_spacing_mm: float):
     """Control-grid geometry covering the fixed image domain (+1 margin).
 
-    Returns (grid_shape (3,), origin_world (3,), spacing_world (3,)). The
-    grid is axis-aligned in the fixed image's index space scaled to world
-    units, so ``u = (A_f^-1 x) * voxel_spacing / grid_spacing`` is affine —
-    we store it as origin/spacing in *index* units for simplicity.
+    Returns ``(grid_shape, spacing_vox)``: the control-point counts per
+    axis and the control spacing in fixed-image INDEX units (the grid is
+    axis-aligned in the fixed index space, so evaluation never needs a
+    world-space origin).
     """
     fixed_affine = np.asarray(fixed_affine)
     voxel_spacing = np.sqrt((fixed_affine[:3, :3] ** 2).sum(0))

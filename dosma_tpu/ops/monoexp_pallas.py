@@ -194,8 +194,11 @@ def monoexp_lm_pallas(
     yT = y if y_layout == "tn" else y.T  # (T, N)
     T, N = yT.shape
 
-    # Pad the voxel axis to the lane block. Padded voxels get y=1 so they
-    # fit trivially (a=1, b=0) and never stall a tile's early exit.
+    # Pad the voxel axis to the lane block. Padded voxels get y=1 with seed
+    # (a=1, b=0): the model already equals the data, the first step is zero,
+    # and the lane converges on iteration 1 without stalling its tile's
+    # early exit. (A constant-1.0 p0 pad would seed b=+1 → exp overflow →
+    # ~12 wasted iterations per affected tile.)
     N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
     if N_pad > N:
         yT = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0)
@@ -203,12 +206,19 @@ def monoexp_lm_pallas(
     x_col = x[:, None, None]  # (T, 1, 1)
 
     p0 = jnp.asarray(p0, jnp.float32)
+    pad_seed = jnp.asarray([1.0, 0.0], jnp.float32)
     if p0.ndim == 1:
         p0_mat = jnp.broadcast_to(p0[:, None], (2, N_pad))
+        if N_pad > N:
+            p0_mat = jnp.concatenate(
+                [p0_mat[:, :N], jnp.broadcast_to(pad_seed[:, None], (2, N_pad - N))], axis=1
+            )
     else:
         p0_mat = p0.T
         if N_pad > N:
-            p0_mat = jnp.pad(p0_mat, ((0, 0), (0, N_pad - N)), constant_values=1.0)
+            p0_mat = jnp.concatenate(
+                [p0_mat, jnp.broadcast_to(pad_seed[:, None], (2, N_pad - N))], axis=1
+            )
 
     out = _monoexp_impl(yT, x_col, p0_mat, int(max_iter), float(ftol), float(xtol))
 

@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["qdess_t2_map", "rss_combine"]
+__all__ = ["qdess_t2_map", "rss_combine", "rms_combine"]
 
 
 @functools.partial(

@@ -226,6 +226,10 @@ def _mse(fixed_vals, moving_vals, weights):
 
 
 def _ncc(fixed_vals, moving_vals, weights):
+    """Negative normalized cross-correlation (elastix's
+    AdvancedNormalizedCorrelation). NOT squared: -(c^2) has zero gradient
+    at c=0 (stalling badly-initialized stages) and rewards contrast
+    inversion (c=-1) as much as a correct alignment."""
     w = weights / (jnp.sum(weights) + 1e-10)
     fm = jnp.sum(w * fixed_vals)
     mm = jnp.sum(w * moving_vals)
@@ -233,7 +237,7 @@ def _ncc(fixed_vals, moving_vals, weights):
     mc = moving_vals - mm
     num = jnp.sum(w * fc * mc)
     den = jnp.sqrt(jnp.sum(w * fc**2) * jnp.sum(w * mc**2)) + 1e-10
-    return -(num / den) ** 2
+    return -(num / den)
 
 
 # ----------------------------------------------------------------------
@@ -272,33 +276,41 @@ def _scale_affine(affine: np.ndarray, factor: int) -> np.ndarray:
 # ----------------------------------------------------------------------
 # Whole-pyramid optimization (ONE compiled program per stage)
 # ----------------------------------------------------------------------
-_SMOOTH_RADIUS = 8  # taps = 2R+1; covers sigma up to ~2.7 voxels (factor 8 pyramids)
+_SMOOTH_RADIUS = 8  # minimum taps = 2R+1; widened for deep pyramids (see below)
 
 
-def _gauss_smooth3(arr: jnp.ndarray, sigma) -> jnp.ndarray:
+def _gauss_smooth3(arr: jnp.ndarray, sigma, radius: int = _SMOOTH_RADIUS) -> jnp.ndarray:
     """Separable 3D Gaussian blur with a TRACED sigma (static kernel width).
 
     ``sigma`` in voxels; near-zero sigma degenerates to a delta kernel, so
     the finest pyramid level is (numerically) the unsmoothed volume. Edge
-    padding matches the decimating pyramid's edge-pool behavior.
+    padding matches the decimating pyramid's edge-pool behavior. ``radius``
+    must be static and >= ~3*max(sigma) for faithful tails.
     """
-    offs = jnp.arange(-_SMOOTH_RADIUS, _SMOOTH_RADIUS + 1, dtype=jnp.float32)
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     w = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-3)) ** 2)
     w = w / jnp.sum(w)
 
     def conv_axis(a, axis):
         pads = [(0, 0)] * 3
-        pads[axis] = (_SMOOTH_RADIUS, _SMOOTH_RADIUS)
+        pads[axis] = (radius, radius)
         ap = jnp.pad(a, pads, mode="edge")
         out = jnp.zeros_like(a)
         n = a.shape[axis]
-        for k in range(2 * _SMOOTH_RADIUS + 1):
+        for k in range(2 * radius + 1):
             out = out + w[k] * jax.lax.dynamic_slice_in_dim(ap, k, n, axis)
         return out
 
     for ax in range(3):
         arr = conv_axis(arr, ax)
     return arr
+
+
+def _smooth_radius_for_levels(n_levels: int) -> int:
+    """Kernel radius covering ~3 sigma of the coarsest level of the
+    factor/2 sigma schedule (sigma_max = 2^(L-1)/2)."""
+    sigma_max = 2 ** (n_levels - 1) / 2.0
+    return max(_SMOOTH_RADIUS, int(np.ceil(3.0 * sigma_max)))
 
 
 @functools.partial(
@@ -330,11 +342,15 @@ def _optimize_pyramid(
     B_fix = fixed_affine  # index -> world
     inv_moving = jnp.linalg.inv(moving_affine)
 
+    radius = _smooth_radius_for_levels(int(sigmas.shape[0]))
+
     def level_step(theta, level):
         sigma, level_idx = level
-        f_s = _gauss_smooth3(fixed_arr, sigma)
-        m_s = _gauss_smooth3(moving_arr, sigma)
-        mask_s = _gauss_smooth3(fixed_mask, sigma) if fixed_mask is not None else None
+        f_s = _gauss_smooth3(fixed_arr, sigma, radius)
+        m_s = _gauss_smooth3(moving_arr, sigma, radius)
+        mask_s = (
+            _gauss_smooth3(fixed_mask, sigma, radius) if fixed_mask is not None else None
+        )
         f_lo, f_hi = jnp.min(f_s), jnp.max(f_s)
         m_lo, m_hi = jnp.min(m_s), jnp.max(m_s)
 
@@ -393,6 +409,32 @@ def _optimize_pyramid(
     return theta, losses
 
 
+def _seed_theta_from_matrix(
+    params: RegistrationParams, init_matrix, center
+) -> np.ndarray:
+    """Initial parameters from a prior world->world matrix.
+
+    Our parametrization is ``x' = R (x - c) + c + t``, so ``t = M[:3,3] -
+    c + R c``. Translation stages take t with R=I; affine stages also seed
+    the linear part (``theta[:9] = (M_lin - I).ravel()``). Rigid stages
+    seed translation only (Euler extraction from a possibly-non-orthogonal
+    prior is ill-defined) — close enough to warm-start the capture range.
+    """
+    theta0 = np.zeros(params.nparams, np.float32)
+    if init_matrix is None:
+        return theta0
+    M = np.asarray(init_matrix, np.float64)
+    center = np.asarray(center, np.float64)
+    if params.transform == "translation":
+        theta0[:3] = M[:3, 3]
+    elif params.transform == "rigid":
+        theta0[3:6] = M[:3, 3] + M[:3, :3] @ center - center
+    else:  # affine
+        theta0[:9] = (M[:3, :3] - np.eye(3)).ravel()
+        theta0[9:12] = M[:3, 3] + M[:3, :3] @ center - center
+    return theta0
+
+
 def _param_scale(transform: str, fixed_shape, spacing) -> np.ndarray:
     """Natural parameter scales: ~0.1 rad rotations, ~1/10 FOV translations."""
     fov = float(np.mean(np.asarray(fixed_shape) * np.asarray(spacing)))
@@ -433,9 +475,7 @@ def register_pair(
 
     spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
 
-    theta0 = np.zeros(params.nparams, np.float32)
-    if init_matrix is not None and params.transform == "translation":
-        theta0[:3] = np.asarray(init_matrix)[:3, 3]
+    theta0 = _seed_theta_from_matrix(params, init_matrix, center)
 
     theta_host, losses = _run_pyramid_stage(
         fixed_dev, fixed_affine, mask_dev, moving_dev, moving_affine,
@@ -481,8 +521,6 @@ def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_sha
     the stages innermost-last: ``y = T1(T2(...Tn(x)))`` — matching the
     sequential-registration composition, with ONE final interpolation.
     """
-    from dosma_tpu.ops.bspline import bspline_displacement
-
     fixed_shape = tuple(int(s) for s in fixed_shape)
 
     stages = list(stages)
@@ -492,10 +530,31 @@ def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_sha
         M = compose_transforms([payload[0] for _kind, *payload in stages])
         return warp_volume(moving_arr, M, fixed_affine, moving_affine, fixed_shape)
 
-    moving_arr = jnp.asarray(moving_arr, jnp.float32)
-    fixed_affine = jnp.asarray(fixed_affine, jnp.float32)
+    # Mixed chain: one jitted program (the eager op-by-op version streamed
+    # dozens of single-op XLA dispatches over the full grid per stage).
+    kinds = tuple(kind for kind, *_ in stages)
+    if any(k not in ("matrix", "bspline") for k in kinds):
+        bad = [k for k in kinds if k not in ("matrix", "bspline")]
+        raise ValueError(f"Unknown stage kind {bad[0]}")
+    payloads = tuple(
+        tuple(jnp.asarray(x, jnp.float32) for x in payload) for _kind, *payload in stages
+    )
+    return _warp_chain_impl(
+        jnp.asarray(moving_arr, jnp.float32),
+        jnp.asarray(fixed_affine, jnp.float32),
+        jnp.asarray(moving_affine, jnp.float32),
+        payloads,
+        kinds,
+        fixed_shape,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "fixed_shape"))
+def _warp_chain_impl(moving_arr, fixed_affine, moving_affine, payloads, kinds, fixed_shape):
+    from dosma_tpu.ops.bspline import bspline_displacement
+
     inv_fixed = jnp.linalg.inv(fixed_affine)
-    inv_moving = jnp.linalg.inv(jnp.asarray(moving_affine, jnp.float32))
+    inv_moving = jnp.linalg.inv(moving_affine)
 
     d0, d1, d2 = fixed_shape
     i, j, k = jnp.meshgrid(
@@ -508,18 +567,14 @@ def warp_volume_chain(moving_arr, stages, fixed_affine, moving_affine, fixed_sha
     idx = jnp.stack([i.ravel(), j.ravel(), k.ravel(), jnp.ones(n, jnp.float32)])
     world = _mm(fixed_affine, idx)
 
-    for kind, *payload in reversed(list(stages)):
+    for kind, payload in reversed(list(zip(kinds, payloads))):
         if kind == "matrix":
-            world = _mm(jnp.asarray(payload[0], jnp.float32), world)
-        elif kind == "bspline":
+            world = _mm(payload[0], world)
+        else:  # bspline
             ctrl, spacing_vox = payload
             fidx = _mm(inv_fixed, world)[:3]
-            disp = bspline_displacement(
-                jnp.asarray(ctrl, jnp.float32), fidx, jnp.asarray(spacing_vox, jnp.float32)
-            )
+            disp = bspline_displacement(ctrl, fidx, spacing_vox)
             world = world.at[:3].add(disp)
-        else:  # pragma: no cover
-            raise ValueError(f"Unknown stage kind {kind}")
 
     m_idx = _mm(inv_moving, world)
     out = _trilinear_sample(moving_arr, m_idx[:3])
@@ -625,7 +680,7 @@ def register_pair_bspline(
 
     factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
     info = {"losses": []}
-    for factor in factors:
+    for lvl, factor in enumerate(factors):
         f_arr = np.asarray(_downsample(jnp.asarray(fixed_arr), factor))
         m_arr = np.asarray(_downsample(jnp.asarray(moving_arr), factor))
         f_aff = _scale_affine(fixed_affine, factor)
@@ -644,7 +699,9 @@ def register_pair_bspline(
             jnp.asarray(float(factor), jnp.float32),
             params.metric,
             params.iterations, params.num_samples, params.num_bins,
-            lr, params.bending_weight, params.seed,
+            # Fold the level into the seed so each level draws FRESH sample
+            # coordinates (the affine pyramid folds level_idx the same way).
+            lr, params.bending_weight, params.seed + lvl * max(1, params.iterations),
         )
         ctrl = np.asarray(ctrl_j)
         info["losses"].append(np.asarray(losses))

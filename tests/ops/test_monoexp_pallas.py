@@ -113,3 +113,20 @@ class TestMonoexpPallasInterpret:
         popt = np.asarray(popt)
         assert popt.shape == (1000, 2)
         assert np.abs(popt[:, 1] - b).max() < 1e-4
+
+    def test_per_voxel_p0_padding_converges_fast(self):
+        """Pad lanes carry the trivial seed (a=1, b=0) — not broadcast user
+        p0 — so tiles with padding exit as fast as full tiles (a constant
+        pad seed of 1.0 once cost ~12 wasted iterations from b=+1 overflow)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from dosma_tpu.ops import monoexp_pallas
+
+        x, Y, b = _data(N=500)  # forces padding to the lane block
+        p0 = np.stack([np.ones(500, np.float32), np.full(500, -1 / 30, np.float32)], axis=1)
+        with pltpu.force_tpu_interpret_mode():
+            popt, r2, conv = monoexp_pallas.monoexp_lm_pallas(x, Y, p0, max_iter=50)
+        popt = np.asarray(popt)
+        assert popt.shape == (500, 2)
+        assert np.asarray(conv).all()
+        assert np.abs(popt[:, 1] - b).max() < 1e-4
