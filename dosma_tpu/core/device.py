@@ -59,7 +59,13 @@ class Device:
             devices = _jax().devices()
             matching = [d for d in devices if d.platform in (platform, "axon")]
             if not matching:
-                matching = devices
+                # A nonexistent platform must raise — silently handing back
+                # a CPU device would make mv.to("tpu") "succeed" on hosts
+                # without one.
+                raise ValueError(
+                    f"No {platform!r} devices available "
+                    f"(backends: {sorted({d.platform for d in devices})})"
+                )
             jax_device = matching[idx]
         elif type(device).__module__.startswith("torch") and hasattr(device, "type"):
             # torch.device interop; torch is CPU-only in this build.

@@ -537,6 +537,12 @@ class MonoExponentialFit(_Fit):
 
         shape = y[0].shape
         yT = np.stack([np.asarray(sv.volume, np.float32).reshape(-1) for sv in y], axis=0)
+        if mask is not None:
+            # Same orientation/dimension validation as the host path — a
+            # mismatched mask must raise, not silently mask wrong voxels.
+            mask = mask.reformat_as(y[0])
+            if not mask.is_same_dimensions(y[0], defaults.AFFINE_DECIMAL_PRECISION):
+                raise RuntimeError("`mask` and `y` dimension mismatch")
         mask_flat = (
             np.asarray(mask.volume).reshape(-1) if mask is not None else None
         )

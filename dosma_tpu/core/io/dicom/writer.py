@@ -58,7 +58,8 @@ def _encode_value(vr: str, value) -> bytes:
     else:
         raw = str(value).encode("latin-1")
     if len(raw) % 2:
-        raw += b" "
+        # PS3.5: binary VRs pad with NUL; text VRs pad with space.
+        raw += b"\x00" if vr in ("OB", "OW", "OL", "OD", "OF", "UN") else b" "
     return raw
 
 

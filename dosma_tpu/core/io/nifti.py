@@ -174,9 +174,10 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
 
         ndim = int(d0)
         shape = tuple(int(x) for x in (d1, d2, d3, d4, d5, d6, d7)[:ndim])
-        dtype = np.dtype(_CODE_TO_DTYPE.get(int(datatype)))
-        if dtype is None:
+        dtype_name = _CODE_TO_DTYPE.get(int(datatype))
+        if dtype_name is None:  # np.dtype(None) would silently mean float64
             raise ValueError(f"Unsupported NIfTI datatype code {datatype}")
+        dtype = np.dtype(dtype_name)
         n_items = int(np.prod(shape)) if shape else 0
         offset = int(vox_offset) if vox_offset else _HDR_SIZE + 4
 
@@ -185,7 +186,9 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         else:
             f.seek(offset)
             raw = f.read(n_items * dtype.itemsize)
-            arr = np.frombuffer(raw, dtype=dtype).reshape(shape, order="F")
+            # frombuffer over bytes is READ-ONLY; copy so in-place volume
+            # math (mv *= 2, mv[...] = 0) works like the reference.
+            arr = np.frombuffer(raw, dtype=dtype).reshape(shape, order="F").copy(order="F")
 
     # Affine: prefer sform, then qform, then pixdim diagonal.
     if sform_code > 0:

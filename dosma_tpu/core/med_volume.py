@@ -416,7 +416,9 @@ class MedicalVolume(NDArrayOperatorsMixin):
                 "required to save the volume in DICOM format."
             )
         for h in self.headers(flatten=True):
-            h.set_value(key, value, create=force or key not in h)
+            # Reference contract: a missing key is only CREATED under
+            # force=True; otherwise it raises (ref ``med_volume.py:724-732``).
+            h.set_value(key, value, create=force)
 
     # ------------------------------------------------------------------
     # Reductions & elementwise conveniences

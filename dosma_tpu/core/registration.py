@@ -218,8 +218,15 @@ def register(
     # Batched fast path (SURVEY §2.10): multiple moving images with the same
     # grid and matrix-only stages are registered in ONE vmapped optimization
     # per stage (the intra-registration case).
+    moving_mask_mvs = [
+        _load_volume(m) if m is not None else None for m in moving_masks
+    ]
+    if len(moving_mask_mvs) == 1 and len(moving_mvs) > 1:
+        moving_mask_mvs = moving_mask_mvs * len(moving_mvs)
+
     batchable = (
         len(moving_mvs) > 1
+        and all(m is None for m in moving_mask_mvs)
         and all(cfg.transform != "bspline" for cfg in stage_cfgs)
         and all(tuple(m.shape[:3]) == tuple(moving_mvs[0].shape[:3]) for m in moving_mvs)
         and all(np.allclose(m.affine, moving_mvs[0].affine) for m in moving_mvs)
@@ -242,10 +249,13 @@ def register(
         reg_dir = os.path.join(output_path, f"moving-{idx}")
         os.makedirs(reg_dir, exist_ok=True)
 
+        moving_mask_mv = moving_mask_mvs[idx] if idx < len(moving_mask_mvs) else None
+
         stages = []
         transform_paths = []
         warped_files = []
         stage_outputs = []
+        warped = None
         for s_idx, cfg in enumerate(stage_cfgs):
             if per_image_stages is not None:
                 stages.append(per_image_stages[idx][s_idx])
@@ -255,26 +265,36 @@ def register(
                     if (use_mask[s_idx] and target_mask_mv is not None)
                     else None
                 )
-                # Stages after the first register the already-warped image.
+                mmask_arr = (
+                    np.asarray(moving_mask_mv.reformat_as(moving_mv).volume, np.float32)
+                    if (use_mask[s_idx] and moving_mask_mv is not None)
+                    else None
+                )
+                # Stages after the first register the already-warped image
+                # (reuse the chain output computed at the end of the
+                # previous iteration — no duplicate full-grid resample).
                 if stages:
-                    cur_moving = np.asarray(
-                        warp_volume_chain(moving_arr, stages, fixed_affine,
-                                          moving_affine, fixed_arr.shape)
-                    )
-                    cur_affine = fixed_affine
+                    cur_moving, cur_affine = warped, fixed_affine
+                    if mmask_arr is not None:
+                        # The mask lives on the ORIGINAL moving grid; carry
+                        # it through the same chain as the image.
+                        mmask_arr = np.asarray(
+                            warp_volume_chain(mmask_arr, stages, fixed_affine,
+                                              moving_affine, fixed_arr.shape)
+                        )
                 else:
                     cur_moving, cur_affine = moving_arr, moving_affine
 
                 if cfg.transform == "bspline":
                     ctrl, spacing_vox, info = register_pair_bspline(
                         fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
-                        fixed_mask=mask_arr,
+                        fixed_mask=mask_arr, moving_mask=mmask_arr,
                     )
                     stages.append(("bspline", ctrl, spacing_vox))
                 else:
                     M, theta, info = register_pair(
                         fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
-                        fixed_mask=mask_arr,
+                        fixed_mask=mask_arr, moving_mask=mmask_arr,
                     )
                     stages.append(("matrix", M))
 

@@ -324,6 +324,7 @@ def _optimize_pyramid(
     transform: str, metric: str,
     iterations: int, num_samples: int, num_bins: int,
     learning_rate, seed,
+    moving_mask=None,
 ):
     """Multi-resolution registration as ONE jitted program.
 
@@ -351,6 +352,9 @@ def _optimize_pyramid(
         mask_s = (
             _gauss_smooth3(fixed_mask, sigma, radius) if fixed_mask is not None else None
         )
+        mmask_s = (
+            _gauss_smooth3(moving_mask, sigma, radius) if moving_mask is not None else None
+        )
         f_lo, f_hi = jnp.min(f_s), jnp.max(f_s)
         m_lo, m_hi = jnp.min(m_s), jnp.max(m_s)
 
@@ -377,6 +381,9 @@ def _optimize_pyramid(
                 axis=0,
             )
             weights = weights * (0.01 + 0.99 * inside)
+            if mmask_s is not None:
+                # Moving-side mask: downweight samples landing outside it.
+                weights = weights * _trilinear_sample(mmask_s, m_idx)
 
             if metric == "mi":
                 return _soft_mi(
@@ -454,6 +461,7 @@ def register_pair(
     params: RegistrationParams,
     fixed_mask: Optional[np.ndarray] = None,
     init_matrix: Optional[np.ndarray] = None,
+    moving_mask: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Multi-resolution registration of one moving image to the fixed image.
 
@@ -468,6 +476,7 @@ def register_pair(
     fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
     moving_dev = jnp.asarray(moving_arr, jnp.float32)
     mask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
+    mmask_dev = jnp.asarray(moving_mask, jnp.float32) if moving_mask is not None else None
 
     # World-space center of the fixed image (rotation center).
     center_idx = (np.asarray(fixed_dev.shape) - 1) / 2.0
@@ -479,7 +488,7 @@ def register_pair(
 
     theta_host, losses = _run_pyramid_stage(
         fixed_dev, fixed_affine, mask_dev, moving_dev, moving_affine,
-        theta0, center, spacing, params,
+        theta0, center, spacing, params, moving_mask=mmask_dev,
     )
     M = _params_to_matrix_np(theta_host, center, params.transform)
     info = {"losses": [np.asarray(l) for l in losses]}
@@ -497,6 +506,7 @@ def _pyramid_sigmas(resolutions: int) -> np.ndarray:
 def _run_pyramid_stage(
     fixed_dev, fixed_affine, mask_dev, moving_dev, moving_affine,
     theta0, center, spacing, params: RegistrationParams,
+    moving_mask=None,
 ):
     """Drive :func:`_optimize_pyramid` for one parameter stage."""
     scale = _param_scale(params.transform, fixed_dev.shape, spacing)
@@ -509,6 +519,7 @@ def _run_pyramid_stage(
         params.transform, params.metric,
         params.iterations, params.num_samples, params.num_bins,
         params.learning_rate, params.seed,
+        moving_mask=moving_mask,
     )
     return np.asarray(theta), np.asarray(losses)
 
@@ -592,6 +603,7 @@ def _optimize_bspline_level(
     metric: str,
     iterations: int, num_samples: int, num_bins: int,
     learning_rate, bending_weight, seed,
+    moving_mask=None,
 ):
     """One pyramid level of FFD optimization. The control grid lives in
     FULL-resolution fixed index space; level coords convert via
@@ -627,6 +639,8 @@ def _optimize_bspline_level(
             axis=0,
         )
         weights = weights * (0.01 + 0.99 * inside)
+        if moving_mask is not None:
+            weights = weights * _trilinear_sample(moving_mask, m_idx)
 
         if metric == "mi":
             data_loss = _soft_mi(fixed_vals, moving_vals, weights, num_bins, f_lo, f_hi, m_lo, m_hi)
@@ -658,6 +672,7 @@ def register_pair_bspline(
     moving_affine: np.ndarray,
     params: RegistrationParams,
     fixed_mask: Optional[np.ndarray] = None,
+    moving_mask: Optional[np.ndarray] = None,
 ):
     """Multi-resolution B-spline FFD registration.
 
@@ -690,6 +705,11 @@ def register_pair_bspline(
             f_mask = np.asarray(
                 _downsample(jnp.asarray(np.asarray(fixed_mask, np.float32)), factor)
             )
+        m_mask = None
+        if moving_mask is not None:
+            m_mask = np.asarray(
+                _downsample(jnp.asarray(np.asarray(moving_mask, np.float32)), factor)
+            )
 
         ctrl_j, losses = _optimize_bspline_level(
             jnp.asarray(f_arr), jnp.asarray(f_aff, jnp.float32),
@@ -702,6 +722,7 @@ def register_pair_bspline(
             # Fold the level into the seed so each level draws FRESH sample
             # coordinates (the affine pyramid folds level_idx the same way).
             lr, params.bending_weight, params.seed + lvl * max(1, params.iterations),
+            moving_mask=jnp.asarray(m_mask) if m_mask is not None else None,
         )
         ctrl = np.asarray(ctrl_j)
         info["losses"].append(np.asarray(losses))

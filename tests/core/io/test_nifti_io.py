@@ -49,3 +49,19 @@ def test_4d_roundtrip(tmp_path):
     mv2 = NiftiReader().load(path)
     assert mv2.shape == (4, 5, 6, 3)
     assert np.allclose(mv2.A, mv.A)
+
+
+def test_loaded_volume_is_writable(tmp_path):
+    """Arrays read from NIfTI must support in-place math (frombuffer over
+    bytes is read-only; the reader must copy)."""
+    import numpy as np
+
+    from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter
+    from dosma_tpu.core.med_volume import MedicalVolume
+
+    p = str(tmp_path / "w.nii.gz")
+    NiftiWriter().save(MedicalVolume(np.ones((4, 5, 6), np.float32), np.eye(4)), p)
+    mv = NiftiReader().load(p)
+    mv *= 2  # must not raise "assignment destination is read-only"
+    mv[0:1] = 0
+    assert float(np.asarray(mv.volume).max()) == 2.0

@@ -42,3 +42,14 @@ class TestDeviceAt:
             outer = jnp.zeros(2)
         assert next(iter(inner.devices())) == devices[1]
         assert next(iter(outer.devices())) == devices[0]
+
+
+def test_unknown_platform_raises():
+    """Device('tpu') on a host without TPUs must raise, not silently hand
+    back a CPU device."""
+    import pytest
+
+    from dosma_tpu.core.device import Device
+
+    with pytest.raises(ValueError, match="No 'rocm' devices"):
+        Device("rocm")

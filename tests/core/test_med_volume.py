@@ -257,3 +257,22 @@ class TestHeaders:
         with pytest.raises(KeyError):
             mv.get_metadata("NotAField")
         assert mv.get_metadata("EchoTime", dtype=int) == 10
+
+
+def test_set_metadata_force_contract():
+    """Missing keys are created only under force=True (reference
+    ``med_volume.py:724-732``); force=False raises."""
+    import numpy as np
+    import pytest
+
+    from tests.util import build_dummy_headers
+    from dosma_tpu.core.med_volume import MedicalVolume
+
+    headers = build_dummy_headers((1, 1, 2), fields={"EchoTime": 10.0})
+    mv = MedicalVolume(np.zeros((4, 4, 2)), np.eye(4), headers=headers)
+    mv.set_metadata("EchoTime", 25.0)  # existing key: fine
+    assert mv.get_metadata("EchoTime", float) == 25.0
+    with pytest.raises(KeyError):
+        mv.set_metadata("InversionTime", 5.0)
+    mv.set_metadata("InversionTime", 5.0, force=True)
+    assert mv.get_metadata("InversionTime", float) == 5.0

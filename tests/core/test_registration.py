@@ -220,3 +220,39 @@ class TestCrossGridRegistration:
         err_before = np.abs(ident - fixed_arr).mean()
         err_after = np.abs(warped - fixed_arr).mean()
         assert err_after < 0.4 * err_before
+
+
+def test_register_with_moving_mask(tmp_path):
+    """moving_masks must actually be applied (they were once validated then
+    dropped). A mask that excludes a bright corrupting blob in the moving
+    image lets the true shift win; without it the blob skews the fit."""
+    from dosma_tpu.core.med_volume import MedicalVolume
+    from dosma_tpu.core.registration import register
+
+    rs = np.random.RandomState(2)
+    shape = (64, 64, 16)
+    fixed = np.zeros(shape, np.float32)
+    fixed[16:-16, 16:-16, 4:-4] = 1000.0
+    fixed += 30.0 * rs.rand(*shape).astype(np.float32)
+    moving = np.roll(fixed, (3, -2, 0), axis=(0, 1, 2))
+    # Corrupting structure only in the moving image.
+    corrupted = moving.copy()
+    corrupted[2:12, 2:12, :] = 4000.0
+    mask = np.ones(shape, np.float32)
+    mask[0:16, 0:16, :] = 0.0
+
+    aff = np.diag([1.0, 1.0, 2.0, 1.0])
+    fv = MedicalVolume(fixed, aff)
+    mv = MedicalVolume(corrupted, aff)
+    mk = MedicalVolume(mask, aff)
+
+    (spec,), (wv,) = register(
+        fv, mv, "translation", output_path=str(tmp_path), moving_masks=mk,
+        use_mask=[True], return_volumes=True, rtype=tuple,
+    )
+    import json
+
+    tdata = json.load(open(spec.transform[0]))
+    t = np.asarray(tdata["matrix"])[:3, 3]
+    truth = np.array([3.0, -2.0, 0.0])
+    assert np.abs(t - truth).max() < 1.0, t
