@@ -223,13 +223,31 @@ def add_base_argument(
     )
 
 
+def _coerce_scalar(token: str):
+    """Best-effort numeric coercion for comma-separated CLI tuple elements."""
+    for cast in (int, float):
+        try:
+            return cast(token)
+        except ValueError:
+            continue
+    return token
+
+
 def parse_basic_type(val, param_type):
     if param_type not in BASIC_TYPES:
         param_type = extract_basic_type(param_type)
     if type(val) is param_type:
         return val
     if param_type in (list, tuple):
-        return param_type(val) if val is not None else val
+        if val is None:
+            return val
+        if isinstance(val, str):
+            # A single token like "0,100" (nargs='?' when the parameter has
+            # a default) must split into elements — tuple("0,100") would
+            # character-split it.
+            parts = [p for p in val.split(",") if p != ""]
+            return param_type(_coerce_scalar(p) for p in parts)
+        return param_type(val)
     if type(val) is list and get_nargs_for_basic_type(param_type) == 1:
         return val[0]
     return param_type(val) if val else val

@@ -215,17 +215,32 @@ class Unet2D:
         # bfloat16 runs convs MXU-native (~15% faster, max prob delta ~7e-3
         # vs float32 on this backbone); float32 is the bit-parity default.
         self.precision = precision
-        self.params = init_unet2d_params(
-            jax.random.PRNGKey(0), in_channels=input_shape[2], num_classes=num_classes
-        )
+        # Parameters materialize lazily: every pretrained-model path calls
+        # load_weights immediately, so generating ~31M random weights in
+        # __init__ would be pure startup waste.
+        self._params = None
         self._forward = jax.jit(unet2d_forward)
         self._bf16_params = None  # cast lazily, cached per weight load
+
+    @property
+    def params(self):
+        if self._params is None:
+            self._params = init_unet2d_params(
+                jax.random.PRNGKey(0),
+                in_channels=self.input_shape[2],
+                num_classes=self.num_classes,
+            )
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+        self._bf16_params = None
 
     def load_weights(self, weights_path: str):
         from dosma_tpu.models.weights import load_keras_unet2d_weights
 
         self.params = load_keras_unet2d_weights(weights_path)
-        self._bf16_params = None
 
     def _inference_params(self):
         """Parameters at the model precision; the bfloat16 copy is cast once

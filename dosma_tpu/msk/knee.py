@@ -107,7 +107,10 @@ def handle_knee(vargin: Dict) -> List[Tissue]:
         _logger.info(tissue.FULL_NAME)
         for qv in qvs:
             _logger.info(f"Analyzing {qv.name.lower()}")
-            tissue.calc_quant_vals()
+        # One pass: calc_quant_vals already iterates every registered qv
+        # (calling it inside the loop above recomputed the full region
+        # analytics N times per tissue).
+        tissue.calc_quant_vals()
 
     for tissue in tissues:
         tissue.save_data(save_path, data_format=preferences.image_data_format)

@@ -168,7 +168,11 @@ class FemoralCartilage(Tissue):
     def unroll(self, qv_map: np.ndarray, regions_mask: np.ndarray, theta_bins):
         """Unroll 3D qv maps to 2D (θ-bin x slice) total/superficial/deep maps
         (ref ``:196-285``) — vectorized with scatter-add accumulations."""
-        num_bins = len(np.unique(theta_bins))
+        # Size by the MAX bin value, not the count of distinct bins: a
+        # degenerate circle fit can leave angular bins unpopulated, and
+        # indexing raw bin values into a unique-count-sized array would
+        # scatter out of bounds.
+        num_bins = int(np.max(theta_bins)) + 1
         mask = np.asarray(self.__mask__.volume)
 
         qv_map = np.asarray(qv_map)
@@ -299,46 +303,9 @@ class FemoralCartilage(Tissue):
     # ------------------------------------------------------------------
     def __save_quant_data__(self, dirpath: str):
         """jet maps with per-qv vmax + xlsx export (ref ``:436-501``)."""
-        import matplotlib
+        from dosma_tpu.tissues._plot import save_quant_maps_and_tables
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        q_names = []
-        dfs = []
-        for quant_val in QuantitativeValueType:
-            if quant_val.name not in self.quant_vals.keys():
-                continue
-            q_names.append(quant_val.name)
-            q_val = self.quant_vals[quant_val.name]
-            dfs.append(q_val[1])
-
-            q_name_dirpath = io_utils.mkdirs(os.path.join(dirpath, quant_val.name.lower()))
-            for q_map_data in q_val[0]:
-                filepath = os.path.join(q_name_dirpath, q_map_data["filename"])
-                data_map = q_map_data["data"]
-
-                plt.clf()
-                upper_bound = BOUNDS[quant_val]
-                if preferences.visualization_use_vmax or np.sum(data_map <= upper_bound) == 0:
-                    plt.imshow(data_map, cmap="jet", vmin=0.0, vmax=upper_bound)
-                else:
-                    plt.imshow(data_map, cmap="jet")
-                plt.xlabel(q_map_data["xlabel"])
-                plt.ylabel(q_map_data["ylabel"])
-                plt.title(q_map_data["title"])
-                clb = plt.colorbar()
-                clb.ax.set_title("(ms)")
-                plt.savefig(filepath)
-                plt.close()
-
-                raw_path = os.path.join(
-                    q_name_dirpath, "raw_data", q_map_data["raw_data_filename"]
-                )
-                io_utils.save_pik(raw_path, data_map)
-
-        if dfs:
-            io_utils.save_tables(os.path.join(dirpath, "data.xlsx"), dfs, q_names)
+        save_quant_maps_and_tables(dirpath, self.quant_vals, BOUNDS)
 
     def save_data(self, save_dirpath, data_format: ImageDataFormat = None):
         if data_format is None:

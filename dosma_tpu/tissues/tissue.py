@@ -190,9 +190,14 @@ class Tissue(ABC):
         """
         root = self.__save_dirpath__(load_dir_path)
         try:
-            self.mask = fio_utils.generic_load(self._mask_filepath(root), expected_num_volumes=1)
+            msk = fio_utils.generic_load(self._mask_filepath(root), expected_num_volumes=1)
         except FileNotFoundError:
-            pass
+            msk = None
+        if msk is not None:
+            # Dispatch through set_mask so subclass overrides run their
+            # region splitting — calc_quant_vals on a loaded mask needs
+            # regions_mask populated (ref ``tissue.py:214-218``).
+            self.set_mask(msk)
         self.quantitative_values = QuantitativeValue.load_qvs(root)
 
     # ---------------------------------------------------------------- plotting

@@ -106,11 +106,19 @@ def debug(value: Optional[bool] = None) -> bool:
     if value is not None:
         if not isinstance(value, bool):
             raise ValueError("value must be a bool")
+        import logging
+
         os.environ["DOSMA_DEBUG"] = str(value)
         from dosma_tpu.utils import logger as _logger
 
         _logger.setup_logger.cache_clear()
-        _logger.setup_logger()
+        pkg_logger = _logger.setup_logger()
+        # setup_logger keeps existing handlers, so re-level them explicitly
+        # (the reference iterates logger.handlers the same way).
+        lvl = logging.DEBUG if value else logging.INFO
+        for h in pkg_logger.handlers:
+            if isinstance(h, logging.StreamHandler) and not isinstance(h, logging.FileHandler):
+                h.setLevel(lvl)
     return os.environ.get("DOSMA_DEBUG", "").lower() in ("true", "1")
 
 

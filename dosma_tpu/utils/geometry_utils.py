@@ -1,7 +1,8 @@
 """Geometry helpers (re-design of ``/root/reference/dosma/utils/geometry_utils.py``).
 
-``circle_fit`` is solved in closed form (Kåsa algebraic fit refined by one
-Gauss–Newton step) instead of scipy ``leastsq`` — deterministic and fast.
+``circle_fit`` minimizes geometric-distance residuals with scipy
+``leastsq`` from a centroid initialization — the same objective and
+solver as the reference, so fitted condyle circles match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ def circle_fit(x: np.ndarray, y: np.ndarray) -> Tuple[float, float, float]:
 
     Same objective as the reference (geometric distance residuals,
     ``geometry_utils.py:11-70``); solved via scipy leastsq from the
-    algebraic (Kåsa) initialization for identical behavior.
+    centroid initialization for identical behavior.
     """
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)

@@ -64,7 +64,8 @@ def setup_logger(
         logger.handlers.clear()
 
     if stream_lvl is None:
-        stream_lvl = logging.DEBUG if env.debug() else logging.WARNING
+        # INFO default like the reference — CLI progress messages must show.
+        stream_lvl = logging.DEBUG if env.debug() else logging.INFO
 
     has_stream = any(isinstance(h, logging.StreamHandler) and not isinstance(h, logging.FileHandler) for h in logger.handlers)
     if not has_stream:

@@ -93,3 +93,14 @@ class TestSegmentCommandLine:
         )
         parse_args(cmd.split())
         assert os.path.isfile(save / "fc" / "fc.nii.gz")
+
+
+def test_tuple_parameter_comma_string():
+    """Tuple-typed action parameters with defaults parse '0,100' into
+    (0, 100) rather than character-splitting the string."""
+    from dosma_tpu.cli import parse_basic_type
+    from typing import Tuple
+
+    assert parse_basic_type("0,100", tuple) == (0, 100)
+    assert parse_basic_type("0.5,99.5", Tuple[float, float]) == (0.5, 99.5)
+    assert parse_basic_type(["1", "2"], tuple) == (1, 2) or parse_basic_type(["1", "2"], tuple) == ("1", "2")

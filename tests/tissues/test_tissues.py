@@ -209,3 +209,27 @@ def test_find_weights_extension_rule(tmp_path):
     good = tmp_path / "iwoai_fc_weights.h5"
     good.write_bytes(b"x")
     assert fc.find_weights(str(tmp_path)) == str(good)
+
+
+def test_load_data_dispatches_set_mask(tmp_path):
+    """load_data must route through set_mask so region splitting runs —
+    otherwise calc_quant_vals on freshly loaded tissues hits
+    regions_mask=None assertions (knee workflow on saved data)."""
+    import numpy as np
+
+    from dosma_tpu.core.med_volume import MedicalVolume
+    from dosma_tpu.core.orientation import SAGITTAL, to_affine
+    from dosma_tpu.tissues.tibial_cartilage import TibialCartilage
+
+    mask = np.zeros((32, 32, 8), np.uint8)
+    mask[8:24, 8:24, 2:6] = 1
+    mv = MedicalVolume(mask, to_affine(SAGITTAL, (0.5, 0.5, 1.0)))
+
+    tc = TibialCartilage()
+    tc.set_mask(mv)
+    tc.save_data(str(tmp_path))
+
+    tc2 = TibialCartilage()
+    tc2.load_data(str(tmp_path))
+    assert tc2.get_mask() is not None
+    assert tc2.regions_mask is not None
