@@ -470,12 +470,23 @@ def jpeg_lossless_decode(data: bytes) -> np.ndarray:
         row = out[r]
         for c in range(cols):
             if samples_until_restart == 0:
-                # Align to byte, consume RSTn, reset prediction.
+                # Align to byte, consume RSTn, reset prediction. The bit
+                # reader may have already stepped past the 0xFF while
+                # feeding padding, leaving pos ON the marker code.
                 br._nbits = 0
                 br._acc = 0
-                while br.data[br.pos] == 0xFF and 0xD0 <= br.data[br.pos + 1] <= 0xD7:
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
                     br.pos += 2
-                    break
+                elif (
+                    0 < br.pos < len(br.data)
+                    and 0xD0 <= br.data[br.pos] <= 0xD7
+                    and br.data[br.pos - 1] == 0xFF
+                ):
+                    br.pos += 1
                 prev_row = None
                 samples_until_restart = restart_interval
                 if c > 0:

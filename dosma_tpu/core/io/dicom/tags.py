@@ -105,6 +105,13 @@ DICT = {
     "Rows": (0x00280010, "US"),
     "Columns": (0x00280011, "US"),
     "PixelSpacing": (0x00280030, "DS"),
+    "ImagerPixelSpacing": (0x00181164, "DS"),
+    # GE qDESS private tags (spoiler gradient area / time) — the reference
+    # reads them via pydicom's private dictionaries
+    # (``/root/reference/dosma/scan_sequences/mri/qdess.py:44-45``). Without
+    # a VR entry, Implicit VR LE files would parse them as raw UN bytes.
+    "GEGradientArea": (0x001910B6, "DS"),
+    "GEGradientTime": (0x001910B7, "DS"),
     "BitsAllocated": (0x00280100, "US"),
     "BitsStored": (0x00280101, "US"),
     "HighBit": (0x00280102, "US"),

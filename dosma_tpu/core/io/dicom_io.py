@@ -388,10 +388,15 @@ def to_RAS_affine(headers: List[Dataset], default_ornt: Tuple[str, str] = None) 
     try:
         in_plane_pixel_spacing = headers[0].PixelSpacing
     except AttributeError:
-        raise RuntimeError(
-            "Could not determine in-plane pixel spacing from headers. "
-            "Attribute 'PixelSpacing' not found."
-        )
+        try:
+            # Projection-geometry series carry ImagerPixelSpacing instead
+            # (reference fallback, ``dicom_io.py:513-520``).
+            in_plane_pixel_spacing = headers[0].ImagerPixelSpacing
+        except AttributeError:
+            raise RuntimeError(
+                "Could not determine in-plane pixel spacing from headers. "
+                "Neither 'PixelSpacing' nor 'ImagerPixelSpacing' found."
+            )
 
     i_vec = np.round(np.asarray(im_dir[:3], dtype=np.float64), AFFINE_DECIMAL_PRECISION)
     j_vec = np.round(np.asarray(im_dir[3:], dtype=np.float64), AFFINE_DECIMAL_PRECISION)

@@ -24,7 +24,15 @@ class WidgetLogger(logging.Handler):
         self.widget.configure(state="disabled")
 
     def emit(self, record):
+        # Log records arrive from worker threads; hop to the Tk main
+        # thread before touching the widget.
+        try:
+            self.widget.after(0, self._append, self.format(record))
+        except Exception:  # widget destroyed
+            pass
+
+    def _append(self, text):
         self.widget.configure(state="normal")
-        self.widget.insert("end", self.format(record) + "\n")
+        self.widget.insert("end", text + "\n")
         self.widget.see("end")
         self.widget.configure(state="disabled")

@@ -57,10 +57,12 @@ class FileDialogReader:
         return fio_utils.generic_load(path, expected_num_volumes=1)
 
     def get_volume_filepath(self, title="Select path", im_type=None):
-        filetypes = None
+        # Omit the kwarg entirely when unrestricted — tkinter applies
+        # tuple(filetypes), and tuple(None) raises before the dialog opens.
+        kwargs = {}
         if im_type is not None and getattr(im_type, "name", "") == "dicom":
-            filetypes = (("dicom files", "*.dcm"),)
-        files = self._open(initialdir=self._last_dir, title=title, filetypes=filetypes)
+            kwargs["filetypes"] = (("dicom files", "*.dcm"),)
+        files = self._open(initialdir=self._last_dir, title=title, **kwargs)
         if not files:
             return None
         path = files[0] if isinstance(files, (list, tuple)) else files

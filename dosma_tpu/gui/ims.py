@@ -192,6 +192,11 @@ class DosmaViewer:
         except Exception:  # incomplete form — preview is best-effort
             self.cmd_var.set("")
 
+    def _ui(self, fn):
+        """Marshal a UI mutation onto the Tk main thread (Tkinter is not
+        thread-safe; worker threads must never touch widgets directly)."""
+        self.root.after(0, fn)
+
     def _run_action(self):
         self.status_var.set("running...")
         self.run_button.configure(state="disabled")
@@ -248,18 +253,28 @@ class DosmaViewer:
                 if "tissue" in sig_params:
                     kwargs["tissue"] = tissues[0]
 
-            getattr(scan, self.action_var.get())(**kwargs)
+            action = getattr(scan, self.action_var.get())
+            if "tissue" in kwargs and isinstance(kwargs.get("tissue"), list):
+                action(**kwargs)
+            elif tissues and "tissue" in kwargs:
+                # Like the CLI, run the action once per selected tissue
+                # (``cli.py`` loops ``for tissue in tissues``).
+                for t in tissues:
+                    action(**{**kwargs, "tissue": t})
+            else:
+                action(**kwargs)
             if self.save_var.get():
                 scan.save(self.save_var.get(), image_data_format=preferences.image_data_format)
             vols = scan.scan.volumes
             vol = vols[0] if isinstance(vols, (list, tuple)) else vols
-            self.image_viewer.set_volume(vol)
-            self.status_var.set("done")
+            self._ui(lambda: self.image_viewer.set_volume(vol))
+            self._ui(lambda: self.status_var.set("done"))
         except Exception as e:  # pragma: no cover - GUI error path
             _logger.exception("GUI action failed")
-            self.status_var.set(f"error: {e}")
+            msg = f"error: {e}"
+            self._ui(lambda: self.status_var.set(msg))
         finally:
-            self.run_button.configure(state="normal")
+            self._ui(lambda: self.run_button.configure(state="normal"))
 
     # ------------------------------------------------------------------
     # Knee workflow tab (ref ims.py:95-256 AnalysisFrame)

@@ -184,16 +184,25 @@ def _shard_mapped_pallas(
     return fn(y_sharded, jnp.asarray(p0_sharded, jnp.float32))
 
 
+_JITTED_UNET_FORWARD = None
+
+
 def sharded_unet_inference(model, v: np.ndarray, mesh: Optional[Mesh] = None):
     """Shard U-Net slice-batch inference across devices (batch axis)."""
     import jax.numpy as jnp
 
-    from dosma_tpu.models.unet2d import unet2d_forward
+    global _JITTED_UNET_FORWARD
+    if _JITTED_UNET_FORWARD is None:
+        # Module-level jit: a fresh jax.jit wrapper per call would retrace
+        # and recompile the network every invocation.
+        from dosma_tpu.models.unet2d import unet2d_forward
+
+        _JITTED_UNET_FORWARD = jax.jit(unet2d_forward)
 
     if mesh is None:
         mesh = get_mesh()
     n = v.shape[0]
     v_sharded, pad = shard_voxels(v.astype(np.float32), mesh)
-    out = jax.jit(unet2d_forward)(model.params, jnp.asarray(v_sharded))
+    out = _JITTED_UNET_FORWARD(model.params, jnp.asarray(v_sharded))
     out = np.asarray(out)
     return out[:n] if pad else out

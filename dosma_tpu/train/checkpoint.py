@@ -43,11 +43,29 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None):
-    """Restore the checkpoint payload dict ({"params", "opt_state"?})."""
+def restore_checkpoint(ckpt_dir: str, step: Optional[int] = None, target: Any = None):
+    """Restore the checkpoint payload dict ({"params", "opt_state"?}).
+
+    ``target``: an example payload pytree whose array SHARDINGS the restore
+    reproduces (pass the trainer's live ``{"params": ..., "opt_state": ...}``
+    to land parameters directly on the mesh). Without it, arrays restore
+    host-side replicated and the next jitted step has to re-lay them out.
+    """
     if step is None:
         step = latest_step(ckpt_dir)
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    return _checkpointer().restore(path)
+    if target is None:
+        return _checkpointer().restore(path)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    def _as_restore_args(x):
+        if hasattr(x, "sharding"):
+            return ocp.ArrayRestoreArgs(sharding=x.sharding, dtype=x.dtype)
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree_util.tree_map(_as_restore_args, target)
+    return _checkpointer().restore(path, restore_args=restore_args)

@@ -256,8 +256,13 @@ int dosma_jpeg_lossless_decode(const uint8_t *data, long long n, uint16_t *dst,
         br.nbits = 0;
         br.acc = 0;
         if (br.pos + 1 < n && br.data[br.pos] == 0xFF &&
-            br.data[br.pos + 1] >= 0xD0 && br.data[br.pos + 1] <= 0xD7)
+            br.data[br.pos + 1] >= 0xD0 && br.data[br.pos + 1] <= 0xD7) {
           br.pos += 2;
+        } else if (br.pos > 0 && br.pos < n && br.data[br.pos] >= 0xD0 &&
+                   br.data[br.pos] <= 0xD7 && br.data[br.pos - 1] == 0xFF) {
+          // fill() already consumed the 0xFF while feeding padding.
+          br.pos += 1;
+        }
         above = nullptr;
         first_line = true;
         until_restart = restart_interval;

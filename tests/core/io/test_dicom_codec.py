@@ -110,3 +110,14 @@ class TestDatasetModel:
         blob = b"\x00" * 128 + b"DICM" + fm_len + fm
         with pytest.raises(NotImplementedError):
             read_dicom_bytes(blob)
+
+
+def test_qdess_private_tags_have_vr():
+    """The GE qDESS private tags must carry a DS VR so Implicit VR LE files
+    parse them as numbers, not raw UN bytes (pydicom resolves these through
+    its private dictionaries)."""
+    from dosma_tpu.core.io.dicom import tags as T
+
+    assert T.TAG_TO_VR[0x001910B6] == "DS"
+    assert T.TAG_TO_VR[0x001910B7] == "DS"
+    assert T.TAG_TO_VR[0x00181164] == "DS"  # ImagerPixelSpacing

@@ -65,3 +65,24 @@ def test_loaded_volume_is_writable(tmp_path):
     mv *= 2  # must not raise "assignment destination is read-only"
     mv[0:1] = 0
     assert float(np.asarray(mv.volume).max()) == 2.0
+
+
+def test_nan_scl_slope_means_unscaled(tmp_path):
+    """scl_slope=NaN in the header means 'unset' (nibabel semantics) — it
+    must not scale the whole array into NaN."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter
+    from dosma_tpu.core.med_volume import MedicalVolume
+
+    p = str(tmp_path / "x.nii")
+    NiftiWriter().save(MedicalVolume(np.ones((3, 3, 3), np.float32), np.eye(4)), p)
+    raw = bytearray(open(p, "rb").read())
+    # scl_slope is a float32 at byte offset 112 of the 348-byte header.
+    raw[112:116] = struct.pack("<f", float("nan"))
+    open(p, "wb").write(bytes(raw))
+    mv = NiftiReader().load(p)
+    assert np.isfinite(np.asarray(mv.volume)).all()

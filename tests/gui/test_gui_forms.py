@@ -155,6 +155,11 @@ class _StubText:
         self.lines = []
         self.state = None
 
+    def after(self, _delay, fn, *args):
+        # Emit marshals through widget.after (Tk thread safety); the stub
+        # runs the callback synchronously.
+        fn(*args)
+
     def configure(self, state=None):
         self.state = state
 
