@@ -513,6 +513,21 @@ def jpeg_lossless_decode(data: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _native_or_python(native_fn, python_fn, *args, **kwargs):
+    """One fallback policy for every codec dispatch: prefer the C++ decoder
+    when the library is built and the input qualifies (``native_fn`` may be
+    None to force Python); a native ValueError falls back to the Python
+    twin so behavior never regresses on odd inputs."""
+    from dosma_tpu.core.io import _native
+
+    if native_fn is not None and _native.codecs_available():
+        try:
+            return native_fn(*args, **kwargs)
+        except ValueError:
+            pass
+    return python_fn(*args, **kwargs)
+
+
 def encode_frames(
     pixel_array: np.ndarray, transfer_syntax: str, nframes: int = 1
 ) -> EncapsulatedPixelData:
@@ -522,28 +537,21 @@ def encode_frames(
     """
     from dosma_tpu.core.io import _native
 
-    use_native = _native.codecs_available()
     arr = np.asarray(pixel_array)
     frames = arr if (arr.ndim >= 3 and nframes > 1) else arr[None]
     frags = []
     for frame in frames:
         if transfer_syntax == RLE_LOSSLESS:
-            if use_native:
-                try:
-                    frag = _native.rle_encode(frame)
-                except ValueError:
-                    frag = rle_encode_frame(frame)
-            else:
-                frag = rle_encode_frame(frame)
+            frag = _native_or_python(
+                _native.rle_encode, rle_encode_frame, frame
+            )
         elif transfer_syntax in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
             bits = frame.dtype.itemsize * 8
-            if use_native and frame.ndim == 2 and frame.dtype.itemsize <= 2:
-                try:
-                    frag = _native.jpeg_lossless_encode(frame, precision=bits)
-                except ValueError:
-                    frag = jpeg_lossless_encode(frame, precision=bits)
-            else:
-                frag = jpeg_lossless_encode(frame, precision=bits)
+            native_ok = frame.ndim == 2 and frame.dtype.itemsize <= 2
+            frag = _native_or_python(
+                _native.jpeg_lossless_encode if native_ok else None,
+                jpeg_lossless_encode, frame, precision=bits,
+            )
         else:
             raise NotImplementedError(f"No encoder for transfer syntax {transfer_syntax}")
         if len(frag) % 2:
@@ -564,28 +572,18 @@ def decode_frames(
     """Decode encapsulated fragments into an ndarray (native byte order)."""
     from dosma_tpu.core.io import _native
 
-    use_native = _native.codecs_available()
     frames = encapsulated.frames(nframes)
     decoded = []
     for frame in frames:
         if transfer_syntax == RLE_LOSSLESS:
-            if use_native:
-                try:
-                    img = _native.rle_decode(frame, rows, cols, samples, bits_allocated)
-                except ValueError:
-                    img = rle_decode_frame(frame, rows, cols, samples, bits_allocated)
-            else:
-                img = rle_decode_frame(frame, rows, cols, samples, bits_allocated)
+            img = _native_or_python(
+                _native.rle_decode, rle_decode_frame,
+                frame, rows, cols, samples, bits_allocated,
+            )
         elif transfer_syntax in (JPEG_LOSSLESS, JPEG_LOSSLESS_SV1):
             if samples != 1:
                 raise NotImplementedError("JPEG lossless decode supports 1 sample/pixel")
-            if use_native:
-                try:
-                    img = _native.jpeg_lossless_decode(frame)
-                except ValueError:
-                    img = jpeg_lossless_decode(frame)
-            else:
-                img = jpeg_lossless_decode(frame)
+            img = _native_or_python(_native.jpeg_lossless_decode, jpeg_lossless_decode, frame)
             if bits_allocated == 8:
                 img = img.astype(np.uint8)
         else:

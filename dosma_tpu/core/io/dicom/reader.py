@@ -84,7 +84,12 @@ def _read_element_header(fp: BinaryIO, explicit: bool):
         else:
             (length,) = struct.unpack("<H", hdr[6:8])
     else:
-        vr = T.TAG_TO_VR.get(tag, "UN")
+        # Private tags (odd group) resolve later, creator-gated, in the
+        # dataset loop; standard tags resolve from the public dictionary.
+        if (tag >> 16) % 2 == 1:
+            vr = "UN"
+        else:
+            vr = T.TAG_TO_VR.get(tag, "UN")
         (length,) = struct.unpack("<I", hdr[4:8])
     return tag, vr, length
 
@@ -143,6 +148,7 @@ def _read_dataset(
     stop_before_pixels: bool = False,
 ) -> Dataset:
     ds = Dataset()
+    private_creators: dict = {}
     while True:
         hdr = _read_element_header(fp, explicit)
         if hdr is None:
@@ -164,9 +170,33 @@ def _read_dataset(
             continue
         raw = _read_exact(fp, length)
         if vr is None or vr == "UN":
-            vr = T.TAG_TO_VR.get(tag, "UN")
+            vr = _resolve_implicit_vr(tag, private_creators)
         ds.add_new(tag, vr, _parse_value(vr, raw))
+        group, elem = tag >> 16, tag & 0xFFFF
+        if group % 2 == 1 and 0x0010 <= elem <= 0x00FF:
+            # Private-creator element: remember which vendor owns block
+            # ``elem`` of this group.
+            try:
+                private_creators[(group, elem)] = str(ds[tag].value)
+            except Exception:
+                pass
     return ds
+
+
+def _resolve_implicit_vr(tag: int, private_creators: dict) -> str:
+    group = tag >> 16
+    if group % 2 == 1:
+        entry = T.PRIVATE_TAG_VR.get(tag)
+        if entry is not None:
+            prefix, vr = entry
+            block = (tag >> 8) & 0xFF
+            creator = private_creators.get((group, block), "")
+            if isinstance(creator, bytes):
+                creator = creator.decode("latin-1", errors="replace")
+            if str(creator).strip().startswith(prefix):
+                return vr
+        return "UN"
+    return T.TAG_TO_VR.get(tag, "UN")
 
 
 def read_dicom_bytes(data: bytes, stop_before_pixels: bool = False) -> Dataset:

@@ -106,12 +106,7 @@ DICT = {
     "Columns": (0x00280011, "US"),
     "PixelSpacing": (0x00280030, "DS"),
     "ImagerPixelSpacing": (0x00181164, "DS"),
-    # GE qDESS private tags (spoiler gradient area / time) — the reference
-    # reads them via pydicom's private dictionaries
-    # (``/root/reference/dosma/scan_sequences/mri/qdess.py:44-45``). Without
-    # a VR entry, Implicit VR LE files would parse them as raw UN bytes.
-    "GEGradientArea": (0x001910B6, "DS"),
-    "GEGradientTime": (0x001910B7, "DS"),
+
     "BitsAllocated": (0x00280100, "US"),
     "BitsStored": (0x00280101, "US"),
     "HighBit": (0x00280102, "US"),
@@ -143,6 +138,16 @@ TAG_TO_KEYWORD = {tag: kw for kw, (tag, _vr) in DICT.items()}
 KEYWORD_TO_TAG = {kw: tag for kw, (tag, _vr) in DICT.items()}
 KEYWORD_TO_VR = {kw: vr for kw, (tag, vr) in DICT.items()}
 TAG_TO_VR = {tag: vr for kw, (tag, vr) in DICT.items()}
+
+# Private-tag VRs, applied ONLY when the block's private-creator element
+# matches the prefix (pydicom's private-dictionary behavior — an unrelated
+# vendor may use the same element for binary data). The GE qDESS spoiler
+# gradient area/time tags are what ``QDess.generate_t2_map`` needs
+# (``/root/reference/dosma/scan_sequences/mri/qdess.py:44-45``).
+PRIVATE_TAG_VR = {
+    0x001910B6: ("GEMS_ACQU", "DS"),
+    0x001910B7: ("GEMS_ACQU", "DS"),
+}
 
 # VRs using 2-byte length in explicit encoding.
 SHORT_VRS = {

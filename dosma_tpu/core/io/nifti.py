@@ -206,15 +206,14 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     else:
         affine = np.diag([p1 or 1.0, p2 or 1.0, p3 or 1.0, 1.0])
 
-    # NaN slope/intercept mean "unset" (nibabel semantics) — scaling by
-    # them would turn the whole array into NaN.
-    if not np.isfinite(scl_slope):
-        scl_slope = 1.0
+    # nibabel semantics: slope of 0 or NaN means "no scaling at all" (the
+    # intercept is ignored too — it is frequently stale garbage); NaN
+    # intercept likewise means unset.
+    if not np.isfinite(scl_slope) or scl_slope == 0.0:
+        scl_slope, scl_inter = 1.0, 0.0
     if not np.isfinite(scl_inter):
         scl_inter = 0.0
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        if scl_slope == 0.0:
-            scl_slope = 1.0
+    if scl_slope != 1.0 or scl_inter != 0.0:
         arr = arr * np.float64(scl_slope) + np.float64(scl_inter)
 
     return arr, affine

@@ -205,7 +205,8 @@ def register(
         if len(use_mask) != len(parameters):
             raise ValueError("`use_mask` must have the same length as `parameters`")
     else:
-        use_mask = [target_mask is not None] * len(parameters)
+        any_mask = target_mask is not None or any(m is not None for m in moving_masks)
+        use_mask = [any_mask] * len(parameters)
 
     target_mv = _load_volume(target)
     target_mask_mv = _load_volume(target_mask) if target_mask is not None else None

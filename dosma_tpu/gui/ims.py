@@ -198,30 +198,42 @@ class DosmaViewer:
         self.root.after(0, fn)
 
     def _run_action(self):
+        from dosma_tpu.msk import knee
+
         self.status_var.set("running...")
         self.run_button.configure(state="disabled")
         self._update_cmd_preview()
-        threading.Thread(target=self._run_action_impl, daemon=True).start()
+        # Snapshot EVERY Tk read on the main thread — the worker must not
+        # touch Tcl at all (reads are as unsafe as writes).
+        job = {
+            "scan_type": self._scan_type(),
+            "action": self.action_var.get(),
+            "dicom_path": self.dicom_var.get() or None,
+            "save_path": self.save_var.get() or None,
+            "kwargs": self.scan_reader.get_kwargs(),
+            "tissue_classes": [
+                cls for cls in knee.SUPPORTED_TISSUES
+                if self.tissue_vars[cls.STR_ID].get()
+            ],
+        }
+        threading.Thread(target=self._run_action_impl, args=(job,), daemon=True).start()
 
-    def _run_action_impl(self):
+    def _run_action_impl(self, job):
         try:
             from dosma_tpu.cli import CommandLineScanContainer, get_model
             from dosma_tpu.defaults import preferences
-            from dosma_tpu.msk import knee
 
-            scan_type = self._scan_type()
+            scan_type = job["scan_type"]
+            action_name = job["action"]
+            save_path = job["save_path"]
             scan = CommandLineScanContainer(
                 scan_type,
-                dicom_path=self.dicom_var.get() or None,
-                load_path=self.save_var.get() or None,
+                dicom_path=job["dicom_path"],
+                load_path=save_path,
             )
-            kwargs = self.scan_reader.get_kwargs()
+            kwargs = job["kwargs"]
 
-            tissues = [
-                cls()
-                for cls in knee.SUPPORTED_TISSUES
-                if self.tissue_vars[cls.STR_ID].get()
-            ]
+            tissues = [cls() for cls in job["tissue_classes"]]
 
             # Segmentation forms expand into weights_dir/model/batch_size;
             # mirror cli.handle_segmentation's weights resolution.
@@ -248,12 +260,12 @@ class DosmaViewer:
                 import inspect as _inspect
 
                 sig_params = _inspect.signature(
-                    getattr(scan_type, self.action_var.get())
+                    getattr(scan_type, action_name)
                 ).parameters
                 if "tissue" in sig_params:
                     kwargs["tissue"] = tissues[0]
 
-            action = getattr(scan, self.action_var.get())
+            action = getattr(scan, action_name)
             if "tissue" in kwargs and isinstance(kwargs.get("tissue"), list):
                 action(**kwargs)
             elif tissues and "tissue" in kwargs:
@@ -263,8 +275,8 @@ class DosmaViewer:
                     action(**{**kwargs, "tissue": t})
             else:
                 action(**kwargs)
-            if self.save_var.get():
-                scan.save(self.save_var.get(), image_data_format=preferences.image_data_format)
+            if save_path:
+                scan.save(save_path, image_data_format=preferences.image_data_format)
             vols = scan.scan.volumes
             vol = vols[0] if isinstance(vols, (list, tuple)) else vols
             self._ui(lambda: self.image_viewer.set_volume(vol))

@@ -210,6 +210,7 @@ int dosma_jpeg_lossless_decode(const uint8_t *data, long long n, uint16_t *dst,
         const uint8_t *bits = body + bpos + 1;
         int nval = 0;
         for (int i = 0; i < 16; ++i) nval += bits[i];
+        if (nval > 256) return -1;  // huffval overflow (corrupt DHT)
         if (bpos + 17 + nval > blen) return -1;
         build_table(bits, body + bpos + 17, nval, tables[tc_th & 0x03]);
         bpos += 17 + nval;

@@ -113,11 +113,25 @@ class TestDatasetModel:
 
 
 def test_qdess_private_tags_have_vr():
-    """The GE qDESS private tags must carry a DS VR so Implicit VR LE files
-    parse them as numbers, not raw UN bytes (pydicom resolves these through
-    its private dictionaries)."""
+    """The GE qDESS private tags live in the creator-gated private registry;
+    ImagerPixelSpacing is a standard tag."""
     from dosma_tpu.core.io.dicom import tags as T
 
-    assert T.TAG_TO_VR[0x001910B6] == "DS"
-    assert T.TAG_TO_VR[0x001910B7] == "DS"
+    assert T.PRIVATE_TAG_VR[0x001910B6] == ("GEMS_ACQU", "DS")
+    assert T.PRIVATE_TAG_VR[0x001910B7] == ("GEMS_ACQU", "DS")
     assert T.TAG_TO_VR[0x00181164] == "DS"  # ImagerPixelSpacing
+
+
+def test_private_tag_vr_is_creator_gated():
+    """The GE qDESS private VRs apply only when the block's private-creator
+    element matches GEMS_ACQU (pydicom's private-dictionary behavior)."""
+    from dosma_tpu.core.io.dicom.reader import _resolve_implicit_vr
+
+    # No creator recorded -> stays UN.
+    assert _resolve_implicit_vr(0x001910B6, {}) == "UN"
+    # Matching creator -> DS.
+    creators = {(0x0019, 0x10): "GEMS_ACQU_01"}
+    assert _resolve_implicit_vr(0x001910B6, creators) == "DS"
+    assert _resolve_implicit_vr(0x001910B7, creators) == "DS"
+    # Foreign vendor in the same block -> raw bytes.
+    assert _resolve_implicit_vr(0x001910B6, {(0x0019, 0x10): "OTHER_VENDOR"}) == "UN"
