@@ -68,7 +68,7 @@ def _readback(x):
 # ----------------------------------------------------------------------
 # Config 1 (headline): noisy monoexponential fit, 512x512x64 x 4 echoes
 # ----------------------------------------------------------------------
-def _bench_monoexp(N: int, T: int, iters: int = 3, n_parity: int = 200):
+def _bench_monoexp(N: int, T: int, iters: int = 5, n_parity: int = 200):
     import jax
     import jax.numpy as jnp
 
