@@ -94,3 +94,21 @@ class TestReadWriteDispatch:
     def test_format_inference_from_path(self):
         assert ImageDataFormat.get_image_data_format("/a/b.nii.gz") == ImageDataFormat.nifti
         assert ImageDataFormat.get_image_data_format("/a/series_dir") == ImageDataFormat.dicom
+
+
+class TestImageDataFormat:
+    """Mirror of the reference's dedicated ImageDataFormat suite
+    (``/root/reference/tests/core/io/test_format_io.py``)."""
+
+    def test_is_filetype(self):
+        assert ImageDataFormat.dicom.is_filetype("data.dcm")
+        assert not ImageDataFormat.dicom.is_filetype("data.nii.gz")
+        assert ImageDataFormat.nifti.is_filetype("data.nii.gz")
+        assert ImageDataFormat.nifti.is_filetype("data.nii")
+        assert not ImageDataFormat.nifti.is_filetype("data.dcm")
+
+    def test_get_image_data_format(self):
+        assert ImageDataFormat.get_image_data_format("data.dcm") == ImageDataFormat.dicom
+        # Extension-less paths (directories) default to dicom.
+        assert ImageDataFormat.get_image_data_format("/path/to/dir") == ImageDataFormat.dicom
+        assert ImageDataFormat.get_image_data_format("data.nii.gz") == ImageDataFormat.nifti
