@@ -24,7 +24,7 @@ from __future__ import annotations
 import inspect
 import warnings
 from numbers import Number
-from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple, Union
+from typing import Callable, Mapping, Optional, Sequence, Tuple, Union
 
 import numpy as np
 

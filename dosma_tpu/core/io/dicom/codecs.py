@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -20,7 +20,6 @@ against ``torch.nn.functional.conv_transpose2d`` in tests).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -25,7 +25,7 @@ from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.core.quant_vals import QuantitativeValueType
 from dosma_tpu.defaults import preferences
 from dosma_tpu.tissues.tissue import Tissue, largest_cc
-from dosma_tpu.utils import img_utils, io_utils
+from dosma_tpu.utils import img_utils
 from dosma_tpu.utils.geometry_utils import cart2pol, circle_fit
 
 __all__ = ["FemoralCartilage"]
