@@ -535,8 +535,22 @@ class MonoExponentialFit(_Fit):
 
         from dosma_tpu.ops.monoexp_pipeline import monoexp_fit_full
 
+        import jax
+        import jax.numpy as jnp
+
         shape = y[0].shape
-        yT = np.stack([np.asarray(sv.volume, np.float32).reshape(-1) for sv in y], axis=0)
+        # Device-resident volumes (e.g. straight out of the in-process
+        # registrar) stack on device — echo data never round-trips the host,
+        # and the result maps stay device-backed for downstream device use.
+        device_in = all(isinstance(sv.volume, jax.Array) for sv in y)
+        if device_in:
+            yT = jnp.stack(
+                [sv.volume.astype(jnp.float32).reshape(-1) for sv in y], axis=0
+            )
+        else:
+            yT = np.stack(
+                [np.asarray(sv.volume, np.float32).reshape(-1) for sv in y], axis=0
+            )
         if mask is not None:
             # Same orientation/dimension validation as the host path — a
             # mismatched mask must raise, not silently mask wrong voxels.
@@ -555,8 +569,11 @@ class MonoExponentialFit(_Fit):
             bounds=self.bounds, tc0=self.tc0, r2_threshold=r2_threshold,
             decimal_precision=self.decimal_precision, mask_flat=mask_flat,
         )
-        tc_arr = np.asarray(tc_flat).reshape(shape)
-        r2_arr = np.asarray(r2_flat).reshape(shape)
+        if device_in:
+            tc_arr, r2_arr = tc_flat.reshape(shape), r2_flat.reshape(shape)
+        else:
+            tc_arr = np.asarray(tc_flat).reshape(shape)
+            r2_arr = np.asarray(r2_flat).reshape(shape)
 
         headers = y[0].headers()
         headers = deepcopy(headers) if headers is not None else None

@@ -34,8 +34,11 @@ from dosma_tpu.core.io.nifti_io import NiftiWriter
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.ops.registration import (
     RegistrationParams,
+    register_chain,
+    register_chain_batch,
     register_pair,
     register_pair_bspline,
+    warp_volume,
     warp_volume_chain,
 )
 from dosma_tpu.utils import env
@@ -175,6 +178,7 @@ def register(
     return_volumes: bool = False,
     rtype: type = dict,
     use_mask: Sequence[bool] = None,
+    save_volumes: bool = True,
     **kwargs,
 ):
     """Register moving image(s) to the target (ref ``registration.py:32-214``).
@@ -182,6 +186,14 @@ def register(
     ``parameters``: preset names ("rigid"/"affine"/...), dosma_tpu YAML
     files, or elastix ``.txt`` files (key subset honored). Multiple
     parameters run as sequential stages whose transforms compose.
+
+    Matrix-only chains run fully device-resident: every stage plus the
+    final warp is ONE compiled program per moving image (or one vmapped
+    program for same-grid batches), and warped volumes come back as
+    device-backed MedicalVolumes. ``save_volumes=False`` (dosma_tpu
+    extension) skips writing ``result.*.nii.gz`` files — transform files
+    are always written — so scan pipelines avoid the device→host readback
+    entirely.
     """
     assert issubclass(rtype, (dict, tuple, list)), "`rtype` must be dict or tuple"
     if not output_path:
@@ -211,35 +223,143 @@ def register(
     target_mv = _load_volume(target)
     target_mask_mv = _load_volume(target_mask) if target_mask is not None else None
 
-    fixed_arr = np.asarray(target_mv.volume, np.float32)
-    fixed_affine = target_mv.affine
-
     moving_mvs = [_load_volume(m) for m in moving]
-
-    # Batched fast path (SURVEY §2.10): multiple moving images with the same
-    # grid and matrix-only stages are registered in ONE vmapped optimization
-    # per stage (the intra-registration case).
     moving_mask_mvs = [
         _load_volume(m) if m is not None else None for m in moving_masks
     ]
     if len(moving_mask_mvs) == 1 and len(moving_mvs) > 1:
         moving_mask_mvs = moving_mask_mvs * len(moving_mvs)
 
+    matrix_only = all(cfg.transform != "bspline" for cfg in stage_cfgs)
+    if matrix_only:
+        outputs, volumes = _register_matrix_chains(
+            target_mv, target_mask_mv, moving_mvs, moving_mask_mvs, stage_cfgs,
+            use_mask, output_path, sequential, collate, return_volumes, save_volumes,
+        )
+    else:
+        outputs, volumes = _register_sequential_fallback(
+            target_mv, target_mask_mv, moving_mvs, moving_mask_mvs, stage_cfgs,
+            use_mask, output_path, sequential, collate, return_volumes,
+        )
+
+    if single_moving:
+        pass  # keep list contract of the reference (always sequences)
+
+    if issubclass(rtype, dict):
+        result = {"outputs": outputs}
+        if return_volumes:
+            result["volumes"] = volumes
+        return result
+    return (outputs, volumes if return_volumes else None)
+
+
+def _collate_outputs(stage_cfgs, transform_paths, warped_files, stage_outputs,
+                     sequential, collate):
+    if (sequential and collate) or len(stage_cfgs) == 1:
+        return RegistrationOutputSpec(
+            transform=transform_paths,
+            warped_file=warped_files[-1] if warped_files else None,
+            warped_files=warped_files,
+        )
+    return stage_outputs
+
+
+def _register_matrix_chains(
+    target_mv, target_mask_mv, moving_mvs, moving_mask_mvs, stage_cfgs,
+    use_mask, output_path, sequential, collate, return_volumes, save_volumes,
+):
+    """Device-resident registration for matrix-only chains.
+
+    One fused program per moving image (or one vmapped program for
+    same-grid unmasked batches) computes every stage and the final warp;
+    the host only sees 4x4 matrices unless result files are written.
+    """
+    import jax.numpy as jnp
+
+    fixed_affine = target_mv.affine
+    fixed_shape = tuple(int(s) for s in target_mv.shape[:3])
+    mask_arr = (
+        target_mask_mv.reformat_as(target_mv).volume
+        if target_mask_mv is not None else None
+    )
+
     batchable = (
         len(moving_mvs) > 1
         and all(m is None for m in moving_mask_mvs)
-        and all(cfg.transform != "bspline" for cfg in stage_cfgs)
         and all(tuple(m.shape[:3]) == tuple(moving_mvs[0].shape[:3]) for m in moving_mvs)
         and all(np.allclose(m.affine, moving_mvs[0].affine) for m in moving_mvs)
     )
 
+    results = []  # per image: (cumulative stage matrices, warped device array)
     if batchable:
-        per_image_stages = _register_stages_batched(
-            fixed_arr, fixed_affine, moving_mvs, stage_cfgs, use_mask,
-            target_mv, target_mask_mv,
+        m_stack = jnp.stack([jnp.asarray(m.volume, jnp.float32) for m in moving_mvs])
+        Ms_all, warped_stack, _info = register_chain_batch(
+            target_mv.volume, fixed_affine, m_stack, moving_mvs[0].affine,
+            stage_cfgs, fixed_mask=mask_arr, use_mask=use_mask,
         )
+        for i in range(len(moving_mvs)):
+            results.append(([np.asarray(M) for M in Ms_all[i]], warped_stack[i]))
     else:
-        per_image_stages = None
+        for mv, mmask in zip(moving_mvs, moving_mask_mvs):
+            mmask_arr = mmask.reformat_as(mv).volume if mmask is not None else None
+            Ms, warped, _extras, _info = register_chain(
+                target_mv.volume, fixed_affine, mv.volume, mv.affine, stage_cfgs,
+                fixed_mask=mask_arr, moving_mask=mmask_arr, use_mask=use_mask,
+            )
+            results.append((Ms, warped))
+
+    outputs, volumes = [], []
+    for idx, ((Ms, warped), moving_mv) in enumerate(zip(results, moving_mvs)):
+        reg_dir = os.path.join(output_path, f"moving-{idx}")
+        os.makedirs(reg_dir, exist_ok=True)
+        transform_paths, warped_files, stage_outputs = [], [], []
+        n_stages = len(stage_cfgs)
+        for s_idx, cfg in enumerate(stage_cfgs):
+            # Incremental stage matrix: compose_transforms of the stage
+            # files reproduces the cumulative map (apply_warp contract).
+            S = Ms[s_idx] if s_idx == 0 else np.linalg.inv(Ms[s_idx - 1]) @ Ms[s_idx]
+            tpath = os.path.join(reg_dir, f"TransformParameters.{s_idx}.json")
+            _save_transform_file(tpath, ("matrix", S), cfg, target_mv, moving_mv)
+            transform_paths.append(tpath)
+
+            wf = None
+            if save_volumes:
+                if s_idx == n_stages - 1:
+                    stage_warped = warped
+                else:
+                    stage_warped = warp_volume(
+                        moving_mv.volume, Ms[s_idx], fixed_affine,
+                        moving_mv.affine, fixed_shape,
+                    )
+                wf = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
+                NiftiWriter().save(
+                    MedicalVolume(np.asarray(stage_warped), fixed_affine), wf
+                )
+                warped_files.append(wf)
+            stage_outputs.append(
+                RegistrationOutputSpec(
+                    transform=[tpath], warped_file=wf,
+                    warped_files=[wf] if wf else [],
+                )
+            )
+
+        outputs.append(
+            _collate_outputs(stage_cfgs, transform_paths, warped_files,
+                             stage_outputs, sequential, collate)
+        )
+        if return_volumes:
+            volumes.append(MedicalVolume(warped, fixed_affine))
+    return outputs, volumes
+
+
+def _register_sequential_fallback(
+    target_mv, target_mask_mv, moving_mvs, moving_mask_mvs, stage_cfgs,
+    use_mask, output_path, sequential, collate, return_volumes,
+):
+    """Per-stage host-driven loop for chains containing B-spline stages
+    (the fused chain covers matrix stages only)."""
+    fixed_arr = np.asarray(target_mv.volume, np.float32)
+    fixed_affine = target_mv.affine
 
     outputs = []
     volumes = []
@@ -258,46 +378,43 @@ def register(
         stage_outputs = []
         warped = None
         for s_idx, cfg in enumerate(stage_cfgs):
-            if per_image_stages is not None:
-                stages.append(per_image_stages[idx][s_idx])
+            mask_arr = (
+                np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
+                if (use_mask[s_idx] and target_mask_mv is not None)
+                else None
+            )
+            mmask_arr = (
+                np.asarray(moving_mask_mv.reformat_as(moving_mv).volume, np.float32)
+                if (use_mask[s_idx] and moving_mask_mv is not None)
+                else None
+            )
+            # Stages after the first register the already-warped image
+            # (reuse the chain output computed at the end of the
+            # previous iteration — no duplicate full-grid resample).
+            if stages:
+                cur_moving, cur_affine = warped, fixed_affine
+                if mmask_arr is not None:
+                    # The mask lives on the ORIGINAL moving grid; carry
+                    # it through the same chain as the image.
+                    mmask_arr = np.asarray(
+                        warp_volume_chain(mmask_arr, stages, fixed_affine,
+                                          moving_affine, fixed_arr.shape)
+                    )
             else:
-                mask_arr = (
-                    np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
-                    if (use_mask[s_idx] and target_mask_mv is not None)
-                    else None
-                )
-                mmask_arr = (
-                    np.asarray(moving_mask_mv.reformat_as(moving_mv).volume, np.float32)
-                    if (use_mask[s_idx] and moving_mask_mv is not None)
-                    else None
-                )
-                # Stages after the first register the already-warped image
-                # (reuse the chain output computed at the end of the
-                # previous iteration — no duplicate full-grid resample).
-                if stages:
-                    cur_moving, cur_affine = warped, fixed_affine
-                    if mmask_arr is not None:
-                        # The mask lives on the ORIGINAL moving grid; carry
-                        # it through the same chain as the image.
-                        mmask_arr = np.asarray(
-                            warp_volume_chain(mmask_arr, stages, fixed_affine,
-                                              moving_affine, fixed_arr.shape)
-                        )
-                else:
-                    cur_moving, cur_affine = moving_arr, moving_affine
+                cur_moving, cur_affine = moving_arr, moving_affine
 
-                if cfg.transform == "bspline":
-                    ctrl, spacing_vox, info = register_pair_bspline(
-                        fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
-                        fixed_mask=mask_arr, moving_mask=mmask_arr,
-                    )
-                    stages.append(("bspline", ctrl, spacing_vox))
-                else:
-                    M, theta, info = register_pair(
-                        fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
-                        fixed_mask=mask_arr, moving_mask=mmask_arr,
-                    )
-                    stages.append(("matrix", M))
+            if cfg.transform == "bspline":
+                ctrl, spacing_vox, info = register_pair_bspline(
+                    fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
+                    fixed_mask=mask_arr, moving_mask=mmask_arr,
+                )
+                stages.append(("bspline", ctrl, spacing_vox))
+            else:
+                M, theta, info = register_pair(
+                    fixed_arr, fixed_affine, cur_moving, cur_affine, cfg,
+                    fixed_mask=mask_arr, moving_mask=mmask_arr,
+                )
+                stages.append(("matrix", M))
 
             tpath = os.path.join(reg_dir, f"TransformParameters.{s_idx}.json")
             _save_transform_file(tpath, stages[-1], cfg, target_mv, moving_mv)
@@ -317,73 +434,13 @@ def register(
                 )
             )
 
-        if sequential and collate or len(stage_cfgs) == 1:
-            out = RegistrationOutputSpec(
-                transform=transform_paths,
-                warped_file=warped_files[-1],
-                warped_files=warped_files,
-            )
-        else:
-            out = stage_outputs
-        outputs.append(out)
+        outputs.append(
+            _collate_outputs(stage_cfgs, transform_paths, warped_files,
+                             stage_outputs, sequential, collate)
+        )
         if return_volumes:
             volumes.append(MedicalVolume(warped, fixed_affine))
-
-    if single_moving:
-        pass  # keep list contract of the reference (always sequences)
-
-    if issubclass(rtype, dict):
-        result = {"outputs": outputs}
-        if return_volumes:
-            result["volumes"] = volumes
-        return result
-    return (outputs, volumes if return_volumes else None)
-
-
-def _register_stages_batched(
-    fixed_arr, fixed_affine, moving_mvs, stage_cfgs, use_mask, target_mv, target_mask_mv
-):
-    """Run each stage for ALL moving images in one vmapped optimization.
-
-    Preconditions (checked by the caller): identical moving grids and
-    matrix-only stages. Returns ``per_image_stages[i][s] = ("matrix", M)``.
-    """
-    from dosma_tpu.ops.registration import register_pair_batch
-
-    moving_affine = moving_mvs[0].affine
-    m_arrs = np.stack([np.asarray(m.volume, np.float32) for m in moving_mvs])
-    n_img = m_arrs.shape[0]
-    per_image_stages = [[] for _ in range(n_img)]
-
-    for s_idx, cfg in enumerate(stage_cfgs):
-        mask_arr = (
-            np.asarray(target_mask_mv.reformat_as(target_mv).volume, np.float32)
-            if (use_mask[s_idx] and target_mask_mv is not None)
-            else None
-        )
-        if s_idx == 0:
-            cur = m_arrs
-            cur_affine = moving_affine
-        else:
-            cur = np.stack(
-                [
-                    np.asarray(
-                        warp_volume_chain(
-                            m_arrs[i], per_image_stages[i], fixed_affine,
-                            moving_affine, fixed_arr.shape,
-                        )
-                    )
-                    for i in range(n_img)
-                ]
-            )
-            cur_affine = fixed_affine
-
-        Ms, _thetas, _info = register_pair_batch(
-            fixed_arr, fixed_affine, cur, cur_affine, cfg, fixed_mask=mask_arr
-        )
-        for i in range(n_img):
-            per_image_stages[i].append(("matrix", Ms[i]))
-    return per_image_stages
+    return outputs, volumes
 
 
 def _apply_warp_single(

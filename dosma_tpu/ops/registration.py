@@ -36,6 +36,8 @@ __all__ = [
     "RegistrationParams",
     "register_pair",
     "register_pair_bspline",
+    "register_chain",
+    "register_chain_batch",
     "warp_volume",
     "warp_volume_chain",
     "compose_transforms",
@@ -194,25 +196,21 @@ def _soft_mi(fixed_vals, moving_vals, weights, num_bins: int,
 
     Differentiable w.r.t. ``moving_vals`` (gradients flow through the
     fractional bin weights) — the Parzen-window trick of Mattes MI.
+
+    The joint histogram is ONE matmul of dense hat-kernel weight matrices
+    (sample x bin): ``hat(v, j) = max(0, 1 - |v - j|)`` reproduces exactly
+    the two-bin linear splat of a scatter-add, but runs on the MXU instead
+    of TPU scatter (which serializes and dominated the per-iteration cost).
     """
     eps = 1e-10
     fb = jnp.clip((fixed_vals - f_lo) / (f_hi - f_lo + eps) * (num_bins - 1), 0, num_bins - 1)
     mb = jnp.clip((moving_vals - m_lo) / (m_hi - m_lo + eps) * (num_bins - 1), 0, num_bins - 1)
 
-    f0 = jnp.floor(fb)
-    m0 = jnp.floor(mb)
-    wf1 = fb - f0
-    wm1 = mb - m0
-    f0 = f0.astype(jnp.int32)
-    m0 = m0.astype(jnp.int32)
-    f1 = jnp.minimum(f0 + 1, num_bins - 1)
-    m1 = jnp.minimum(m0 + 1, num_bins - 1)
+    bins = jnp.arange(num_bins, dtype=fb.dtype)
+    F = jnp.maximum(0.0, 1.0 - jnp.abs(fb[:, None] - bins[None, :]))  # (S, B)
+    Mh = jnp.maximum(0.0, 1.0 - jnp.abs(mb[:, None] - bins[None, :]))  # (S, B)
 
-    joint = jnp.zeros((num_bins, num_bins))
-    for fi, wf in ((f0, 1 - wf1), (f1, wf1)):
-        for mi, wm in ((m0, 1 - wm1), (m1, wm1)):
-            joint = joint.at[fi, mi].add(wf * wm * weights)
-
+    joint = _mm((F * weights[:, None]).T, Mh)  # (B, B)
     joint = joint / (jnp.sum(joint) + eps)
     pf = jnp.sum(joint, axis=1, keepdims=True)
     pm = jnp.sum(joint, axis=0, keepdims=True)
@@ -313,11 +311,7 @@ def _smooth_radius_for_levels(n_levels: int) -> int:
     return max(_SMOOTH_RADIUS, int(np.ceil(3.0 * sigma_max)))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("transform", "metric", "iterations", "num_samples", "num_bins"),
-)
-def _optimize_pyramid(
+def _pyramid_core(
     fixed_arr, fixed_affine, fixed_mask,
     moving_arr, moving_affine,
     theta0, param_scale, center, sigmas,
@@ -326,7 +320,7 @@ def _optimize_pyramid(
     learning_rate, seed,
     moving_mask=None,
 ):
-    """Multi-resolution registration as ONE jitted program.
+    """Traceable multi-resolution optimization core (one parameter stage).
 
     Instead of the classic decimating pyramid (one program per level shape,
     which costs a compile + device program load per level per fresh
@@ -414,6 +408,230 @@ def _optimize_pyramid(
         level_step, theta0, (sigmas, jnp.arange(n_levels, dtype=jnp.int32))
     )
     return theta, losses
+
+
+_optimize_pyramid = functools.partial(
+    jax.jit,
+    static_argnames=("transform", "metric", "iterations", "num_samples", "num_bins"),
+)(_pyramid_core)
+
+
+def _seed_theta_traced(transform: str, M, center):
+    """Traced twin of :func:`_seed_theta_from_matrix` (same seeding policy,
+    but on-device so stage chains fuse into one program)."""
+    lin = M[:3, :3]
+    t_world = M[:3, 3] + _mm(lin, center) - center
+    if transform == "translation":
+        return M[:3, 3]
+    if transform == "rigid":
+        # Translation-only seed (Euler extraction from a possibly
+        # non-orthogonal prior is ill-defined).
+        return jnp.concatenate([jnp.zeros(3), t_world])
+    return jnp.concatenate([(lin - jnp.eye(3)).reshape(-1), t_world])
+
+
+def _warp_arr(moving_arr, B, fixed_shape):
+    """Trilinear resample under a precomputed index-space map ``B``."""
+    d0, d1, d2 = fixed_shape
+    i, j, k = jnp.meshgrid(
+        jnp.arange(d0, dtype=jnp.float32),
+        jnp.arange(d1, dtype=jnp.float32),
+        jnp.arange(d2, dtype=jnp.float32),
+        indexing="ij",
+    )
+    idx = jnp.stack([i.ravel(), j.ravel(), k.ravel(), jnp.ones(d0 * d1 * d2, jnp.float32)])
+    m_idx = _mm(B, idx)
+    return _trilinear_sample(moving_arr, m_idx[:3]).reshape(fixed_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("stage_statics", "n_extras"))
+def _optimize_chain_impl(
+    fixed_arr, fixed_affine, fixed_mask,
+    moving_arr, moving_affine, moving_mask,
+    extras, init_matrix, center, scales, sigmas, seeds,
+    stage_statics, n_extras: int,
+):
+    """A full sequential-stage chain (e.g. rigid → affine) as ONE jitted
+    program, plus the final warps.
+
+    Unlike the reference's elastix chaining (each stage re-registers the
+    previous stage's RESAMPLED output,
+    ``/root/reference/dosma/core/registration.py:437-446``), each stage here
+    re-registers the ORIGINAL moving image warm-started from the previous
+    stage's world transform: mathematically the same fixed→moving map, but
+    with no intermediate interpolation loss, no intermediate full-grid
+    resample, and no host round-trips between stages.
+
+    ``stage_statics``: tuple of
+    ``(transform, metric, iterations, num_samples, num_bins, lr, use_fmask, use_mmask)``.
+    Returns ``(Ms_cumulative, warped, warped_extras, losses_per_stage)``.
+    """
+    M = init_matrix
+    Ms = []
+    losses_all = []
+    for i, st in enumerate(stage_statics):
+        transform, metric, iterations, num_samples, num_bins, lr, use_fm, use_mm = st
+        theta0 = _seed_theta_traced(transform, M, center)
+        theta, losses = _pyramid_core(
+            fixed_arr, fixed_affine, fixed_mask if use_fm else None,
+            moving_arr, moving_affine,
+            theta0, scales[i], center, sigmas[i],
+            transform, metric, iterations, num_samples, num_bins,
+            lr, seeds[i],
+            moving_mask=moving_mask if use_mm else None,
+        )
+        M = _params_to_matrix(theta, center, transform)
+        Ms.append(M)
+        losses_all.append(losses)
+
+    B = _world_matrix_to_index_map(M, fixed_affine, moving_affine)
+    fixed_shape = fixed_arr.shape
+    warped = _warp_arr(moving_arr, B, fixed_shape)
+    warped_extras = (
+        jax.vmap(lambda a: _warp_arr(a, B, fixed_shape))(extras)
+        if n_extras else None
+    )
+    return tuple(Ms), warped, warped_extras, tuple(losses_all)
+
+
+def _chain_statics(stage_cfgs, use_fmask, use_mmask):
+    return tuple(
+        (
+            cfg.transform, cfg.metric, int(cfg.iterations), int(cfg.num_samples),
+            int(cfg.num_bins), float(cfg.learning_rate),
+            bool(use_fmask[i]), bool(use_mmask[i]),
+        )
+        for i, cfg in enumerate(stage_cfgs)
+    )
+
+
+def _chain_host_args(stage_cfgs, fixed_shape, fixed_affine):
+    spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
+    center_idx = (np.asarray(fixed_shape) - 1) / 2.0
+    center = (np.asarray(fixed_affine) @ np.array([*center_idx, 1.0]))[:3].astype(np.float32)
+    scales = tuple(
+        jnp.asarray(_param_scale(cfg.transform, fixed_shape, spacing)) for cfg in stage_cfgs
+    )
+    sigmas = tuple(jnp.asarray(_pyramid_sigmas(cfg.resolutions)) for cfg in stage_cfgs)
+    return center, scales, sigmas
+
+
+def register_chain(
+    fixed_arr,
+    fixed_affine: np.ndarray,
+    moving_arr,
+    moving_affine: np.ndarray,
+    stage_cfgs: Sequence["RegistrationParams"],
+    fixed_mask=None,
+    moving_mask=None,
+    use_mask: Optional[Sequence[bool]] = None,
+    extras=None,
+    init_matrix: Optional[np.ndarray] = None,
+):
+    """Device-resident sequential-stage registration + final warps.
+
+    All matrix stages of the chain, the final warp of ``moving_arr``, and
+    the warps of every volume in ``extras`` (stacked on the moving grid,
+    the transform-reuse pattern of ref ``registration.py:497-508``) run as
+    ONE compiled XLA program. Inputs may be numpy or jax arrays; device
+    arrays are consumed without a host round-trip.
+
+    Returns ``(Ms, warped, warped_extras, info)`` where ``Ms[i]`` is the
+    CUMULATIVE fixed-world→moving-world matrix after stage ``i`` (host
+    numpy), ``warped``/``warped_extras`` are device arrays on the fixed
+    grid.
+    """
+    stage_cfgs = list(stage_cfgs)
+    if any(cfg.transform == "bspline" for cfg in stage_cfgs):
+        raise ValueError("register_chain supports matrix stages only (no bspline)")
+    if use_mask is None:
+        use_mask = [fixed_mask is not None or moving_mask is not None] * len(stage_cfgs)
+
+    fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
+    moving_dev = jnp.asarray(moving_arr, jnp.float32)
+    fmask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
+    mmask_dev = jnp.asarray(moving_mask, jnp.float32) if moving_mask is not None else None
+    extras_dev = (
+        jnp.stack([jnp.asarray(e, jnp.float32) for e in extras])
+        if extras is not None and len(extras) else None
+    )
+    n_extras = 0 if extras_dev is None else int(extras_dev.shape[0])
+
+    use_fmask = [bool(u) and fmask_dev is not None for u in use_mask]
+    use_mmask = [bool(u) and mmask_dev is not None for u in use_mask]
+    statics = _chain_statics(stage_cfgs, use_fmask, use_mmask)
+    center, scales, sigmas = _chain_host_args(stage_cfgs, fixed_dev.shape, fixed_affine)
+    seeds = tuple(jnp.asarray(cfg.seed, jnp.int32) for cfg in stage_cfgs)
+
+    init = jnp.asarray(
+        np.eye(4, dtype=np.float32) if init_matrix is None else np.asarray(init_matrix, np.float32)
+    )
+
+    Ms, warped, warped_extras, losses = _optimize_chain_impl(
+        fixed_dev, jnp.asarray(fixed_affine, jnp.float32),
+        fmask_dev if any(use_fmask) else None,
+        moving_dev, jnp.asarray(moving_affine, jnp.float32),
+        mmask_dev if any(use_mmask) else None,
+        extras_dev, init, jnp.asarray(center), scales, sigmas, seeds,
+        statics, n_extras,
+    )
+    Ms_host = [np.asarray(M, np.float64) for M in Ms]
+    info = {"losses": [np.asarray(l) for l in losses]}
+    return Ms_host, warped, warped_extras, info
+
+
+def register_chain_batch(
+    fixed_arr,
+    fixed_affine: np.ndarray,
+    moving_arrs,
+    moving_affine: np.ndarray,
+    stage_cfgs: Sequence["RegistrationParams"],
+    fixed_mask=None,
+    use_mask: Optional[Sequence[bool]] = None,
+):
+    """Batched :func:`register_chain`: register a STACK of moving images
+    (shared grid) through the full stage chain in one vmapped program —
+    the intra-registration case (SURVEY §2.10 "batch registrations as a
+    vmapped/jitted optimization").
+
+    Returns ``(Ms (M, S, 4, 4) cumulative per stage, warped (M, ...) device
+    array, info)``.
+    """
+    stage_cfgs = list(stage_cfgs)
+    if any(cfg.transform == "bspline" for cfg in stage_cfgs):
+        raise ValueError("register_chain_batch supports matrix stages only")
+    if use_mask is None:
+        use_mask = [fixed_mask is not None] * len(stage_cfgs)
+
+    fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
+    moving_dev = jnp.asarray(moving_arrs, jnp.float32)
+    fmask_dev = jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None
+    n_img = int(moving_dev.shape[0])
+
+    use_fmask = [bool(u) and fmask_dev is not None for u in use_mask]
+    statics = _chain_statics(stage_cfgs, use_fmask, [False] * len(stage_cfgs))
+    center, scales, sigmas = _chain_host_args(stage_cfgs, fixed_dev.shape, fixed_affine)
+
+    f_aff = jnp.asarray(fixed_affine, jnp.float32)
+    m_aff = jnp.asarray(moving_affine, jnp.float32)
+    center_dev = jnp.asarray(center)
+    init = jnp.eye(4, dtype=jnp.float32)
+
+    def _one(m_arr, seed_offset):
+        seeds = tuple(
+            jnp.asarray(cfg.seed, jnp.int32) + seed_offset for cfg in stage_cfgs
+        )
+        Ms, warped, _extras, losses = _optimize_chain_impl(
+            fixed_dev, f_aff, fmask_dev if any(use_fmask) else None,
+            m_arr, m_aff, None,
+            None, init, center_dev, scales, sigmas, seeds,
+            statics, 0,
+        )
+        return jnp.stack(Ms), warped, losses
+
+    Ms, warped, losses = jax.vmap(_one)(moving_dev, jnp.arange(n_img, dtype=jnp.int32))
+    info = {"losses": [np.asarray(l) for l in losses]}
+    return np.asarray(Ms, np.float64), warped, info
 
 
 def _seed_theta_from_matrix(

@@ -68,6 +68,9 @@ class CubeQuant(NonTargetSequence):
             os.path.join(self.temp_path, "intraregister"),
             return_volumes=True,
             rtype=tuple,
+            # Device-resident batch: all spin locks register in one vmapped
+            # program; skip result-file readbacks (transforms still saved).
+            save_volumes=False,
         )
 
         # Registered volumes carry the anchor's grid; headers come from the

@@ -64,16 +64,20 @@ class Mapss(ScanSequence):
         out_path = os.path.join(self.temp_path, "intraregistered")
 
         target = volumes[0]
+        # All 6 later echoes register to echo 0 in ONE vmapped device
+        # program (the reference loops nipype subprocesses per echo,
+        # ref ``mapss.py:125-137``).
+        _, warped_all = register(
+            target,
+            volumes[1:],
+            fc.ELASTIX_AFFINE_PARAMS_FILE,
+            output_path=out_path,
+            return_volumes=True,
+            rtype=tuple,
+            save_volumes=False,
+        )
         intraregistered = [deepcopy(target)]
-        for echo_index in range(1, len(volumes)):
-            _, (warped,) = register(
-                target,
-                volumes[echo_index],
-                fc.ELASTIX_AFFINE_PARAMS_FILE,
-                output_path=os.path.join(out_path, f"{echo_index:03d}"),
-                return_volumes=True,
-                rtype=tuple,
-            )
+        for echo_index, warped in zip(range(1, len(volumes)), warped_all):
             # Rebuild on the ORIGINAL affine + headers: nifti round trips
             # lose affine precision (ref ``mapss.py:138-145``).
             intraregistered.append(

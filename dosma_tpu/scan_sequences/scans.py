@@ -118,9 +118,22 @@ class NonTargetSequence(ScanSequence):
            with gaussian dilation,
         3. reuse the resulting transform chain on every other volume,
         4. restore the original volume order.
+
+        The whole flow — both registration stages, the anchor warp, and the
+        transform reuse on every other volume — runs as ONE device-resident
+        program (:func:`dosma_tpu.ops.registration.register_chain`); only
+        the 4x4 transform matrices come back to the host, as JSON transform
+        files reusable via :func:`dosma_tpu.core.registration.apply_warp`.
         """
         from dosma_tpu import file_constants as fc
-        from dosma_tpu.core.registration import apply_warp, register
+        from dosma_tpu.core.registration import (
+            _load_stage_params,
+            _load_volume,
+            _save_transform_file,
+            apply_warp,
+            register,
+        )
+        from dosma_tpu.ops.registration import register_chain
 
         idxs = list(np.argsort(sort_values))
         ordered = [self.volumes[i] for i in idxs]
@@ -144,21 +157,50 @@ class NonTargetSequence(ScanSequence):
         anchor = ordered[anchor_idx]
         others = [v for i, v in enumerate(ordered) if i != anchor_idx]
 
-        (spec,), _ = register(
-            target_path,
-            anchor,
-            parameters=stages,
-            output_path=out_path,
-            sequential=True,
-            collate=True,
-            return_volumes=False,
-            target_mask=target_mask_path,
-            use_mask=use_mask,
-            rtype=tuple,
+        target_mv = _load_volume(target_path)
+        same_grid = all(
+            tuple(v.shape[:3]) == tuple(anchor.shape[:3])
+            and np.allclose(v.affine, anchor.affine)
+            for v in others
         )
 
-        warped_anchor = NiftiReader().load(spec.warped_file)
-        warped_others = [apply_warp(v, spec.transform) for v in others]
+        if not same_grid:
+            # Heterogeneous grids: anchor registration + per-volume
+            # transform reuse through the facade.
+            (spec,), (warped_anchor,) = register(
+                target_path, anchor, parameters=stages, output_path=out_path,
+                sequential=True, collate=True, return_volumes=True,
+                target_mask=target_mask_path, use_mask=use_mask, rtype=tuple,
+            )
+            warped_others = [apply_warp(v, spec.transform) for v in others]
+        else:
+            stage_cfgs = [_load_stage_params(p) for p in stages]
+            mask_arr = None
+            if target_mask_path:
+                mask_arr = _load_volume(target_mask_path).reformat_as(target_mv).volume
+
+            Ms, warped_dev, warped_extras, _info = register_chain(
+                target_mv.volume, target_mv.affine, anchor.volume, anchor.affine,
+                stage_cfgs, fixed_mask=mask_arr, use_mask=use_mask,
+                extras=[v.volume for v in others],
+            )
+
+            # Transform files (JSON world matrices) for reuse/debugging —
+            # same layout the facade writes.
+            reg_dir = os.path.join(out_path, "moving-0")
+            for s_idx, cfg in enumerate(stage_cfgs):
+                S = Ms[s_idx] if s_idx == 0 else np.linalg.inv(Ms[s_idx - 1]) @ Ms[s_idx]
+                _save_transform_file(
+                    os.path.join(reg_dir, f"TransformParameters.{s_idx}.json"),
+                    ("matrix", S), cfg, target_mv, anchor,
+                )
+
+            warped_anchor = MedicalVolume(warped_dev, target_mv.affine)
+            warped_others = [
+                MedicalVolume(warped_extras[i], target_mv.affine)
+                for i in range(len(others))
+            ]
+
         if base_position == "first":
             reg_vols = [warped_anchor] + warped_others
         else:
