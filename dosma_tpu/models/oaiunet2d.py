@@ -12,7 +12,6 @@ weights produce identical masks:
 from __future__ import annotations
 
 import os
-from copy import deepcopy
 
 import numpy as np
 
@@ -22,6 +21,18 @@ from dosma_tpu.models.seg_model import JaxSegModel, whiten_volume
 from dosma_tpu.models.unet2d import Unet2D
 
 __all__ = ["OAIUnet2D", "IWOAIOAIUnet2D", "IWOAIOAIUnet2DNormalized"]
+
+
+def _vol_and_xp(mv: MedicalVolume):
+    """(array, module) for host- or device-resident volumes: jax arrays stay
+    on device (transpose/expand run on-chip), numpy stays host-side."""
+    import jax
+
+    if isinstance(mv.volume, jax.Array):
+        import jax.numpy as jnp
+
+        return mv.volume, jnp
+    return np.asarray(mv.volume), np
 
 
 class OAIUnet2D(JaxSegModel):
@@ -43,16 +54,17 @@ class OAIUnet2D(JaxSegModel):
 
         Transfer-minimizing: slices are uploaded in their source dtype and
         whitening/thresholding run on device (``unet2d_predict_mask``); only
-        the uint8 mask returns to the host.
+        the packed uint8 mask returns to the host. Device-resident volumes
+        (e.g. from :func:`dosma_tpu.core.io.prefetch.load_to_device`) feed
+        the network with zero extra host↔device round trips.
         """
-        vol_copy = deepcopy(volume)
-        vol_copy.reformat(SAGITTAL, inplace=True)
+        vol_copy = volume.reformat(SAGITTAL)
 
-        vol = np.asarray(vol_copy.volume)
+        vol, xp = _vol_and_xp(vol_copy)
         mean, std = self.__whiten_stats__(vol) or (0.0, 1.0)
 
         # (slice, H, W, 1)
-        v = np.expand_dims(np.transpose(vol, (2, 0, 1)), axis=-1)
+        v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
         mask = self.seg_model.predict_mask(
             v, batch_size=self.batch_size,
             threshold=self.sigmoid_threshold, mean=mean, std=std,
@@ -94,13 +106,12 @@ class IWOAIOAIUnet2D(OAIUnet2D):
         )
 
     def generate_mask(self, volume: MedicalVolume):
-        vol_copy = deepcopy(volume)
-        vol_copy.reformat(SAGITTAL, inplace=True)
+        vol_copy = volume.reformat(SAGITTAL)
 
-        vol = np.asarray(vol_copy.volume)
+        vol, xp = _vol_and_xp(vol_copy)
         mean, std = self.__whiten_stats__(vol) or (0.0, 1.0)
 
-        v = np.expand_dims(np.transpose(vol, (2, 0, 1)), axis=-1)
+        v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
         mask = self.seg_model.predict_mask(
             v, batch_size=self.batch_size,
             threshold=self.sigmoid_threshold, mean=mean, std=std,
@@ -111,8 +122,7 @@ class IWOAIOAIUnet2D(OAIUnet2D):
 
         vols = {}
         for i, category in enumerate(self.CATEGORIES):
-            vol_cp = deepcopy(vol_copy)
-            vol_cp.volume = mask[..., i]
+            vol_cp = vol_copy._partial_clone(volume=mask[..., i], headers=True)
             vol_cp.reformat(volume.orientation, inplace=True)
             vols[category] = vol_cp
         return vols

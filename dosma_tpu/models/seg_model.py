@@ -83,10 +83,21 @@ def whiten_volume(x: np.ndarray, eps: float = 0.0) -> np.ndarray:
     return (x - np.mean(x)) / (np.std(x) + eps)
 
 
-def whiten_stats(x: np.ndarray, eps: float = 0.0):
+def whiten_stats(x, eps: float = 0.0):
     """(mean, std + eps) of the whole volume — the whitening scalars the
     fused device-side inference path applies on-chip (so the volume itself
-    never needs a host-side f32 copy)."""
+    never needs a host-side f32 copy).
+
+    Device arrays return device SCALARS (0-d jax arrays) so a
+    device-resident volume is whitened without any host synchronization.
+    """
     if len(x.shape) != __VOLUME_DIMENSIONS__:
         raise ValueError(f"Input has {x.ndim} dimensions. Expected {__VOLUME_DIMENSIONS__}")
+    import jax
+
+    if isinstance(x, jax.Array):
+        import jax.numpy as jnp
+
+        xf = x.astype(jnp.float32)
+        return jnp.mean(xf), jnp.std(xf) + eps
     return float(np.mean(x)), float(np.std(x)) + eps

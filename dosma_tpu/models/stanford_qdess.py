@@ -8,7 +8,6 @@ internally, ref ``:172-173``).
 
 from __future__ import annotations
 
-from copy import deepcopy
 
 import numpy as np
 
@@ -40,16 +39,17 @@ class StanfordQDessUNet2D(JaxSegModel):
         if ndim not in (3, 4):
             raise ValueError("`volume` must either be 3D or 4D")
 
-        vol_copy = deepcopy(volume)
+        from dosma_tpu.models.oaiunet2d import _vol_and_xp
+
+        vol_copy = volume
         if ndim == 4:
             vol_copy = np.sqrt(np.sum(vol_copy**2, axis=-1))
+        vol_copy = vol_copy.reformat(SAGITTAL)
 
-        vol_copy.reformat(SAGITTAL, inplace=True)
-
-        vol = np.asarray(vol_copy.volume)
+        vol, xp = _vol_and_xp(vol_copy)
         mean, std = self.__whiten_stats__(vol)
 
-        v = np.expand_dims(np.transpose(vol, (2, 0, 1)), axis=-1)
+        v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
         mask = self.seg_model.predict_mask(
             v, batch_size=self.batch_size,
             threshold=self.sigmoid_threshold, mean=mean, std=std,
@@ -58,8 +58,7 @@ class StanfordQDessUNet2D(JaxSegModel):
 
         vols = {}
         for i, category in enumerate(self.CATEGORIES):
-            vol_cp = deepcopy(vol_copy)
-            vol_cp.volume = mask[..., i]
+            vol_cp = vol_copy._partial_clone(volume=mask[..., i], headers=True)
             vol_cp.reformat(volume.orientation, inplace=True)
             vols[category] = vol_cp
         return vols

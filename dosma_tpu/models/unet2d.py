@@ -196,6 +196,20 @@ def unet2d_predict_mask(params, chunk, mean, std, threshold):
     return (probs > threshold.astype(probs.dtype)).astype(jnp.uint8)
 
 
+@jax.jit
+def unet2d_predict_mask_packed(params, chunk, mean, std, threshold):
+    """:func:`unet2d_predict_mask` with the class axis packed into bits.
+
+    The C binary class masks of each pixel collapse into one ``uint8``
+    bitfield (bit c = class c) — a C× smaller device→host readback, the
+    dominant cost of full-volume segmentation on tunneled rigs. Host side
+    unpacks with ``(packed >> c) & 1``.
+    """
+    m = unet2d_predict_mask(params, chunk, mean, std, threshold)  # (B, H, W, C)
+    weights = (1 << jnp.arange(m.shape[-1], dtype=jnp.uint8)).astype(jnp.uint8)
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)  # (B, H, W)
+
+
 class Unet2D:
     """Holds U-Net params + a jitted forward; mirrors the Keras Model surface."""
 
@@ -289,20 +303,37 @@ class Unet2D:
         on device, and only uint8 masks come back — ~3x less H2D+D2H than
         :meth:`predict` + host thresholding.
         """
+        import jax
+
         n = v.shape[0]
         params = self._inference_params()
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
         thr = jnp.asarray(threshold, jnp.float32)
-        outs = []
+        device_in = isinstance(v, jax.Array)
+        xp = jnp if device_in else np
+
+        # Dispatch ALL batches first (H2D + compute are async), then read
+        # back: upload of batch k+1 and compute overlap the readback of
+        # batch k instead of serializing H2D → compute → D2H per batch.
+        dev_outs = []
         for start in range(0, n, batch_size):
             chunk = v[start : start + batch_size]
             pad = batch_size - chunk.shape[0]
             if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            out = unet2d_predict_mask(params, jnp.asarray(chunk), mean, std, thr)
-            out = np.asarray(out)
+                chunk = xp.concatenate(
+                    [chunk, xp.zeros((pad,) + tuple(chunk.shape[1:]), chunk.dtype)]
+                )
+            if not device_in:
+                chunk = jnp.asarray(chunk)
+            dev_outs.append((unet2d_predict_mask_packed(params, chunk, mean, std, thr), pad))
+
+        outs = []
+        for out, pad in dev_outs:
+            o = np.asarray(out)  # (B, H, W) packed uint8 — C× less D2H
             if pad:
-                out = out[:-pad]
-            outs.append(out)
-        return np.concatenate(outs, axis=0)
+                o = o[:-pad]
+            outs.append(o)
+        packed = np.concatenate(outs, axis=0)
+        bits = np.arange(self.num_classes, dtype=np.uint8)
+        return ((packed[..., None] >> bits) & 1).astype(np.uint8)

@@ -85,16 +85,36 @@ class ScanIOMixin:
         ignore_ext: bool = False,
         num_workers: int = 0,
         verbose: bool = False,
+        to_device=None,
         **kwargs,
     ):
         """Load scan from dicom files, recording the absolute source paths
-        so a partial save can be reloaded later (ref ``scan_io.py:37-80``)."""
-        reader = DicomReader(num_workers, verbose)
-        volumes = reader.load(
-            dir_or_files,
-            cls.__DEFAULT_SPLIT_BY__ if group_by is None else group_by,
-            ignore_ext=ignore_ext,
-        )
+        so a partial save can be reloaded later (ref ``scan_io.py:37-80``).
+
+        ``to_device`` (dosma_tpu extension): a device (or ``True`` for the
+        default accelerator) to asynchronously prefetch each grouped volume
+        into — H2D transfer of echo k overlaps parsing of echo k+1
+        (:func:`dosma_tpu.core.io.prefetch.load_to_device`), so downstream
+        device compute (segmentation, fitting) starts with data in HBM.
+        """
+        effective_group = cls.__DEFAULT_SPLIT_BY__ if group_by is None else group_by
+        if to_device is not None and to_device is not False:
+            from dosma_tpu.core.io.prefetch import load_to_device
+
+            volumes = load_to_device(
+                dir_or_files,
+                group_by=effective_group,
+                device=None if to_device is True else to_device,
+                num_workers=max(num_workers, 1),
+                ignore_ext=ignore_ext,
+            )
+        else:
+            reader = DicomReader(num_workers, verbose)
+            volumes = reader.load(
+                dir_or_files,
+                effective_group,
+                ignore_ext=ignore_ext,
+            )
 
         if isinstance(dir_or_files, _PATHLIKE):
             source = os.path.abspath(dir_or_files)
