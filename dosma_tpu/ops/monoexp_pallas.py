@@ -2,17 +2,20 @@
 
 The generic engine (:mod:`dosma_tpu.ops.nlls`) re-reads data from HBM every
 LM iteration. For the dominant model — ``y = a * exp(b x)``, P=2 — this
-kernel keeps each voxel tile resident in VMEM and runs the ENTIRE LM loop
-on it: residuals, the two closed-form Jacobian columns, the 2x2 damped
-normal equations (Cramer solve), acceptance and damping updates are all
-per-lane VPU ops. HBM traffic is one read of y and one write of the packed
-result — the speed-of-light bound for this fit.
+kernel keeps each voxel tile resident in VMEM and runs the ENTIRE fit on
+it: the log-linear polyfit seed (ref ``fitting.py:701-718``), residuals,
+the two closed-form Jacobian columns, the 2x2 damped normal equations
+(Cramer solve), acceptance and damping updates are all per-lane VPU ops.
+HBM traffic is one read of y and one write of the packed result — the
+speed-of-light bound for this fit. With the seed fused there is exactly
+ONE program dispatch per fit, which matters doubly on remote/tunneled
+backends where every dispatch round-trip costs ~30 ms.
 
-Layout: ``y`` is consumed as (T, 8, Q) blocks — the voxel axis is split
-into 8 sublanes x Q lanes so per-voxel LM state ((8, Q) "scalars") packs
-every vreg fully; a flat (1, N) layout would waste 7/8 of the VPU on the
-scalar updates that dominate the loop. The packed output is (8, N):
-rows [a, b, r2, converged, cost, iterations].
+Layout: ``y`` (T, N) is consumed as (T, NB, 8, L) — voxels packed
+BLOCK-LOCALLY into 8 sublanes x L lanes, ``n = block*8L + s*L + q``. This
+is a contiguous split of the voxel axis (a reshape, not a relayout), and
+per-voxel LM state ((8, L) "scalars") still packs every vreg fully. The
+packed output is (4, N): rows [a, b, r2, converged].
 
 Semantics match :func:`dosma_tpu.ops.nlls.lm_fit` (same damping policy,
 ftol/xtol convergence flags, NaN handling applied by the caller).
@@ -30,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["monoexp_lm_pallas", "pallas_supported"]
 
-_OUT_ROWS = 8
-_BLOCK_N = 8192  # lanes per tile: 8192 * 8 rows * 4 B = 256 KB per buffer
+_OUT_ROWS = 4  # [a, b, r2, converged]
+# Voxels per tile. Measured on v5e across {8192, 16384, 32768, 65536,
+# 262144}: 8192 is fastest — the per-block early exit means a block only
+# runs as long as its WORST lane, so fine-grained blocks waste less work
+# on stragglers than big ones; 262144 OOMs the 16 MB scoped VMEM.
+_BLOCK_N = 8192
 
 
 def pallas_supported() -> bool:
@@ -44,12 +51,33 @@ def pallas_supported() -> bool:
         return False
 
 
-def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: float):
-    y = y_ref[:]  # (T, 8, Q) — voxels packed sublane-major
-    x = x_ref[:]  # (T, 1, 1)
+def _seed_polyfit(y, x):
+    """In-kernel log-linear seed (ref ``fitting.py:701-718``): deg-1 lstsq
+    on log(y) with each voxel clamped to a RELATIVE floor (1e-3 of its
+    peak) — noisy echoes can dip <= 0, and an absolute clamp produces
+    runaway seeds that overflow the f32 LM loop."""
+    peak = jnp.max(y, axis=0)
+    safe = jnp.maximum(y, jnp.maximum(1e-3 * peak, 1e-10))
+    L = jnp.log(safe)
+    xm = jnp.mean(x)
+    xc = x - xm
+    varx = jnp.sum(xc * xc)
+    Lm = jnp.mean(L, axis=0)
+    b = jnp.sum(xc * (L - Lm), axis=0) / varx
+    a = jnp.exp(Lm - b * xm)
+    return a, b
 
-    a = p0_ref[0]  # (8, Q)
-    b = p0_ref[1]
+
+def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float,
+            xtol: float, seed_in_kernel: bool):
+    y = y_ref[:, 0]  # (T, 8, L) — voxels packed block-locally
+    x = x_ref[:, 0]  # (T, 1, 1)
+
+    if seed_in_kernel:
+        a, b = _seed_polyfit(y, x)
+    else:
+        a = p0_ref[0, 0]  # (8, L)
+        b = p0_ref[1, 0]
 
     e0 = jnp.exp(b * x)
     r0 = a * e0 - y
@@ -72,7 +100,7 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
         r = a * e - y
         # Jacobian columns: d/da = e, d/db = a * x * e.
         jb = a * (x * e)
-        # 2x2 normal equations, per-voxel scalars (8, Q) — fully packed vregs.
+        # 2x2 normal equations, per-voxel scalars (8, L) — fully packed vregs.
         jaa = jnp.sum(e * e, axis=0)
         jab = jnp.sum(e * jb, axis=0)
         jbb = jnp.sum(jb * jb, axis=0)
@@ -131,48 +159,118 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
     ss_tot = jnp.sum((y - y_mean) ** 2, axis=0)
     r2 = 1.0 - ss_res / (ss_tot + 1e-8)
 
-    zero = jnp.zeros_like(a)
-    iters = jnp.full_like(a, it_final.astype(jnp.float32))
-    out_ref[:] = jnp.stack(
-        [a, b, r2, converged, cost, iters, zero, zero], axis=0
-    )
+    out_ref[:, 0] = jnp.stack([a, b, r2, converged], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "ftol", "xtol"))
-def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol):
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "ftol", "xtol", "seed_in_kernel")
+)
+def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol, seed_in_kernel=False):
     T, N = yT.shape
-    Q = N // 8  # voxel axis split into 8 sublanes x Q lanes
-    QB = _BLOCK_N // 8
-    grid = (Q // QB,)
-    # One XLA relayout each way; the kernel then runs fully packed.
-    y3 = yT.reshape(T, 8, Q)
-    p3 = p0.reshape(2, 8, Q)
-    kernel = functools.partial(_kernel, max_iter=max_iter, ftol=ftol, xtol=xtol)
+    LB = _BLOCK_N // 8
+    NB = N // _BLOCK_N
+    grid = (NB,)
+    # Block-local voxel packing is a CONTIGUOUS split of the voxel axis —
+    # a reshape, not a relayout (the old sublane-major global packing cost
+    # a full extra HBM round trip each way).
+    y4 = yT.reshape(T, NB, 8, LB)
+    kernel = functools.partial(
+        _kernel, max_iter=max_iter, ftol=ftol, xtol=xtol,
+        seed_in_kernel=seed_in_kernel,
+    )
+    in_specs = [
+        pl.BlockSpec((T, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, 1, 8, LB), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, 1, 8, LB), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if seed_in_kernel:
+        p4 = jnp.zeros((2, 1, 8, LB), jnp.float32)
+        in_specs[2] = pl.BlockSpec(
+            (2, 1, 8, LB), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        p4 = p0.reshape(2, NB, 8, LB)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, 8, Q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, NB, 8, LB), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((T, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (_OUT_ROWS, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (_OUT_ROWS, 1, 8, LB), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=30 * max_iter * N,
             bytes_accessed=yT.size * 4 + _OUT_ROWS * N * 4,
             transcendentals=2 * max_iter * N,
         ),
-    )(x_col, y3, p3)
+    )(x_col.reshape(T, 1, 1, 1), y4, p4)
     return out.reshape(_OUT_ROWS, N)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "transpose_y", "seed_in_kernel", "max_iter", "ftol", "xtol",
+        "has_bounds", "nan_scipy",
+    ),
+)
+def _monoexp_full(
+    y, p0, x, bounds_lo, bounds_hi,
+    transpose_y, seed_in_kernel, max_iter, ftol, xtol, has_bounds, nan_scipy,
+):
+    """The COMPLETE fit — layout, padding, kernel, NaN policy — as one
+    jitted program: a single dispatch (eager per-op dispatch overhead
+    through remote backends would otherwise dominate the fit itself)."""
+    yT = y.T if transpose_y else y  # (T, N)
+    if yT.dtype != jnp.float32:
+        yT = yT.astype(jnp.float32)
+    T, N = yT.shape
+
+    # Pad the voxel axis to the lane block. Padded voxels get y=1: the
+    # in-kernel seed (or the explicit pad seed a=1, b=0) already equals the
+    # data, the first step is zero, and the lane converges on iteration 1
+    # without stalling its tile's early exit.
+    N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
+    yT_pad = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0) if N_pad > N else yT
+
+    if seed_in_kernel:
+        p0_mat = jnp.zeros((2, N_pad), jnp.float32)
+    else:
+        pad_seed = jnp.asarray([1.0, 0.0], jnp.float32)
+        if p0.ndim == 1:
+            p0_mat = jnp.broadcast_to(p0[:, None], (2, N))
+        else:
+            p0_mat = p0.T
+        if N_pad > N:
+            p0_mat = jnp.concatenate(
+                [p0_mat, jnp.broadcast_to(pad_seed[:, None], (2, N_pad - N))], axis=1
+            )
+
+    out = _monoexp_impl(
+        yT_pad, x, p0_mat, max_iter, ftol, xtol, seed_in_kernel=seed_in_kernel
+    )
+
+    a = out[0, :N]
+    b = out[1, :N]
+    r2 = out[2, :N]
+    converged = out[3, :N] > 0.5
+    popt = jnp.stack([a, b], axis=-1)
+
+    invalid = jnp.all(yT == 0, axis=0)
+    if has_bounds:
+        oob = jnp.any((yT < bounds_lo) | (yT > bounds_hi), axis=0)
+        invalid = invalid | oob
+
+    bad = invalid | (~converged) if nan_scipy else invalid
+    popt = jnp.where(bad[:, None], jnp.nan, popt)
+    r2 = jnp.where(bad, 0.0, r2)
+    return popt, r2, converged
 
 
 def monoexp_lm_pallas(
     x,
     y,
-    p0,
+    p0=None,
     max_iter: int = 50,
     ftol: float = 1e-5,
     xtol: float = 1e-5,
@@ -185,56 +283,24 @@ def monoexp_lm_pallas(
     Same contract as :func:`dosma_tpu.ops.nlls.lm_fit` specialized to the
     monoexponential model: ``y`` (N, T) → (popt (N, 2), r2 (N,), converged).
     Pass ``y_layout="tn"`` when ``y`` is already (T, N) — the kernel
-    consumes that layout natively (no transpose at all).
+    consumes that layout natively (no transpose at all). ``p0=None`` seeds
+    IN-KERNEL with the log-linear polyfit of ``MonoExponentialFit``'s
+    ``tc0="polyfit"`` path — zero extra HBM traffic and a single program
+    dispatch for seed+fit.
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y)
-    if y.dtype != jnp.float32:
-        y = y.astype(jnp.float32)
-    yT = y if y_layout == "tn" else y.T  # (T, N)
-    T, N = yT.shape
-
-    # Pad the voxel axis to the lane block. Padded voxels get y=1 with seed
-    # (a=1, b=0): the model already equals the data, the first step is zero,
-    # and the lane converges on iteration 1 without stalling its tile's
-    # early exit. (A constant-1.0 p0 pad would seed b=+1 → exp overflow →
-    # ~12 wasted iterations per affected tile.)
-    N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
-    if N_pad > N:
-        yT = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0)
-
-    x_col = x[:, None, None]  # (T, 1, 1)
-
-    p0 = jnp.asarray(p0, jnp.float32)
-    pad_seed = jnp.asarray([1.0, 0.0], jnp.float32)
-    if p0.ndim == 1:
-        p0_mat = jnp.broadcast_to(p0[:, None], (2, N_pad))
-        if N_pad > N:
-            p0_mat = jnp.concatenate(
-                [p0_mat[:, :N], jnp.broadcast_to(pad_seed[:, None], (2, N_pad - N))], axis=1
-            )
-    else:
-        p0_mat = p0.T
-        if N_pad > N:
-            p0_mat = jnp.concatenate(
-                [p0_mat, jnp.broadcast_to(pad_seed[:, None], (2, N_pad - N))], axis=1
-            )
-
-    out = _monoexp_impl(yT, x_col, p0_mat, int(max_iter), float(ftol), float(xtol))
-
-    a = out[0, :N]
-    b = out[1, :N]
-    r2 = out[2, :N]
-    converged = out[3, :N] > 0.5
-    popt = jnp.stack([a, b], axis=-1)
-
-    all_zero = jnp.all(yT[:, :N] == 0, axis=0)
-    invalid = all_zero
-    if y_bounds is not None:
-        oob = jnp.any((yT[:, :N] < y_bounds[0]) | (yT[:, :N] > y_bounds[1]), axis=0)
-        invalid = invalid | oob
-
-    bad = invalid | (~converged if nan_policy == "scipy" else False)
-    popt = jnp.where(bad[:, None], jnp.nan, popt)
-    r2 = jnp.where(bad, 0.0, r2)
-    return popt, r2, converged
+    seed_in_kernel = p0 is None
+    p0_arr = (
+        jnp.zeros(2, jnp.float32) if seed_in_kernel else jnp.asarray(p0, jnp.float32)
+    )
+    lo, hi = (y_bounds if y_bounds is not None else (0.0, 0.0))
+    return _monoexp_full(
+        y, p0_arr, x,
+        jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+        transpose_y=(y_layout != "tn"),
+        seed_in_kernel=seed_in_kernel,
+        max_iter=int(max_iter), ftol=float(ftol), xtol=float(xtol),
+        has_bounds=y_bounds is not None,
+        nan_scipy=(nan_policy == "scipy"),
+    )

@@ -28,22 +28,17 @@ def _monoexp_pipeline(
     use_polyfit_seed: bool, max_iter: int, decimals: Optional[int], has_mask: bool,
 ):
     from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas
-    from dosma_tpu.ops.nlls import batched_polyfit
 
     T, N = yT.shape
 
     if use_polyfit_seed:
-        # ref ``fitting.py:701-718``: deg-1 polyfit on log(y). Unlike the
-        # reference's absolute eps shift, clamp each voxel to a RELATIVE
-        # floor (1e-3 of its peak): noisy echoes can dip <= 0, and an
-        # absolute clamp of log(1e-10) = -23 produces runaway seeds
-        # (|b| ~ 0.7, a ~ 1e4) that overflow the f32 LM kernel into NaN.
-        # The relative floor bounds the seed's log dynamic range to
-        # log(1e3), keeping every seed inside the kernel's stable basin.
-        peak = jnp.max(yT, axis=0)  # (N,)
-        safe = jnp.maximum(yT, jnp.maximum(1e-3 * peak, 1e-10))
-        coef, _ = batched_polyfit(x, jnp.log(safe), 1)  # (2, N): [b, log a]
-        p0 = jnp.stack([jnp.exp(coef[1]), coef[0]], axis=-1)  # (N, 2)
+        # ref ``fitting.py:701-718``: deg-1 polyfit on log(y), computed
+        # INSIDE the Pallas kernel from the VMEM-resident y tile (p0=None)
+        # — zero extra HBM traffic for the seed. The kernel clamps each
+        # voxel to a RELATIVE floor (1e-3 of its peak): noisy echoes can
+        # dip <= 0, and an absolute clamp of log(1e-10) = -23 produces
+        # runaway seeds that overflow the f32 LM loop into NaN.
+        p0 = None
     else:
         p0 = jnp.stack(
             [jnp.ones((N,), yT.dtype), jnp.full((N,), tc0_b, yT.dtype)], axis=-1
