@@ -27,7 +27,10 @@ __all__ = [
     "RLE_LOSSLESS",
     "JPEG_LOSSLESS",
     "JPEG_LOSSLESS_SV1",
+    "JPEG_BASELINE",
+    "JPEG_EXTENDED",
     "COMPRESSED_SYNTAXES",
+    "unsupported_syntax_error",
     "EncapsulatedPixelData",
     "packbits_encode",
     "packbits_decode",
@@ -42,9 +45,39 @@ __all__ = [
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS = "1.2.840.10008.1.2.4.57"  # process 14, any predictor
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"  # process 14, predictor 1
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # process 1 (8-bit lossy DCT)
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # process 2 & 4 (8/12-bit lossy DCT)
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
+JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG_2000 = "1.2.840.10008.1.2.4.91"
 
 #: Transfer syntaxes this module can decode (and encode).
-COMPRESSED_SYNTAXES = frozenset({RLE_LOSSLESS, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1})
+COMPRESSED_SYNTAXES = frozenset({
+    RLE_LOSSLESS, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_BASELINE, JPEG_EXTENDED,
+})
+
+#: Recognized-but-unimplemented syntaxes → actionable error text.
+_UNSUPPORTED_SYNTAXES = {
+    JPEG_LS_LOSSLESS: "JPEG-LS Lossless",
+    JPEG_LS_NEAR_LOSSLESS: "JPEG-LS Near-Lossless",
+    JPEG_2000_LOSSLESS: "JPEG 2000 Lossless",
+    JPEG_2000: "JPEG 2000",
+}
+
+
+def unsupported_syntax_error(transfer_syntax: str) -> NotImplementedError:
+    """A clean, actionable error for recognized-but-unimplemented syntaxes."""
+    name = _UNSUPPORTED_SYNTAXES.get(transfer_syntax)
+    if name is not None:
+        return NotImplementedError(
+            f"Transfer syntax {transfer_syntax} ({name}) is not supported. "
+            f"Transcode the series to one of: uncompressed Little Endian, "
+            f"RLE Lossless ({RLE_LOSSLESS}), JPEG Lossless ({JPEG_LOSSLESS_SV1}), "
+            f"or JPEG Baseline ({JPEG_BASELINE}) — e.g. with dcmtk's `dcmdjpls`/"
+            f"`dcmdjp2k` or `gdcmconv --raw`."
+        )
+    return NotImplementedError(f"Transfer syntax {transfer_syntax} is not supported")
 
 
 class EncapsulatedPixelData:
@@ -552,8 +585,15 @@ def encode_frames(
                 _native.jpeg_lossless_encode if native_ok else None,
                 jpeg_lossless_encode, frame, precision=bits,
             )
+        elif transfer_syntax in (JPEG_BASELINE, JPEG_EXTENDED):
+            from dosma_tpu.core.io.dicom.jpeg_baseline import jpeg_baseline_encode
+
+            precision = 8 if transfer_syntax == JPEG_BASELINE else (
+                8 if frame.dtype.itemsize == 1 else 12
+            )
+            frag = jpeg_baseline_encode(frame, precision=precision)
         else:
-            raise NotImplementedError(f"No encoder for transfer syntax {transfer_syntax}")
+            raise unsupported_syntax_error(transfer_syntax)
         if len(frag) % 2:
             frag += b"\x00"
         frags.append(frag)
@@ -586,8 +626,14 @@ def decode_frames(
             img = _native_or_python(_native.jpeg_lossless_decode, jpeg_lossless_decode, frame)
             if bits_allocated == 8:
                 img = img.astype(np.uint8)
+        elif transfer_syntax in (JPEG_BASELINE, JPEG_EXTENDED):
+            from dosma_tpu.core.io.dicom.jpeg_baseline import jpeg_baseline_decode
+
+            img = jpeg_baseline_decode(frame)
+            if img.ndim == 3 and samples == 1:
+                raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
         else:
-            raise NotImplementedError(f"No decoder for transfer syntax {transfer_syntax}")
+            raise unsupported_syntax_error(transfer_syntax)
         decoded.append(np.ascontiguousarray(img, dtype=img.dtype.newbyteorder("=")))
     out = decoded[0] if nframes <= 1 else np.stack(decoded)
     return out

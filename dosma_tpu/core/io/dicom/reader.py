@@ -26,13 +26,13 @@ _ITEM_DELIM_TAG = 0xFFFEE00D
 _SEQ_DELIM_TAG = 0xFFFEE0DD
 
 
-def _parse_value(vr: str, raw: bytes):
+def _parse_value(vr: str, raw: bytes, endian: str = "<"):
     if vr in T.BINARY_VR_FMT:
         fmt, size = T.BINARY_VR_FMT[vr]
         n = len(raw) // size
         if n == 0:
             return None
-        vals = list(struct.unpack(f"<{n}{fmt}", raw[: n * size]))
+        vals = list(struct.unpack(f"{endian}{n}{fmt}", raw[: n * size]))
         return vals[0] if n == 1 else vals
     if vr in T.NUMERIC_STRING_VRS:
         s = raw.decode("latin-1").strip("\x00 ")
@@ -63,26 +63,26 @@ def _read_exact(fp: BinaryIO, n: int) -> bytes:
     return data
 
 
-def _read_element_header(fp: BinaryIO, explicit: bool):
+def _read_element_header(fp: BinaryIO, explicit: bool, endian: str = "<"):
     """Returns (tag_int, vr, length) or None at EOF."""
     hdr = fp.read(8)
     if len(hdr) < 8:
         if len(hdr) == 0:
             return None
         raise EOFError("Truncated DICOM element header")
-    group, elem = struct.unpack("<HH", hdr[:4])
+    group, elem = struct.unpack(f"{endian}HH", hdr[:4])
     tag = (group << 16) | elem
 
     if tag in (_ITEM_TAG, _ITEM_DELIM_TAG, _SEQ_DELIM_TAG):
-        (length,) = struct.unpack("<I", hdr[4:8])
+        (length,) = struct.unpack(f"{endian}I", hdr[4:8])
         return tag, None, length
 
     if explicit:
         vr = hdr[4:6].decode("ascii", errors="replace")
         if vr in T.LONG_VRS:
-            (length,) = struct.unpack("<I", _read_exact(fp, 4))
+            (length,) = struct.unpack(f"{endian}I", _read_exact(fp, 4))
         else:
-            (length,) = struct.unpack("<H", hdr[6:8])
+            (length,) = struct.unpack(f"{endian}H", hdr[6:8])
     else:
         # Private tags (odd group) resolve later, creator-gated, in the
         # dataset loop; standard tags resolve from the public dictionary.
@@ -90,18 +90,18 @@ def _read_element_header(fp: BinaryIO, explicit: bool):
             vr = "UN"
         else:
             vr = T.TAG_TO_VR.get(tag, "UN")
-        (length,) = struct.unpack("<I", hdr[4:8])
+        (length,) = struct.unpack(f"{endian}I", hdr[4:8])
     return tag, vr, length
 
 
-def _read_sequence(fp: BinaryIO, explicit: bool, length: int) -> List[Dataset]:
+def _read_sequence(fp: BinaryIO, explicit: bool, length: int, endian: str = "<") -> List[Dataset]:
     """Read SQ items. ``length`` may be undefined (0xFFFFFFFF)."""
     items = []
     end = None if length == _UNDEFINED_LENGTH else fp.tell() + length
     while True:
         if end is not None and fp.tell() >= end:
             break
-        hdr = _read_element_header(fp, explicit)
+        hdr = _read_element_header(fp, explicit, endian)
         if hdr is None:
             break
         tag, _vr, item_len = hdr
@@ -110,10 +110,10 @@ def _read_sequence(fp: BinaryIO, explicit: bool, length: int) -> List[Dataset]:
         if tag != _ITEM_TAG:
             raise ValueError(f"Expected Item tag in sequence, got {Tag(tag)!r}")
         if item_len == _UNDEFINED_LENGTH:
-            items.append(_read_dataset(fp, explicit, stop_at_item_delim=True))
+            items.append(_read_dataset(fp, explicit, stop_at_item_delim=True, endian=endian))
         else:
             sub = io.BytesIO(_read_exact(fp, item_len))
-            items.append(_read_dataset(sub, explicit))
+            items.append(_read_dataset(sub, explicit, endian=endian))
     return items
 
 
@@ -146,11 +146,12 @@ def _read_dataset(
     explicit: bool,
     stop_at_item_delim: bool = False,
     stop_before_pixels: bool = False,
+    endian: str = "<",
 ) -> Dataset:
     ds = Dataset()
     private_creators: dict = {}
     while True:
-        hdr = _read_element_header(fp, explicit)
+        hdr = _read_element_header(fp, explicit, endian)
         if hdr is None:
             break
         tag, vr, length = hdr
@@ -159,7 +160,7 @@ def _read_dataset(
         if tag in (_ITEM_DELIM_TAG, _SEQ_DELIM_TAG):
             continue
         if vr == "SQ" or (length == _UNDEFINED_LENGTH and vr in ("UN", None)):
-            value = _read_sequence(fp, explicit, length)
+            value = _read_sequence(fp, explicit, length, endian)
             ds.add_new(tag, "SQ", value)
             continue
         if tag == T.DICT["PixelData"][0] and stop_before_pixels:
@@ -171,7 +172,7 @@ def _read_dataset(
         raw = _read_exact(fp, length)
         if vr is None or vr == "UN":
             vr = _resolve_implicit_vr(tag, private_creators)
-        ds.add_new(tag, vr, _parse_value(vr, raw))
+        ds.add_new(tag, vr, _parse_value(vr, raw, endian))
         group, elem = tag >> 16, tag & 0xFFFF
         if group % 2 == 1 and 0x0010 <= elem <= 0x00FF:
             # Private-creator element: remember which vendor owns block
@@ -234,17 +235,20 @@ def read_dicom_bytes(data: bytes, stop_before_pixels: bool = False) -> Dataset:
         if ts:
             transfer_syntax = ts
 
+    endian = "<"
     if transfer_syntax == T.EXPLICIT_VR_BE:
-        raise NotImplementedError("Explicit VR Big Endian is not supported")
-    if transfer_syntax not in (T.IMPLICIT_VR_LE, T.EXPLICIT_VR_LE):
-        from dosma_tpu.core.io.dicom.codecs import COMPRESSED_SYNTAXES
+        # Retired but present in legacy (notably GE) archives: the data
+        # set is explicit VR with BIG-endian values; file meta stays LE.
+        endian = ">"
+    elif transfer_syntax not in (T.IMPLICIT_VR_LE, T.EXPLICIT_VR_LE):
+        from dosma_tpu.core.io.dicom.codecs import (
+            COMPRESSED_SYNTAXES,
+            unsupported_syntax_error,
+        )
 
         if transfer_syntax not in COMPRESSED_SYNTAXES:
-            raise NotImplementedError(
-                f"Compressed transfer syntax {transfer_syntax} is not supported "
-                f"(decodable: {sorted(COMPRESSED_SYNTAXES)})"
-            )
-    # Every syntax other than Implicit VR LE encodes the dataset explicit-LE.
+            raise unsupported_syntax_error(transfer_syntax)
+    # Every syntax other than Implicit VR LE encodes the dataset explicit.
     explicit = transfer_syntax != T.IMPLICIT_VR_LE
 
     # Heuristic fallback when no file meta: detect explicit VR by probing.
@@ -256,7 +260,7 @@ def read_dicom_bytes(data: bytes, stop_before_pixels: bool = False) -> Dataset:
             maybe_vr = probe[4:6].decode("ascii", errors="replace")
             explicit = maybe_vr.isalpha() and maybe_vr.isupper()
 
-    ds = _read_dataset(fp, explicit, stop_before_pixels=stop_before_pixels)
+    ds = _read_dataset(fp, explicit, stop_before_pixels=stop_before_pixels, endian=endian)
     ds.file_meta = file_meta if len(file_meta) else None
     return ds
 
@@ -311,7 +315,11 @@ def pixel_array(ds: Dataset) -> np.ndarray:
     else:
         raise ValueError(f"Unsupported BitsAllocated: {bits}")
 
-    arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
+    ts = ds.file_meta.get("TransferSyntaxUID") if ds.file_meta is not None else None
+    byteorder = ">" if ts == T.EXPLICIT_VR_BE else "<"
+    arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(byteorder))
+    if byteorder == ">":
+        arr = arr.astype(np.dtype(dtype).newbyteorder("="))  # native for downstream
     expected = rows * cols * samples * nframes
     arr = arr[:expected]
     if samples > 1:

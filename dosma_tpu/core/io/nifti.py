@@ -150,11 +150,19 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         if len(hdr_bytes) < _HDR_SIZE:
             raise ValueError(f"File too small to be NIfTI: {path}")
         sizeof_hdr = struct.unpack("<i", hdr_bytes[:4])[0]
+        byteorder = "<"
         if sizeof_hdr != _HDR_SIZE:
             if struct.unpack(">i", hdr_bytes[:4])[0] == _HDR_SIZE:
-                raise NotImplementedError("Big-endian NIfTI files are not supported")
-            raise ValueError(f"Not a NIfTI-1 file: {path}")
-        fields = _HDR_STRUCT.unpack(hdr_bytes)
+                # Big-endian NIfTI (legacy SPARC/PowerPC-era tools): same
+                # layout, every field byte-swapped. Write stays LE.
+                byteorder = ">"
+            else:
+                raise ValueError(f"Not a NIfTI-1 file: {path}")
+        hdr_struct = (
+            _HDR_STRUCT if byteorder == "<"
+            else struct.Struct(">" + _HDR_STRUCT.format[1:])
+        )
+        fields = hdr_struct.unpack(hdr_bytes)
         (
             _, _, _, _, _, _, _dim_info,
             d0, d1, d2, d3, d4, d5, d6, d7,
@@ -177,7 +185,7 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         dtype_name = _CODE_TO_DTYPE.get(int(datatype))
         if dtype_name is None:  # np.dtype(None) would silently mean float64
             raise ValueError(f"Unsupported NIfTI datatype code {datatype}")
-        dtype = np.dtype(dtype_name)
+        dtype = np.dtype(dtype_name).newbyteorder(byteorder)
         n_items = int(np.prod(shape)) if shape else 0
         offset = int(vox_offset) if vox_offset else _HDR_SIZE + 4
 
@@ -189,6 +197,10 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
             # frombuffer over bytes is READ-ONLY; copy so in-place volume
             # math (mv *= 2, mv[...] = 0) works like the reference.
             arr = np.frombuffer(raw, dtype=dtype).reshape(shape, order="F").copy(order="F")
+        if byteorder == ">":
+            # Normalize to native order: downstream device_put and C paths
+            # assume native-endian buffers. (Materializes mmap'd BE files.)
+            arr = np.asarray(arr, dtype=dtype.newbyteorder("="), order="F")
 
     # Affine: prefer sform, then qform, then pixdim diagonal.
     if sform_code > 0:

@@ -372,3 +372,195 @@ class TestSignedAndTranscode:
         out = read_dicom_bytes(buf2.getvalue())
         assert out.file_meta.get("TransferSyntaxUID") == JPEG_LOSSLESS
         assert np.array_equal(out.pixel_array, arr)
+
+
+class TestJpegBaseline:
+    """JPEG Baseline (.50) / Extended (.51): lossy DCT transfer syntaxes
+    (reference decodes these via pydicom's handlers behind
+    ``dicom_io.py:264-270``)."""
+
+    def _smooth(self, shape=(40, 56), peak=200.0):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+        return peak / 2 + (peak / 2 - 1) * np.sin(yy / 9.0) * np.cos(xx / 7.0)
+
+    def test_baseline_8bit_file_roundtrip(self):
+        from dosma_tpu.core.io.dicom.codecs import JPEG_BASELINE
+
+        frame = self._smooth().astype(np.uint8)
+        ds = _mr_dataset(frame)
+        ds.BitsAllocated = 8
+        ds.BitsStored = 8
+        ds.HighBit = 7
+        ds["PixelData"] = frame.tobytes()
+
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=JPEG_BASELINE)
+        back = read_dicom_bytes(buf.getvalue())
+
+        assert back.file_meta.get("TransferSyntaxUID") == JPEG_BASELINE
+        out = back.pixel_array
+        assert out.dtype == np.uint8 and out.shape == frame.shape
+        # Lossy codec at high quality: off-by-a-few, not exact.
+        assert np.abs(out.astype(int) - frame.astype(int)).max() <= 4
+
+    def test_extended_12bit_file_roundtrip(self):
+        from dosma_tpu.core.io.dicom.codecs import JPEG_EXTENDED
+
+        frame = self._smooth(peak=4000.0).astype(np.uint16)
+        ds = _mr_dataset(frame)
+        ds.BitsStored = 12
+        ds.HighBit = 11
+
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=JPEG_EXTENDED)
+        back = read_dicom_bytes(buf.getvalue())
+
+        assert back.file_meta.get("TransferSyntaxUID") == JPEG_EXTENDED
+        out = back.pixel_array
+        assert out.dtype == np.uint16
+        assert np.abs(out.astype(int) - frame.astype(int)).max() <= 40
+
+    def test_decodes_pil_encoded_stream(self):
+        """Cross-decoder check: PIL's encoder uses the standard Annex-K
+        Huffman tables — decode parity within rounding."""
+        PIL = pytest.importorskip("PIL.Image")
+
+        frame = self._smooth((48, 48), peak=250.0).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL.fromarray(frame, "L").save(buf, "JPEG", quality=92)
+
+        from dosma_tpu.core.io.dicom.jpeg_baseline import jpeg_baseline_decode
+
+        ours = jpeg_baseline_decode(buf.getvalue())
+        pil = np.asarray(PIL.open(io.BytesIO(buf.getvalue())))
+        assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+    def test_decodes_color_subsampled_stream(self):
+        PIL = pytest.importorskip("PIL.Image")
+
+        g = self._smooth((32, 40), peak=250.0).astype(np.uint8)
+        rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+        buf = io.BytesIO()
+        PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=90, subsampling=2)
+
+        from dosma_tpu.core.io.dicom.jpeg_baseline import jpeg_baseline_decode
+
+        ours = jpeg_baseline_decode(buf.getvalue())
+        assert ours.shape == (32, 40, 3)
+        # Raw (unconverted) YCbCr planes: compare against PIL's YCbCr view.
+        pil = np.asarray(PIL.open(io.BytesIO(buf.getvalue())).convert("YCbCr"))
+        assert np.abs(ours.astype(int) - pil.astype(int)).mean() < 3.0
+
+    def test_restart_interval_stream(self):
+        PIL = pytest.importorskip("PIL.Image")
+
+        frame = self._smooth((24, 64), peak=250.0).astype(np.uint8)
+        buf = io.BytesIO()
+        PIL.fromarray(frame, "L").save(buf, "JPEG", quality=92, restart_marker_blocks=2)
+
+        from dosma_tpu.core.io.dicom.jpeg_baseline import jpeg_baseline_decode
+
+        ours = jpeg_baseline_decode(buf.getvalue())
+        pil = np.asarray(PIL.open(io.BytesIO(buf.getvalue())))
+        assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+class TestUnsupportedSyntaxErrors:
+    @pytest.mark.parametrize(
+        "uid", ["1.2.840.10008.1.2.4.80", "1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.91"]
+    )
+    def test_actionable_message(self, uid):
+        err = codecs.unsupported_syntax_error(uid)
+        assert isinstance(err, NotImplementedError)
+        assert "Transcode" in str(err) and uid in str(err)
+
+    def test_reader_raises_actionable_error(self):
+        frame = (np.arange(64, dtype=np.uint16)).reshape(8, 8)
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf)
+        # Swap the recorded transfer syntax for JPEG 2000 (new UID is 2
+        # bytes longer, so the element length bumps 20 → 22 with it).
+        raw = buf.getvalue().replace(
+            b"UI\x14\x001.2.840.10008.1.2.1\x00",
+            b"UI\x16\x001.2.840.10008.1.2.4.90",
+        )
+        with pytest.raises(NotImplementedError, match="JPEG 2000"):
+            read_dicom_bytes(raw)
+
+
+class TestBigEndianDicom:
+    """Explicit VR Big Endian (retired; legacy GE archives)."""
+
+    @staticmethod
+    def _be_element(group, elem, vr, payload):
+        import struct
+
+        hdr = struct.pack(">HH", group, elem) + vr.encode()
+        if vr in ("OB", "OW", "SQ", "UN", "UT"):
+            return hdr + b"\x00\x00" + struct.pack(">I", len(payload)) + payload
+        return hdr + struct.pack(">H", len(payload)) + payload
+
+    def _be_file(self, arr):
+        import struct
+
+        ts = b"1.2.840.10008.1.2.2\x00"
+        fm = b""
+        fm += struct.pack("<HH", 2, 0x0010) + b"UI" + struct.pack("<H", len(ts)) + ts
+
+        E = self._be_element
+        body = b""
+        body += E(0x0008, 0x0060, "CS", b"MR")
+        body += E(0x0028, 0x0002, "US", struct.pack(">H", 1))  # SamplesPerPixel
+        body += E(0x0028, 0x0010, "US", struct.pack(">H", arr.shape[0]))
+        body += E(0x0028, 0x0011, "US", struct.pack(">H", arr.shape[1]))
+        body += E(0x0028, 0x0030, "DS", b"0.5\\0.7 ")  # PixelSpacing
+        body += E(0x0028, 0x0100, "US", struct.pack(">H", 16))  # BitsAllocated
+        body += E(0x0028, 0x0103, "US", struct.pack(">H", 0))  # PixelRepresentation
+        body += E(0x7FE0, 0x0010, "OW", arr.astype(">u2").tobytes())
+        return b"\x00" * 128 + b"DICM" + fm + body
+
+    def test_reads_big_endian_pixels_and_values(self):
+        rs = np.random.RandomState(0)
+        arr = (rs.rand(9, 11) * 4000).astype(np.uint16)
+        ds = read_dicom_bytes(self._be_file(arr))
+
+        assert ds.Rows == 9 and ds.Columns == 11
+        assert ds.BitsAllocated == 16
+        assert list(ds.PixelSpacing) == [0.5, 0.7]
+        out = ds.pixel_array
+        np.testing.assert_array_equal(out, arr)
+        # Downstream paths need native byte order.
+        assert out.dtype.byteorder in ("=", "|", "<")
+
+
+def test_big_endian_nifti_roundtrip(tmp_path):
+    """Big-endian NIfTI read support (write stays LE)."""
+    import struct
+
+    from dosma_tpu.core.io.nifti import read_nifti, write_nifti
+
+    rs = np.random.RandomState(1)
+    arr = (rs.rand(5, 6, 7) * 100).astype(np.float32)
+    aff = np.diag([1.0, 2.0, 3.0, 1.0])
+    le_path = str(tmp_path / "le.nii")
+    write_nifti(le_path, arr, aff)
+
+    with open(le_path, "rb") as f:
+        raw = bytearray(f.read())
+
+    # Byte-swap every header field via the struct layout, then the voxels.
+    from dosma_tpu.core.io.nifti import _HDR_SIZE, _HDR_STRUCT
+
+    fields = _HDR_STRUCT.unpack(bytes(raw[:_HDR_SIZE]))
+    be_hdr = struct.Struct(">" + _HDR_STRUCT.format[1:]).pack(*fields)
+    vox = np.frombuffer(bytes(raw[352:]), np.float32).astype(">f4").tobytes()
+    be_path = str(tmp_path / "be.nii")
+    with open(be_path, "wb") as f:
+        f.write(be_hdr + bytes(raw[_HDR_SIZE:352]) + vox)
+
+    arr_le, aff_le = read_nifti(le_path)
+    arr_be, aff_be = read_nifti(be_path)
+    np.testing.assert_allclose(arr_be, arr_le)
+    np.testing.assert_allclose(aff_be, aff_le)
+    assert np.asarray(arr_be).dtype.byteorder in ("=", "|", "<")
