@@ -355,12 +355,32 @@ class MedicalVolume(NDArrayOperatorsMixin):
         volume, affine = sitk_params_to_medvol(*params, is_vector=is_vector)
         return cls(volume, affine)
 
-    def to_torch(self, requires_grad: bool = False, contiguous: bool = False):
-        """Zero-copy (host) conversion to ``torch.Tensor`` (ref ``:564-638``)."""
+    def to_torch(
+        self, requires_grad: bool = False, contiguous: bool = False,
+        view_as_real: bool = False,
+    ):
+        """Conversion to ``torch.Tensor`` (ref ``:564-638``).
+
+        Zero-copy where the memory spaces allow it: host numpy arrays via
+        ``torch.from_numpy``, CPU-backend jax arrays via DLPack. TPU-backed
+        arrays transfer to host first (torch has no TPU DLPack consumer).
+        Complex volumes become complex tensors; ``view_as_real=True``
+        returns the real view with a trailing (real, imag) channel pair.
+        """
         import torch
 
-        arr = np.asarray(self.cpu()._volume)
-        tensor = torch.from_numpy(arr)
+        arr = self._volume
+        if _is_jax(arr):
+            try:
+                # CPU jax arrays exchange zero-copy through DLPack.
+                tensor = torch.utils.dlpack.from_dlpack(arr)
+            except Exception:
+                tensor = torch.from_numpy(np.asarray(arr))
+        else:
+            tensor = torch.from_numpy(arr)
+
+        if view_as_real and tensor.is_complex():
+            tensor = torch.view_as_real(tensor)
         if contiguous:
             tensor = tensor.contiguous()
         if requires_grad:
@@ -368,10 +388,49 @@ class MedicalVolume(NDArrayOperatorsMixin):
         return tensor
 
     @classmethod
-    def from_torch(cls, tensor, affine, headers=None) -> "MedicalVolume":
-        if tensor.ndim < 3:
-            raise ValueError(f"Tensor must have >=3 dims, got {tensor.ndim}")
-        return cls(tensor.detach().cpu().numpy(), affine, headers=headers)
+    def from_torch(cls, tensor, affine, headers=None, to_complex: bool = None) -> "MedicalVolume":
+        """Construction from a PyTorch tensor (ref ``:1005-1116``).
+
+        ``to_complex=True`` interprets a real ``(..., 2)`` tensor as the
+        real view of a complex array and restructures it (no copy).
+        """
+        import torch
+
+        if isinstance(affine, torch.Tensor):
+            if affine.device.type != "cpu":
+                raise RuntimeError("Affine matrix must be on the cpu")
+            affine = affine.numpy()
+
+        # Already-complex tensors convert directly; the view logic is only
+        # for real tensors holding interleaved (real, imag) channels.
+        to_complex = bool(to_complex) and tensor.dtype not in (
+            torch.complex64, torch.complex128
+        )
+
+        if (not to_complex and tensor.ndim < 3) or (to_complex and tensor.ndim < 4):
+            raise ValueError(
+                f"Tensor must have three spatial dimensions. Got shape {tuple(tensor.shape)}."
+            )
+        if to_complex and tensor.shape[-1] != 2:
+            raise ValueError(
+                f"tensor.shape[-1] must have shape 2 when to_complex is specified. "
+                f"Got shape {tuple(tensor.shape)}."
+            )
+
+        array = tensor.detach().cpu().numpy()
+
+        if to_complex:
+            if array.dtype == np.float32:
+                array = np.ascontiguousarray(array).view(np.complex64)
+            elif array.dtype == np.float64:
+                array = np.ascontiguousarray(array).view(np.complex128)
+            else:
+                raise ValueError(
+                    f"to_complex requires float32/float64 data, got {array.dtype}"
+                )
+            array = array.reshape(array.shape[:-1])
+
+        return cls(array, affine, headers=headers)
 
     def to_jax(self):
         """The underlying array as a ``jax.Array`` (device transfer if on host)."""

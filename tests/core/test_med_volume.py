@@ -276,3 +276,99 @@ def test_set_metadata_force_contract():
         mv.set_metadata("InversionTime", 5.0)
     mv.set_metadata("InversionTime", 5.0, force=True)
     assert mv.get_metadata("InversionTime", float) == 5.0
+
+
+class TestTorchInterop:
+    """torch/DLPack interop incl. complex views (ref ``med_volume.py:564-638``,
+    ``:1005-1116``)."""
+
+    def test_to_torch_zero_copy_cpu(self):
+        import torch
+
+        arr = np.random.RandomState(0).rand(4, 5, 6).astype(np.float32)
+        mv = MedicalVolume(arr, np.eye(4))
+        t = mv.to_torch()
+        assert isinstance(t, torch.Tensor) and t.shape == (4, 5, 6)
+        # Zero-copy: mutating the tensor mutates the volume.
+        t[0, 0, 0] = 99.0
+        assert float(np.asarray(mv.A)[0, 0, 0]) == 99.0
+
+    def test_to_torch_requires_grad_contiguous(self):
+        arr = np.random.RandomState(0).rand(3, 3, 3)
+        t = MedicalVolume(arr, np.eye(4)).to_torch(requires_grad=True, contiguous=True)
+        assert t.requires_grad and t.is_contiguous()
+
+    def test_complex_to_torch(self):
+        import torch
+
+        arr = (np.random.RandomState(0).rand(3, 4, 5)
+               + 1j * np.random.RandomState(1).rand(3, 4, 5)).astype(np.complex64)
+        mv = MedicalVolume(arr, np.eye(4))
+        t = mv.to_torch()
+        assert t.dtype == torch.complex64
+
+        tr = mv.to_torch(view_as_real=True)
+        assert tr.dtype == torch.float32 and tr.shape == (3, 4, 5, 2)
+        np.testing.assert_allclose(tr[..., 0].numpy(), arr.real)
+        np.testing.assert_allclose(tr[..., 1].numpy(), arr.imag)
+
+    def test_from_torch_roundtrip(self):
+        import torch
+
+        t = torch.arange(24, dtype=torch.float32).reshape(2, 3, 4)
+        mv = MedicalVolume.from_torch(t, np.eye(4))
+        np.testing.assert_array_equal(np.asarray(mv.A), t.numpy())
+
+    def test_from_torch_affine_tensor(self):
+        import torch
+
+        t = torch.ones(2, 3, 4)
+        mv = MedicalVolume.from_torch(t, torch.eye(4))
+        np.testing.assert_array_equal(mv.affine, np.eye(4))
+
+    def test_from_torch_to_complex(self):
+        import torch
+
+        rs = np.random.RandomState(0)
+        real_view = torch.tensor(rs.rand(3, 4, 5, 2).astype(np.float32))
+        mv = MedicalVolume.from_torch(real_view, np.eye(4), to_complex=True)
+        assert mv.dtype == np.complex64 and mv.shape == (3, 4, 5)
+        np.testing.assert_allclose(np.asarray(mv.A).real, real_view[..., 0].numpy())
+        np.testing.assert_allclose(np.asarray(mv.A).imag, real_view[..., 1].numpy())
+
+    def test_from_torch_complex_dtype_passthrough(self):
+        import torch
+
+        t = torch.complex(torch.ones(2, 3, 4), torch.zeros(2, 3, 4))
+        mv = MedicalVolume.from_torch(t, np.eye(4), to_complex=True)
+        assert mv.dtype == np.complex64 and mv.shape == (2, 3, 4)
+
+    def test_from_torch_validation(self):
+        import torch
+
+        with pytest.raises(ValueError):
+            MedicalVolume.from_torch(torch.ones(3, 4), np.eye(4))
+        with pytest.raises(ValueError):
+            MedicalVolume.from_torch(torch.ones(3, 4, 5), np.eye(4), to_complex=True)
+        with pytest.raises(ValueError):
+            MedicalVolume.from_torch(torch.ones(3, 4, 5, 3), np.eye(4), to_complex=True)
+
+    def test_jax_cpu_dlpack_to_torch(self):
+        import jax.numpy as jnp
+        import torch
+
+        arr = jnp.asarray(np.random.RandomState(0).rand(2, 3, 4).astype(np.float32))
+        mv = MedicalVolume(arr, np.eye(4))
+        t = mv.to_torch()
+        assert isinstance(t, torch.Tensor)
+        np.testing.assert_allclose(t.numpy(), np.asarray(arr))
+
+    def test_complex_volume_roundtrip_through_torch(self):
+        arr = (np.random.RandomState(2).rand(3, 3, 3)
+               + 1j * np.random.RandomState(3).rand(3, 3, 3)).astype(np.complex128)
+        mv = MedicalVolume(arr, np.eye(4))
+        back = MedicalVolume.from_torch(
+            mv.to_torch(view_as_real=True), np.eye(4), to_complex=True
+        )
+        assert back.dtype == np.complex128
+        np.testing.assert_allclose(np.asarray(back.A), arr)
