@@ -261,7 +261,20 @@ def pad(x: MedicalVolume, pad_width, mode="constant", **kwargs):
 
 @implements(np.where)
 def where(*args, **kwargs):
-    return np.where(np.asarray(args[0]), *args[1:], **kwargs)
+    """Condition-only form returns indices (reference semantics,
+    ``numpy_routines.py:519-522``); the 3-arg selection form additionally
+    wraps the result as a MedicalVolume when one participates (the
+    reference recurses infinitely on that form)."""
+    if len(args) == 1:
+        return np.where(np.asarray(args[0]), **kwargs)
+    from dosma_tpu.core.med_volume import MedicalVolume
+
+    ref = next((a for a in args if isinstance(a, MedicalVolume)), None)
+    np_args = [np.asarray(a.A) if isinstance(a, MedicalVolume) else a for a in args]
+    out = np.where(*np_args, **kwargs)
+    if ref is not None:
+        return ref._partial_clone(volume=out, headers=None)
+    return out
 
 
 def _make_fill_like(fname, np_func):

@@ -372,3 +372,182 @@ class TestTorchInterop:
         )
         assert back.dtype == np.complex128
         np.testing.assert_allclose(np.asarray(back.A), arr)
+
+
+class TestReferenceParityMatrix:
+    """Cases ported from the reference's test_med_volume.py that had no
+    analog here (VERDICT r1 item 4)."""
+
+    _AFFINE = np.asarray(
+        [
+            [0.0, 0.0, 0.8, -171.41],
+            [0.0, -0.3125, 0.0, 96.0154],
+            [-0.3125, 0.0, 0.0, 47.0233],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+    def test_set_volume_inplace_math(self):
+        """ref ``test_set_volume``: in-place math through the .volume view."""
+        mv = MedicalVolume(np.ones((10, 20, 30)), self._AFFINE)
+        mv.volume += 2
+        assert np.all(np.asarray(mv.volume) == 3)
+
+    def test_slice_with_headers_matrix(self):
+        """ref ``test_slice_with_headers``: the 4D header-broadcast slicing
+        edge cases (``med_volume.py:1132-1156``)."""
+        from tests.util import build_dummy_headers
+
+        vol = np.stack([np.ones((10, 20, 30)), 2 * np.ones((10, 20, 30))], axis=-1)
+        headers = np.stack(
+            [
+                build_dummy_headers((1, 1, vol.shape[2]), {"EchoTime": 2}),
+                build_dummy_headers((1, 1, vol.shape[2]), {"EchoTime": 10}),
+            ],
+            axis=-1,
+        )
+        mv = MedicalVolume(vol, self._AFFINE, headers=headers)
+
+        mv2 = mv[..., 0]
+        assert mv2.headers().shape == (1, 1, 30)
+        for h in mv2.headers(flatten=True):
+            assert h["EchoTime"].value == 2
+
+        mv2 = mv[..., 1]
+        assert mv2.headers().shape == (1, 1, 30)
+        for h in mv2.headers(flatten=True):
+            assert h["EchoTime"].value == 10
+
+        mv2 = mv[:10, :5, 8:10, :1]
+        assert mv2.headers().shape == (1, 1, 2, 1)
+
+        mv2 = mv[:10]
+        assert mv2.headers().shape == (1, 1, 30, 2)
+        mv2 = mv[:, :10]
+        assert mv2.headers().shape == (1, 1, 30, 2)
+
+        mv2 = mv[..., 0:1]
+        assert mv2.headers().shape == (1, 1, 30, 1)
+
+        # A single broadcast header column shares identity across volumes.
+        headers = build_dummy_headers((1, 1, vol.shape[2]), {"EchoTime": 2})[..., np.newaxis]
+        mv = MedicalVolume(vol, self._AFFINE, headers=headers)
+        mv1, mv2 = mv[..., 0], mv[..., 1]
+        assert mv1.headers().shape == (1, 1, 30)
+        assert mv2.headers().shape == (1, 1, 30)
+        for h1, h2 in zip(mv1.headers(flatten=True), mv2.headers(flatten=True)):
+            assert id(h1) == id(h2)
+
+    def test_reformat_headers_follow(self):
+        """ref ``test_reformat_header``: headers transpose/flip with the
+        volume."""
+        from tests.util import build_dummy_headers
+
+        vol = np.random.RandomState(0).rand(10, 20, 30)
+        headers = build_dummy_headers((1, 1, 30))
+        mv = MedicalVolume(vol, self._AFFINE, headers=headers)
+        ornt = tuple(o[::-1] for o in mv.orientation[::-1])
+        mv2 = mv.reformat(ornt)
+        assert mv2.headers().shape == (30, 1, 1)
+        mv3 = mv2.reformat(mv.orientation)
+        assert mv3.headers().shape == (1, 1, 30)
+        for h1, h2 in zip(mv.headers(flatten=True), mv3.headers(flatten=True)):
+            assert id(h1) == id(h2)
+
+    def test_math_affine_and_values(self):
+        """ref ``test_math``: arithmetic matrix preserves affine and does
+        not mutate operands."""
+        mv1 = MedicalVolume(np.ones((10, 20, 30)), self._AFFINE)
+        mv2 = MedicalVolume(2 * np.ones((10, 20, 30)), self._AFFINE)
+
+        for op, expected in (
+            (lambda a, b: a + b, 3),
+            (lambda a, b: a - b, -1),
+            (lambda a, b: a * b, 2),
+            (lambda a, b: a / b, 0.5),
+        ):
+            out = op(mv1, mv2)
+            assert np.all(np.asarray(out.volume) == expected)
+            assert np.allclose(out.affine, self._AFFINE)
+            assert np.all(np.asarray(mv1.volume) == 1)
+            assert np.all(np.asarray(mv2.volume) == 2)
+
+        # Mismatched orientation raises.
+        mv3 = mv2.reformat(tuple(o[::-1] for o in mv2.orientation))
+        with pytest.raises(ValueError):
+            mv1 + mv3
+
+    def test_dtype_astype_matrix(self):
+        """ref ``test_dtype``: astype casts through common dtypes."""
+        mv = MedicalVolume(np.random.RandomState(0).rand(4, 5, 6) * 100, np.eye(4))
+        for dt in (np.float32, np.float64, np.int16, np.uint8, np.bool_, np.complex64):
+            out = mv.clone().astype(dt)
+            assert out.dtype == dt
+
+    def test_repr_and_str(self):
+        mv = MedicalVolume(np.ones((4, 5, 6)), self._AFFINE)
+        r = repr(mv)
+        assert "MedicalVolume" in r and "4, 5, 6" in r.replace("(", "").replace(")", "")
+
+    def test_hdf5_roundtrip(self, tmp_path):
+        """ref ``test_hdf5``: volumes round-trip through the h5 utils."""
+        h5py = pytest.importorskip("h5py")  # noqa: F841
+        from dosma_tpu.utils import io_utils
+
+        arr = np.random.RandomState(0).rand(4, 5, 6)
+        path = str(tmp_path / "vol.h5")
+        io_utils.save_h5(path, {"volume": arr, "affine": self._AFFINE})
+        back = io_utils.load_h5(path)
+        np.testing.assert_allclose(back["volume"], arr)
+        np.testing.assert_allclose(back["affine"], self._AFFINE)
+
+    def test_mmap_nifti(self, tmp_path):
+        """ref ``test_mmap_nifti``: uncompressed NIfTI loads memory-mapped;
+        writes materialize copy-on-write."""
+        from dosma_tpu.core.io.nifti_io import NiftiReader, NiftiWriter
+
+        arr = np.random.RandomState(0).rand(6, 7, 8).astype(np.float32)
+        path = str(tmp_path / "v.nii")  # uncompressed → mmap-able
+        NiftiWriter().save(MedicalVolume(arr, np.eye(4)), path)
+
+        mv = NiftiReader().load(path, mmap=True)
+        assert mv.is_mmap
+        mv[0, 0, 0] = 5.0  # copy-on-write materialization
+        assert not mv.is_mmap
+        assert float(np.asarray(mv.A)[0, 0, 0]) == 5.0
+        # File unchanged.
+        mv2 = NiftiReader().load(path)
+        assert float(np.asarray(mv2.A)[0, 0, 0]) == arr[0, 0, 0]
+
+    def test_mmap_numpy(self, tmp_path):
+        """ref ``test_mmap_numpy``: a memmap-backed volume reports is_mmap
+        and materializes on demand."""
+        path = str(tmp_path / "arr.npy")
+        np.save(path, np.random.RandomState(0).rand(4, 5, 6))
+        arr = np.load(path, mmap_mode="r")
+        mv = MedicalVolume(arr, np.eye(4))
+        assert mv.is_mmap
+        mv2 = mv.materialize()
+        assert not mv2.is_mmap
+
+    def test_metadata_matrix(self):
+        """ref ``test_metadata``: get/set across all headers."""
+        from tests.util import build_dummy_headers
+
+        vol = np.ones((4, 5, 6))
+        mv = MedicalVolume(vol, self._AFFINE, headers=build_dummy_headers((1, 1, 6)))
+        # Creating a missing key needs force=True (ref ``:724-732``)...
+        with pytest.raises(KeyError):
+            mv.set_metadata("EchoTime", 12.0)
+        mv.set_metadata("EchoTime", 12.0, force=True)
+        assert mv.get_metadata("EchoTime") == 12.0
+        # ...updating an existing key does not.
+        mv.set_metadata("EchoTime", 14.0)
+        assert mv.get_metadata("EchoTime") == 14.0
+        mv.set_metadata("EchoTime", 12.0, force=True)
+        for h in mv.headers(flatten=True):
+            assert float(h["EchoTime"].value) == 12.0
+
+        assert mv.get_metadata("FlipAngle", default=30) == 30
+        with pytest.raises((KeyError, AttributeError)):
+            mv.get_metadata("FlipAngle")

@@ -151,3 +151,62 @@ class TestMemory:
         mv3 = MedicalVolume(arr.copy(), np.eye(4))
         assert np.shares_memory(mv1, mv2)
         assert not np.shares_memory(mv1, mv3)
+
+
+class TestReferenceParityMatrix:
+    """Cases ported from the reference's test_numpy_routines.py that had no
+    analog here (VERDICT r1 item 4)."""
+
+    def test_where_indexing(self):
+        """ref ``test_where``: np.where output indexes/assigns a volume."""
+        mv = MedicalVolume(np.ones((10, 20, 30)), np.eye(4))
+        mv[np.where(np.asarray(mv.A) == 1)] = 5
+        assert np.all(np.asarray(mv.A) == 5)
+        assert not np.any(np.asarray(mv.A) == 1)
+
+    def test_where_function(self):
+        mv = MedicalVolume(np.arange(24.0).reshape(2, 3, 4), np.eye(4))
+        out = np.where(mv > 10, mv, 0)
+        expected = np.where(np.asarray(mv.A) > 10, np.asarray(mv.A), 0)
+        np.testing.assert_array_equal(np.asarray(out.A), expected)
+
+    def test_exp_ufunc(self):
+        """ref ``test_exp``: transcendental ufuncs dispatch elementwise."""
+        mv = MedicalVolume(np.ones((4, 5, 6)), np.eye(4))
+        np.testing.assert_allclose(np.asarray(np.exp(mv).A), np.exp(np.asarray(mv.A)))
+        np.testing.assert_allclose(np.asarray(np.sqrt(mv).A), np.ones((4, 5, 6)))
+        np.testing.assert_allclose(
+            np.asarray(np.log(mv + 1).A), np.log(2) * np.ones((4, 5, 6))
+        )
+
+    def test_ndarray_arithmetic(self):
+        """ref ``test_ndarray_arithmetic``: mixing raw ndarrays in."""
+        mv = MedicalVolume(np.ones((10, 20, 30)), np.eye(4))
+        mv2 = mv + np.ones(mv.shape)
+        assert np.all(np.asarray(mv2.A) == 2)
+        mv3 = 3 * mv
+        assert np.all(np.asarray(mv3.A) == 3)
+
+    def test_reduce_funcs_4d(self):
+        """ref ``test_reduce_funcs``: reductions over the non-spatial axis
+        of a 4D volume."""
+        rs = np.random.RandomState(0)
+        arr = rs.rand(4, 5, 6, 2)
+        mv = MedicalVolume(arr, np.eye(4))
+        for fn in (np.sum, np.mean, np.amin, np.amax, np.std):
+            out = fn(mv, axis=-1)
+            np.testing.assert_allclose(
+                np.asarray(out.A), fn(arr, axis=-1), rtol=1e-6
+            )
+            assert out.shape == (4, 5, 6)
+
+    def test_stats_funcs_scalars(self):
+        """ref ``test_stats_funcs``: whole-volume reductions give scalars."""
+        rs = np.random.RandomState(1)
+        arr = rs.rand(4, 5, 6)
+        mv = MedicalVolume(arr, np.eye(4))
+        assert np.isclose(np.sum(mv), arr.sum())
+        assert np.isclose(np.mean(mv), arr.mean())
+        assert np.isclose(np.std(mv), arr.std())
+        assert np.isclose(np.amax(mv), arr.max())
+        assert np.isclose(np.amin(mv), arr.min())
