@@ -577,6 +577,9 @@ def register_chain(
     )
     Ms_host = [np.asarray(M, np.float64) for M in Ms]
     info = {"losses": [np.asarray(l) for l in losses]}
+    # Per-stage stall diagnostics; `stalled` reflects the FINAL stage.
+    info["stages"] = [_stall_diagnostics(np.asarray(l)) for l in info["losses"]]
+    info.update(info["stages"][-1])
     return Ms_host, warped, warped_extras, info
 
 
@@ -710,7 +713,34 @@ def register_pair(
     )
     M = _params_to_matrix_np(theta_host, center, params.transform)
     info = {"losses": [np.asarray(l) for l in losses]}
+    info.update(_stall_diagnostics(info["losses"]))
     return M, theta_host, info
+
+
+def _stall_diagnostics(losses_per_level) -> dict:
+    """Optimizer-stall diagnostics from the per-level loss traces.
+
+    ``stalled=True`` means the FINEST level's loss did not measurably
+    improve over its first iterations — the registration likely failed to
+    engage (featureless image, no overlap, metric plateau) and the result
+    should be treated with suspicion. Note a pair that STARTS at the
+    optimum (perfect initialization) also shows no decrease; combine with
+    the loss value when interpreting. The thresholds are deliberately
+    loose: stochastic-metric noise makes per-iteration losses jitter, so we
+    compare medians of the first and last deciles.
+    """
+    finest = np.asarray(losses_per_level[-1], np.float64).ravel()
+    if finest.size < 10:
+        return {"stalled": False, "loss_decrease": 0.0}
+    k = max(1, finest.size // 10)
+    start = float(np.median(finest[:k]))
+    end = float(np.median(finest[-k:]))
+    decrease = start - end
+    scale = max(abs(start), 1e-12)
+    return {
+        "stalled": bool(decrease < 1e-4 * scale),
+        "loss_decrease": decrease,
+    }
 
 
 def _pyramid_sigmas(resolutions: int) -> np.ndarray:
