@@ -19,6 +19,7 @@ __all__ = [
     "get_mesh",
     "shard_voxels",
     "sharded_lm_fit",
+    "sharded_register_chain_batch",
     "sharded_unet_inference",
 ]
 
@@ -182,6 +183,89 @@ def _shard_mapped_pallas(
         check_vma=False,
     )
     return fn(y_sharded, jnp.asarray(p0_sharded, jnp.float32))
+
+
+def sharded_register_chain_batch(
+    fixed_arr,
+    fixed_affine,
+    moving_arrs,
+    moving_affine,
+    stage_cfgs,
+    fixed_mask=None,
+    use_mask=None,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+):
+    """Shard a batch registration's MOVING axis across the mesh.
+
+    Each device runs the full multi-stage pyramid chain
+    (:func:`dosma_tpu.ops.registration._optimize_chain_impl`) for its local
+    moving images under ``shard_map`` — registrations are independent, so
+    there are no collectives; the fixed image is replicated. This is the
+    multi-chip form of SURVEY §2.10 "parallel registrations".
+
+    Returns ``(Ms (M, S, 4, 4) cumulative host matrices, warped (M, ...)
+    sharded device array)``.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from dosma_tpu.ops import registration as R
+
+    stage_cfgs = list(stage_cfgs)
+    if any(cfg.transform == "bspline" for cfg in stage_cfgs):
+        raise ValueError("sharded_register_chain_batch supports matrix stages only")
+    if mesh is None:
+        mesh = get_mesh()
+    if use_mask is None:
+        use_mask = [fixed_mask is not None] * len(stage_cfgs)
+
+    moving_arrs = np.asarray(moving_arrs, np.float32)
+    n_img = moving_arrs.shape[0]
+    m_sharded, pad = shard_voxels(moving_arrs, mesh, axis_name)
+    offsets, _ = shard_voxels(
+        np.arange(m_sharded.shape[0], dtype=np.int32), mesh, axis_name
+    )
+
+    use_fmask = [bool(u) and fixed_mask is not None for u in use_mask]
+    statics = R._chain_statics(stage_cfgs, use_fmask, [False] * len(stage_cfgs))
+    center, scales, sigmas = R._chain_host_args(
+        stage_cfgs, np.asarray(fixed_arr).shape, fixed_affine
+    )
+
+    fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
+    fmask_dev = (
+        jnp.asarray(fixed_mask, jnp.float32)
+        if (fixed_mask is not None and any(use_fmask)) else None
+    )
+    f_aff = jnp.asarray(fixed_affine, jnp.float32)
+    m_aff = jnp.asarray(moving_affine, jnp.float32)
+    center_dev = jnp.asarray(center)
+    init = jnp.eye(4, dtype=jnp.float32)
+
+    def _one(m_arr, off):
+        seeds = tuple(jnp.asarray(cfg.seed, jnp.int32) + off for cfg in stage_cfgs)
+        Ms, warped, _extras, _losses = R._optimize_chain_impl(
+            fixed_dev, f_aff, fmask_dev, m_arr, m_aff, None,
+            None, init, center_dev, scales, sigmas, seeds,
+            statics, 0,
+        )
+        return jnp.stack(Ms), warped
+
+    def per_shard(m_local, off_local):
+        return jax.vmap(_one)(m_local, off_local)
+
+    row = P(axis_name, *([None] * (m_sharded.ndim - 1)))
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(row, P(axis_name)),
+        out_specs=(P(axis_name, None, None, None), row),
+        check_vma=False,
+    )
+    Ms, warped = fn(m_sharded, offsets)
+    Ms = np.asarray(Ms, np.float64)[:n_img]
+    return Ms, warped[:n_img] if pad else warped
 
 
 _JITTED_UNET_FORWARD = None

@@ -254,3 +254,99 @@ class TestCheckpoint:
         out = restore_checkpoint(str(tmp_path))
         leaf = out["params"]["down"][0]["conv1"]["w"]
         assert np.allclose(np.asarray(leaf), np.asarray(params["down"][0]["conv1"]["w"]))
+
+
+class TestShardedScanPipeline:
+    """End-to-end sharded scan flows over the 8-device mesh
+    (VERDICT r1 item 8)."""
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+    def test_sharded_qdess_t2_map(self):
+        """QDess analytic T2 with VOXEL-SHARDED echo volumes: elementwise
+        physics propagates the sharding; result matches the host path."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dosma_tpu.core.med_volume import MedicalVolume
+        from dosma_tpu.core.orientation import SAGITTAL, to_affine
+        from dosma_tpu.parallel.sharding import get_mesh
+        from dosma_tpu.scan_sequences.mri.qdess import QDess
+        from dosma_tpu.tissues.femoral_cartilage import FemoralCartilage
+
+        rs = np.random.RandomState(0)
+        shape = (32, 32, len(jax.devices()) * 2)
+        aff = to_affine(SAGITTAL, (0.3, 0.3, 0.7))
+        e1 = (rs.rand(*shape) * 1000 + 200).astype(np.float32)
+        e2 = (e1 * (0.3 + 0.4 * rs.rand(*shape))).astype(np.float32)
+
+        def build(vols):
+            return QDess([MedicalVolume(v, aff) for v in vols])
+
+        t2_kwargs = dict(
+            suppress_fat=False, tr=25.0, te=6.0, alpha=20.0,
+            gl_area=3132.0, tg=1560.0,
+        )
+        host_map = build([e1, e2]).generate_t2_map(FemoralCartilage(), **t2_kwargs)
+
+        mesh = get_mesh()
+        sh = NamedSharding(mesh, P(None, None, "data"))
+        e1_s = jax.device_put(jnp.asarray(e1), sh)
+        e2_s = jax.device_put(jnp.asarray(e2), sh)
+        sharded_map = build([e1_s, e2_s]).generate_t2_map(
+            FemoralCartilage(), **t2_kwargs
+        )
+
+        out = sharded_map.volumetric_map.volume
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(host_map.volumetric_map.volume),
+            rtol=1e-5, atol=1e-3,
+        )
+        # The result must actually SPAN the mesh, not collapse to one device.
+        assert isinstance(out, jax.Array)
+        assert len(out.sharding.device_set) == len(jax.devices())
+
+    @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+    def test_sharded_register_chain_batch(self):
+        """Batch registration sharded over the moving axis: one moving image
+        per device, every chain recovers its own shift, parity with the
+        unsharded batch."""
+        from dosma_tpu.ops.registration import (
+            RegistrationParams,
+            register_chain_batch,
+        )
+        from dosma_tpu.parallel.sharding import (
+            get_mesh,
+            sharded_register_chain_batch,
+        )
+
+        rs = np.random.RandomState(0)
+        shape = (32, 32, 8)
+        fixed = np.zeros(shape, np.float32)
+        fixed[8:-8, 8:-8, 2:-2] = 1.0
+        fixed += 0.05 * rs.rand(*shape).astype(np.float32)
+        aff = np.eye(4)
+
+        shifts = [(2, -1, 0), (-2, 2, 1), (3, 0, -1), (0, -3, 1)]
+        movings = np.stack(
+            [np.roll(fixed, s, axis=(0, 1, 2)) for s in shifts]
+        )
+        cfgs = [
+            RegistrationParams(
+                transform="translation", metric="mse", resolutions=2,
+                iterations=120, num_samples=2048, learning_rate=0.05,
+            )
+        ]
+
+        mesh = get_mesh()
+        Ms, warped = sharded_register_chain_batch(
+            fixed, aff, movings, aff, cfgs, mesh=mesh
+        )
+        assert Ms.shape == (4, 1, 4, 4)
+        for M, s in zip(Ms[:, 0], shifts):
+            np.testing.assert_allclose(M[:3, 3], s, atol=0.5)
+
+        # Parity with the single-device batched path (same seeds).
+        Ms_ref, _w, _info = register_chain_batch(fixed, aff, movings, aff, cfgs)
+        np.testing.assert_allclose(Ms[:, 0], Ms_ref[:, 0], atol=0.3)
+
+        # Warped stack is sharded along the moving axis.
+        assert len(warped.sharding.device_set) >= min(4, len(jax.devices()))
