@@ -282,7 +282,10 @@ class DosmaViewer:
             self._ui(lambda: self.image_viewer.set_volume(vol))
             self._ui(lambda: self.status_var.set("done"))
         except Exception as e:  # pragma: no cover - GUI error path
+            from dosma_tpu.gui.gui_errors import show_error
+
             _logger.exception("GUI action failed")
+            show_error("Scan action failed", str(e))
             msg = f"error: {e}"
             self._ui(lambda: self.status_var.set(msg))
         finally:
@@ -382,7 +385,10 @@ class DosmaViewer:
                 knee.handle_knee(self.knee_vargin())
                 self.knee_status_var.set("done")
             except Exception as e:  # pragma: no cover - GUI error path
+                from dosma_tpu.gui.gui_errors import show_error
+
                 _logger.exception("knee workflow failed")
+                show_error("Knee workflow failed", str(e))
                 self.knee_status_var.set(f"error: {e}")
             finally:
                 self.knee_run_button.configure(state="normal")
