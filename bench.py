@@ -68,7 +68,10 @@ def _readback(x):
 # ----------------------------------------------------------------------
 # Config 1 (headline): noisy monoexponential fit, 512x512x64 x 4 echoes
 # ----------------------------------------------------------------------
-def _bench_monoexp(N: int, T: int, iters: int = 5, n_parity: int = 200):
+def _bench_monoexp(N: int, T: int, iters: int = 5, n_parity: int = 10000):
+    """``n_parity``: size of the scipy oracle subsample used for BOTH the
+    parity RMSE and the extrapolated CPU-baseline rate — 10k voxels
+    (~4 s of scipy) so the vs_baseline headline is measured, not guessed."""
     import jax
     import jax.numpy as jnp
 

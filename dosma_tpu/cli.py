@@ -44,6 +44,7 @@ DICOM_KEY = "dicom"
 SAVE_KEY = "save"
 LOAD_KEY = "load"
 IGNORE_EXT_KEY = "ignore_ext"
+DEVICE_LOAD_KEY = "device_load"
 SPLIT_BY_KEY = "split_by"
 GPU_KEY = "gpu"
 NUM_WORKERS_KEY = "num-workers"
@@ -103,6 +104,7 @@ class CommandLineScanContainer:
         ignore_ext: bool = False,
         group_by=None,
         num_workers=0,
+        device_load: bool = False,
         **kwargs,
     ):
         self.scan_type = scan_type
@@ -122,6 +124,10 @@ class CommandLineScanContainer:
                 group_by=group_by or scan_type.__DEFAULT_SPLIT_BY__,
                 ignore_ext=ignore_ext,
                 num_workers=num_workers,
+                # Async parse->HBM prefetch: H2D of echo k overlaps parsing
+                # of echo k+1, and downstream device compute (segmentation,
+                # fitting, registration) starts with data already resident.
+                to_device=True if device_load else None,
             )
         else:
             self.scan = self.load(load_path, num_workers=num_workers)
@@ -444,6 +450,7 @@ def handle_scan(vargin):
         ignore_ext=vargin[IGNORE_EXT_KEY],
         group_by=vargin[SPLIT_BY_KEY] or None,
         num_workers=vargin[NUM_WORKERS_KEY],
+        device_load=vargin.get(DEVICE_LOAD_KEY, False),
     )
 
     tissues = vargin[TISSUES_KEY]
@@ -509,6 +516,10 @@ def _build_parser():
     parser.add_argument(
         f"--{IGNORE_EXT_KEY}", action="store_true", default=False, dest=IGNORE_EXT_KEY,
         help="ignore .dcm extension when loading dicoms. Default: False",
+    )
+    parser.add_argument(
+        f"--{DEVICE_LOAD_KEY}", action="store_true", default=False, dest=DEVICE_LOAD_KEY,
+        help="prefetch dicom volumes into accelerator memory while parsing. Default: False",
     )
     parser.add_argument(
         f"--{SPLIT_BY_KEY}", metavar="G", type=str, default=None, nargs="?",

@@ -310,6 +310,7 @@ class CurveFitter(_Fitter):
         num_workers: int = 0,
         chunksize: int = None,
         verbose: bool = False,
+        kernel: str = "auto",
         **kwargs,
     ):
         func_name = func.__name__ if hasattr(func, "__name__") else type(func).__name__
@@ -332,6 +333,11 @@ class CurveFitter(_Fitter):
         self.num_workers = num_workers
         self.chunksize = chunksize
         self.verbose = verbose
+        # Device-kernel hint (see :func:`curve_fit`): pass
+        # kernel="pallas_monoexp" when ``func`` is a user-defined function
+        # equivalent to the library monoexponential — identity dispatch
+        # alone would silently take the generic engine.
+        self.kernel = kernel
         self.kwargs = kwargs
 
     def _format_p0(self, p0, ref: MedicalVolume = None, flatten=False, mask=None, depth=0):
@@ -392,6 +398,7 @@ class CurveFitter(_Fitter):
             show_pbar=self.verbose,
             num_workers=self.num_workers,
             chunksize=self.chunksize,
+            kernel=getattr(self, "kernel", "auto"),
             **self.kwargs,
         )
 
@@ -663,6 +670,7 @@ def curve_fit(
     show_pbar=False,
     num_workers=0,
     chunksize: int = None,
+    kernel: str = "auto",
     **kwargs,
 ):
     """Nonlinear least-squares fit of ``func`` to N data sequences at once.
@@ -671,7 +679,20 @@ def curve_fit(
     ``y`` is (T, N); returns (popts (N, P), r_squared (N,)). The computation
     is a single batched LM launch on the default JAX device; functions that
     are not jax-traceable fall back to a per-sequence scipy loop.
+
+    ``kernel`` selects the device engine (dosma_tpu extension):
+
+    - ``"auto"``: the fused Pallas kernel when ``func`` IS the library
+      ``monoexponential``/``biexponential`` (identity check — a same-named
+      user function may use a different parametrization) and the backend
+      compiles Pallas; the generic vmapped LM otherwise.
+    - ``"pallas_monoexp"`` / ``"pallas_biexp"``: force the fused kernel for
+      a user function KNOWN to share the library parametrization
+      (``a*exp(b*x)`` / 4-param biexponential).
+    - ``"generic"``: force the generic engine.
     """
+    if kernel not in ("auto", "pallas_monoexp", "pallas_biexp", "generic"):
+        raise ValueError(f"Unknown kernel {kernel!r}")
     from dosma_tpu.ops.nlls import lm_fit
 
     x = np.asarray(x)
@@ -698,7 +719,13 @@ def curve_fit(
 
     # Fast path: the fused Pallas kernel for the monoexponential model on TPU
     # keeps each voxel tile VMEM-resident for the whole LM loop.
-    if func is monoexponential and nparams == 2:
+    use_mono = kernel == "pallas_monoexp" or (
+        kernel == "auto" and func is monoexponential and nparams == 2
+    )
+    use_biexp = kernel == "pallas_biexp" or (
+        kernel == "auto" and func is biexponential and nparams == 4
+    )
+    if use_mono:
         from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas, pallas_supported
 
         if pallas_supported():
@@ -709,7 +736,7 @@ def curve_fit(
             )
             return np.asarray(popt), np.asarray(r2)
 
-    if func is biexponential and nparams == 4:
+    if use_biexp:
         from dosma_tpu.ops.biexp_pallas import biexp_lm_pallas, pallas_supported
 
         if pallas_supported():
