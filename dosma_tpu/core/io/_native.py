@@ -156,6 +156,35 @@ def jpeg_lossless_decode(data: bytes):
     return out
 
 
+def jpeg_baseline_decode(data: bytes):
+    """Decode a single-component SOF0/SOF1 stream via C++.
+
+    Returns uint8 for 8-bit precision, uint16 for 12-bit — matching the
+    Python decoder. Color/progressive streams raise ValueError so the
+    dispatch falls back to the Python path.
+    """
+    import numpy as np
+
+    lib = _load_codecs()
+    meta = (ctypes.c_int * 4)()
+    rc = lib.dosma_jpeg_baseline_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        None, ctypes.c_longlong(0), meta, 1,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG baseline header parse failed (code {rc})")
+    rows, cols, precision = meta[0], meta[1], meta[2]
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.dosma_jpeg_baseline_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_longlong(out.size), meta, 0,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG baseline decode failed (code {rc})")
+    return out.astype(np.uint8) if precision == 8 else out
+
+
 def read_dicom_files(files: List[str]):
     """Parse many DICOM files via the C++ helper; returns list of Datasets.
 

@@ -629,7 +629,11 @@ def decode_frames(
         elif transfer_syntax in (JPEG_BASELINE, JPEG_EXTENDED):
             from dosma_tpu.core.io.dicom.jpeg_baseline import jpeg_baseline_decode
 
-            img = jpeg_baseline_decode(frame)
+            # C++ fast path handles grayscale; color falls back to Python.
+            img = _native_or_python(
+                _native.jpeg_baseline_decode if samples == 1 else None,
+                jpeg_baseline_decode, frame,
+            )
             if img.ndim == 3 and samples == 1:
                 raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
         else:

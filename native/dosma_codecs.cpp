@@ -314,6 +314,222 @@ int dosma_jpeg_lossless_decode(const uint8_t *data, long long n, uint16_t *dst,
 }
 
 // ---------------------------------------------------------------------------
+// JPEG Baseline/Extended (SOF0/SOF1) decoder — single component.
+// Mirrors core/io/dicom/jpeg_baseline.py: grayscale 8/12-bit, restart
+// intervals; multi-component (color) streams return -2 so the ctypes
+// bridge falls back to the Python decoder.
+// ---------------------------------------------------------------------------
+namespace {
+
+// Orthonormal DCT-II basis A[u][x] = alpha(u) cos((2x+1) u pi / 16) —
+// JPEG's 1/4 C(u)C(v) normalization IS the orthonormal scaling.
+struct DctBasis {
+  double A[8][8];
+  DctBasis() {
+    const double pi = 3.14159265358979323846;
+    for (int u = 0; u < 8; ++u)
+      for (int x = 0; x < 8; ++x)
+        A[u][x] = (u == 0 ? 0.35355339059327373 : 0.5) *
+                  __builtin_cos((2 * x + 1) * u * pi / 16.0);
+  }
+};
+static const DctBasis kDct;
+
+static const uint8_t kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+static void idct8x8(const int32_t *coef, const int32_t *quant, int shift,
+                    int maxval, int32_t *out) {
+  double F[8][8], T[8][8];
+  for (int i = 0; i < 64; ++i)
+    F[i >> 3][i & 7] = (double)coef[i] * quant[i];
+  // T = A^T * F  (T[x][v] = sum_u A[u][x] F[u][v])
+  for (int x = 0; x < 8; ++x)
+    for (int v = 0; v < 8; ++v) {
+      double s = 0;
+      for (int u = 0; u < 8; ++u) s += kDct.A[u][x] * F[u][v];
+      T[x][v] = s;
+    }
+  // out = T * A  (out[x][y] = sum_v T[x][v] A[v][y])
+  for (int x = 0; x < 8; ++x)
+    for (int y = 0; y < 8; ++y) {
+      double s = 0;
+      for (int v = 0; v < 8; ++v) s += T[x][v] * kDct.A[v][y];
+      long long px = (long long)(s + shift + (s + shift >= 0 ? 0.5 : -0.5));
+      if (px < 0) px = 0;
+      if (px > maxval) px = maxval;
+      out[x * 8 + y] = (int32_t)px;
+    }
+}
+
+}  // namespace
+
+// Decode a single-component SOF0/SOF1 stream. out_meta receives
+// {rows, cols, precision, 0}. Returns 0 ok; negative codes as lossless:
+//  -1 bad stream  -2 unsupported feature (e.g. color)  -3 corrupt entropy
+int dosma_jpeg_baseline_decode(const uint8_t *data, long long n, uint16_t *dst,
+                               long long dst_len, int *out_meta, int probe) {
+  if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  long long pos = 2;
+  int precision = -1, rows = -1, cols = -1, restart_interval = 0;
+  int dc_id = -1, ac_id = -1;
+  HuffTable dc_tables[4], ac_tables[4];
+  int32_t quant[4][64];
+  bool quant_valid[4] = {false, false, false, false};
+  int comp_tq = 0;
+
+  while (pos + 1 < n) {
+    if (data[pos] != 0xFF) return -1;
+    uint8_t marker = data[pos + 1];
+    pos += 2;
+    if (marker == 0xD9) return -1;
+    if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) continue;
+    if (pos + 2 > n) return -1;
+    int seglen = (data[pos] << 8) | data[pos + 1];
+    if (pos + seglen > n) return -1;
+    const uint8_t *body = data + pos + 2;
+    int blen = seglen - 2;
+    pos += seglen;
+
+    if (marker == 0xC0 || marker == 0xC1) {  // SOF0/SOF1
+      if (blen < 9) return -1;
+      precision = body[0];
+      rows = (body[1] << 8) | body[2];
+      cols = (body[3] << 8) | body[4];
+      if (body[5] != 1) return -2;  // color → Python path
+      if ((body[7] >> 4) != 1 || (body[7] & 0x0F) != 1) return -2;
+      comp_tq = body[8] & 0x03;
+    } else if (marker == 0xC2 || marker == 0xC3 ||
+               (marker >= 0xC5 && marker <= 0xC7) ||
+               (marker >= 0xC9 && marker <= 0xCB) ||
+               (marker >= 0xCD && marker <= 0xCF)) {
+      return -2;  // progressive / lossless / arithmetic
+    } else if (marker == 0xDB) {  // DQT
+      int bpos = 0;
+      while (bpos < blen) {
+        int pq = body[bpos] >> 4, tq = body[bpos] & 0x03;
+        int nbytes = 64 * (pq ? 2 : 1);
+        if (bpos + 1 + nbytes > blen) return -1;
+        for (int i = 0; i < 64; ++i) {
+          int v = pq ? ((body[bpos + 1 + 2 * i] << 8) | body[bpos + 2 + 2 * i])
+                     : body[bpos + 1 + i];
+          quant[tq][kZigzag[i]] = v;
+        }
+        quant_valid[tq] = true;
+        bpos += 1 + nbytes;
+      }
+    } else if (marker == 0xC4) {  // DHT
+      int bpos = 0;
+      while (bpos + 17 <= blen) {
+        int tc_th = body[bpos];
+        const uint8_t *bits = body + bpos + 1;
+        int nval = 0;
+        for (int i = 0; i < 16; ++i) nval += bits[i];
+        if (nval > 256 || bpos + 17 + nval > blen) return -1;
+        build_table(bits, body + bpos + 17, nval,
+                    ((tc_th >> 4) ? ac_tables : dc_tables)[tc_th & 0x03]);
+        bpos += 17 + nval;
+      }
+    } else if (marker == 0xDD) {  // DRI
+      if (blen < 2) return -1;
+      restart_interval = (body[0] << 8) | body[1];
+    } else if (marker == 0xDA) {  // SOS
+      if (blen < 4) return -1;
+      if (body[0] != 1) return -2;
+      dc_id = body[2] >> 4;
+      ac_id = body[2] & 0x0F;
+      break;
+    }
+  }
+
+  if (precision != 8 && precision != 12) return -2;
+  if (rows < 0 || dc_id < 0 || !quant_valid[comp_tq]) return -1;
+  if (!dc_tables[dc_id & 3].valid || !ac_tables[ac_id & 3].valid) return -1;
+  if (out_meta) {
+    out_meta[0] = rows;
+    out_meta[1] = cols;
+    out_meta[2] = precision;
+    out_meta[3] = 0;
+  }
+  if (probe) return 0;
+  if (!dst || dst_len < (long long)rows * cols) return -1;
+
+  const HuffTable &dct_ = dc_tables[dc_id & 3];
+  const HuffTable &act = ac_tables[ac_id & 3];
+  const int32_t *q = quant[comp_tq];
+  BitReader br(data, n, pos);
+  int shift = 1 << (precision - 1);
+  int maxval = (1 << precision) - 1;
+  int bx = (cols + 7) / 8, by = (rows + 7) / 8;
+  long long until_restart = restart_interval ? restart_interval : -1;
+  int32_t pred = 0;
+
+  for (int mb = 0; mb < by; ++mb) {
+    for (int nb = 0; nb < bx; ++nb) {
+      if (until_restart == 0) {
+        br.nbits = 0;
+        br.acc = 0;
+        if (br.pos + 1 < n && br.data[br.pos] == 0xFF &&
+            br.data[br.pos + 1] >= 0xD0 && br.data[br.pos + 1] <= 0xD7) {
+          br.pos += 2;
+        } else if (br.pos > 0 && br.pos < n && br.data[br.pos] >= 0xD0 &&
+                   br.data[br.pos] <= 0xD7 && br.data[br.pos - 1] == 0xFF) {
+          br.pos += 1;
+        }
+        pred = 0;
+        until_restart = restart_interval;
+      }
+      int32_t coef[64];
+      std::memset(coef, 0, sizeof(coef));
+      int ssss = read_symbol(br, dct_);
+      if (ssss < 0 || ssss > 15) return -3;
+      int32_t diff = 0;
+      if (ssss) {
+        uint32_t v = br.read(ssss);
+        diff = (v >= (1u << (ssss - 1))) ? (int32_t)v
+                                         : (int32_t)v - (1 << ssss) + 1;
+      }
+      pred += diff;
+      coef[0] = pred;
+      int k = 1;
+      while (k < 64) {
+        int rs = read_symbol(br, act);
+        if (rs < 0) return -3;
+        int r = rs >> 4, s2 = rs & 0x0F;
+        if (s2 == 0) {
+          if (r == 15) {
+            k += 16;
+            continue;
+          }
+          break;  // EOB
+        }
+        k += r;
+        if (k > 63) return -3;
+        uint32_t v = br.read(s2);
+        coef[kZigzag[k]] = (v >= (1u << (s2 - 1))) ? (int32_t)v
+                                                   : (int32_t)v - (1 << s2) + 1;
+        ++k;
+      }
+      if (br.error) return -3;
+
+      int32_t pix[64];
+      idct8x8(coef, q, shift, maxval, pix);
+      int r0 = mb * 8, c0 = nb * 8;
+      int rmax = rows - r0 < 8 ? rows - r0 : 8;
+      int cmax = cols - c0 < 8 ? cols - c0 : 8;
+      for (int r = 0; r < rmax; ++r)
+        for (int c = 0; c < cmax; ++c)
+          dst[(long long)(r0 + r) * cols + (c0 + c)] = (uint16_t)pix[r * 8 + c];
+      if (until_restart > 0) --until_restart;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Encoders (byte-identical twins of the Python codecs).
 // ---------------------------------------------------------------------------
 static long long packbits_encode(const uint8_t *src, long long n, uint8_t *dst,

@@ -564,3 +564,45 @@ def test_big_endian_nifti_roundtrip(tmp_path):
     np.testing.assert_allclose(arr_be, arr_le)
     np.testing.assert_allclose(aff_be, aff_le)
     assert np.asarray(arr_be).dtype.byteorder in ("=", "|", "<")
+
+
+class TestNativeJpegBaseline:
+    """C++ fast-path parity for JPEG baseline (skipped when the native
+    library is not built)."""
+
+    @pytest.fixture(autouse=True)
+    def _needs_native(self):
+        from dosma_tpu.core.io import _native
+
+        if not _native.codecs_available():
+            pytest.skip("native codecs not built")
+
+    @pytest.mark.parametrize("precision", [8, 12])
+    def test_native_matches_python(self, precision):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.jpeg_baseline import (
+            jpeg_baseline_decode,
+            jpeg_baseline_encode,
+        )
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        peak = 200.0 if precision == 8 else 4000.0
+        frame = (peak / 2 + (peak / 2 - 1) * np.sin(yy / 9.0) * np.cos(xx / 7.0))
+        frame = frame.astype(np.uint8 if precision == 8 else np.uint16)
+        enc = jpeg_baseline_encode(frame, precision=precision, quality=92)
+        py = jpeg_baseline_decode(enc)
+        nat = _native.jpeg_baseline_decode(enc)
+        np.testing.assert_array_equal(py, nat)
+        assert nat.dtype == py.dtype
+
+    def test_native_rejects_color(self):
+        PIL = pytest.importorskip("PIL.Image")
+
+        from dosma_tpu.core.io import _native
+
+        g = np.full((16, 16), 128, np.uint8)
+        rgb = np.stack([g, g, g], -1)
+        buf = io.BytesIO()
+        PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=90)
+        with pytest.raises(ValueError):
+            _native.jpeg_baseline_decode(buf.getvalue())
