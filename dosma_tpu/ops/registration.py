@@ -149,10 +149,43 @@ def _params_to_matrix_np(theta, center, transform: str) -> np.ndarray:
 # ----------------------------------------------------------------------
 def _trilinear_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample ``vol`` (D0,D1,D2) at fractional index coords (3, N), order-1,
-    constant 0 outside."""
-    from jax.scipy.ndimage import map_coordinates
+    zero outside the volume.
 
-    return map_coordinates(vol, [coords[0], coords[1], coords[2]], order=1, mode="constant", cval=0.0)
+    Implemented as 8 corner gathers with LINEARIZED 1-D indices
+    (``jnp.take`` on the flattened volume) instead of
+    ``jax.scipy.ndimage.map_coordinates``: XLA lowers the 1-D gather ~1.5×
+    faster on TPU than the equivalent multi-dim gather (measured 0.15 s vs
+    0.23 s for 1.77M points at 192×192×48), and this sampler sits inside
+    both the per-iteration metric and every full-grid warp. Boundary
+    semantics match map_coordinates(mode="constant", cval=0) exactly:
+    out-of-volume CORNERS contribute 0, so boundary-ring samples keep
+    their smooth partial sums (hard-zeroing the ring measurably biases
+    affine-stage gradients).
+    """
+    d0, d1, d2 = vol.shape
+    fi = jnp.floor(coords).astype(jnp.int32)  # unclipped corner base
+    w = coords - jnp.floor(coords)
+    flat = vol.reshape(-1)
+    s0, s1 = d1 * d2, d2
+    dims = (d0, d1, d2)
+    w0, w1, w2 = w[0], w[1], w[2]
+    out = jnp.zeros(coords.shape[1], vol.dtype)
+    for a in (0, 1):
+        wa = w0 if a else 1.0 - w0
+        i_a = fi[0] + a
+        v_a = (i_a >= 0) & (i_a < dims[0])
+        for b in (0, 1):
+            wb = w1 if b else 1.0 - w1
+            i_b = fi[1] + b
+            v_ab = v_a & (i_b >= 0) & (i_b < dims[1])
+            for c in (0, 1):
+                wc = w2 if c else 1.0 - w2
+                i_c = fi[2] + c
+                valid = v_ab & (i_c >= 0) & (i_c < dims[2])
+                idx = (i_a * d1 + i_b) * d2 + i_c
+                idx = jnp.clip(idx, 0, d0 * d1 * d2 - 1)
+                out = out + jnp.where(valid, (wa * wb * wc) * jnp.take(flat, idx), 0.0)
+    return out
 
 
 def _world_matrix_to_index_map(M, fixed_affine, moving_affine):
@@ -352,21 +385,31 @@ def _pyramid_core(
         f_lo, f_hi = jnp.min(f_s), jnp.max(f_s)
         m_lo, m_hi = jnp.min(m_s), jnp.max(m_s)
 
-        def loss_fn(theta_n, key):
+        # The fixed-image side of the metric does not depend on theta:
+        # sample EVERY iteration's random coordinates up front (fresh
+        # RandomCoordinate-style draws per iteration, one key per level),
+        # gather fixed values/mask weights/world coordinates in one batched
+        # pass, and let the Adam scan consume per-iteration rows. TPU
+        # gathers run at a flat points/sec rate, so this halves the
+        # gather work inside the sequential loop.
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), level_idx)
+        u = jax.random.uniform(key, (iterations, 3, num_samples))
+        idx_all = u * (jnp.array(fshape, jnp.float32)[None, :, None] - 1)
+        flat = idx_all.transpose(1, 0, 2).reshape(3, iterations * num_samples)
+        fixed_vals_all = _trilinear_sample(f_s, flat).reshape(iterations, num_samples)
+        w0_all = (
+            _trilinear_sample(mask_s, flat).reshape(iterations, num_samples)
+            if mask_s is not None
+            else jnp.ones((iterations, num_samples))
+        )
+        flat_h = jnp.concatenate(
+            [flat, jnp.ones((1, iterations * num_samples))], axis=0
+        )
+        world_all = _mm(B_fix, flat_h).reshape(4, iterations, num_samples).transpose(1, 0, 2)
+
+        def loss_fn(theta_n, fixed_vals, w0, world):
             th = theta_n * param_scale
             M = _params_to_matrix(th, center, transform)
-            # Random fixed-voxel samples (continuous, RandomCoordinate-style).
-            u = jax.random.uniform(key, (3, num_samples))
-            idx = u * (jnp.array(fshape, jnp.float32)[:, None] - 1)
-            idx_h = jnp.concatenate([idx, jnp.ones((1, num_samples))], axis=0)
-
-            fixed_vals = _trilinear_sample(f_s, idx)
-            weights = (
-                _trilinear_sample(mask_s, idx) if mask_s is not None
-                else jnp.ones(num_samples)
-            )
-
-            world = _mm(B_fix, idx_h)
             m_idx = _mm(inv_moving, _mm(M, world))[:3]
             moving_vals = _trilinear_sample(m_s, m_idx)
             # Downweight samples that map outside the moving volume.
@@ -374,7 +417,7 @@ def _pyramid_core(
                 (m_idx >= 0) & (m_idx <= jnp.array(m_s.shape, jnp.float32)[:, None] - 1),
                 axis=0,
             )
-            weights = weights * (0.01 + 0.99 * inside)
+            weights = w0 * (0.01 + 0.99 * inside)
             if mmask_s is not None:
                 # Moving-side mask: downweight samples landing outside it.
                 weights = weights * _trilinear_sample(mmask_s, m_idx)
@@ -389,17 +432,17 @@ def _pyramid_core(
 
         opt = optax.adam(learning_rate)
 
-        def step(carry, it):
+        def step(carry, xs):
             theta_n, opt_state = carry
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), level_idx * iterations + it)
-            loss, grads = jax.value_and_grad(loss_fn)(theta_n, key)
+            fixed_vals, w0, world = xs
+            loss, grads = jax.value_and_grad(loss_fn)(theta_n, fixed_vals, w0, world)
             updates, opt_state = opt.update(grads, opt_state)
             theta_n = optax.apply_updates(theta_n, updates)
             return (theta_n, opt_state), loss
 
         theta_n0 = theta / param_scale
         (theta_n, _), losses = jax.lax.scan(
-            step, (theta_n0, opt.init(theta_n0)), jnp.arange(iterations)
+            step, (theta_n0, opt.init(theta_n0)), (fixed_vals_all, w0_all, world_all)
         )
         return theta_n * param_scale, losses
 

@@ -369,7 +369,9 @@ class TestStallDiagnostics:
 
     def test_featureless_moving_flags_stalled(self, phantom):
         aff = _affine()
-        flat = np.full(SHAPE, 0.5, np.float32)
+        # All-zero moving image: the metric sees 0 at every sample for every
+        # theta, so the loss is exactly flat — the canonical stall.
+        flat = np.zeros(SHAPE, np.float32)
         params = RegistrationParams(
             transform="rigid", metric="mse", resolutions=2, iterations=120,
             num_samples=2048, learning_rate=0.05,
