@@ -311,3 +311,70 @@ class TestKernelHint:
 
         with pytest.raises(ValueError, match="kernel"):
             curve_fit(monoexponential, [1.0, 2.0], np.ones((2, 4)), kernel="bogus")
+
+
+class TestFittingParityMatrix:
+    """Remaining reference test_fitting.py cases (VERDICT r1 item 4)."""
+
+    def test_matches_monoexponential_fit(self):
+        """ref ``test_matches_monoexponential_fit``: a CurveFitter configured
+        like MonoExponentialFit produces the same tc map."""
+        y, x, _b = generate_monoexp_data((10, 10, 20))
+
+        mef = MonoExponentialFit(tc0=30.0, bounds=(0, 100), decimal_precision=8)
+        t_mef = mef.fit(x, y)[0]
+
+        cf = CurveFitter(
+            monoexponential,
+            p0=(1.0, -1 / 30),
+            out_ufuncs=[None, lambda v: 1 / np.abs(v)],
+            out_bounds=(0, 100),
+            nan_to_num=0,
+        )
+        t_cf = cf.fit(x, y)[0][..., 1]
+        np.testing.assert_allclose(
+            np.asarray(t_mef.volume), np.round(np.asarray(t_cf.volume), 8),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_headers_survive_fit(self):
+        """ref ``test_headers``: fitting volumes WITH headers works and the
+        output map carries headers."""
+        from tests.util import build_dummy_headers
+
+        y, x, b = generate_monoexp_data((10, 10, 20))
+        y = [
+            _y._partial_clone(
+                volume=False,
+                headers=build_dummy_headers((1, 1, _y.shape[2]), {"EchoNumbers": i}),
+            )
+            for i, _y in enumerate(y)
+        ]
+        popt, r2 = CurveFitter(monoexponential).fit(x, y)
+        assert popt.headers() is not None
+        b_hat = np.asarray(popt[..., 1].volume)
+        np.testing.assert_allclose(b_hat, b, atol=1e-3)
+
+    def test_polyfitter_joint_optimization(self):
+        """ref ``test_joint_optimization``: num_workers=None solves all
+        sequences in one joint lstsq, matching the per-sequence result."""
+        rs = np.random.RandomState(7)
+        x = np.asarray([1.0, 2.0, 3.0, 4.0])
+        slopes = rs.rand(6, 7, 8)
+        inters = rs.rand(6, 7, 8)
+        y = [
+            MedicalVolume(slopes * xv + inters, np.eye(4)) for xv in x
+        ]
+        joint = PolyFitter(1, num_workers=None).fit(x, y)
+        per_seq = PolyFitter(1, num_workers=0).fit(x, y)
+        np.testing.assert_allclose(
+            np.asarray(joint[0].volume), np.asarray(per_seq[0].volume), atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(joint[0][..., 0].volume), slopes, atol=1e-6)
+
+    def test_fitter_str(self):
+        """ref ``test_str``: readable reprs naming the model function."""
+        cf = CurveFitter(monoexponential, p0=(1.0, -1 / 30))
+        assert "monoexponential" in str(cf)
+        pf = PolyFitter(2)
+        assert "PolyFitter" in str(pf) or "deg" in str(pf)
