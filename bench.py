@@ -186,8 +186,16 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
             os.path.join(d, "src"), shape=shape, n_echos=2, plane="sagittal",
             extra={Tag(0x0019, 0x10B6): 3132.0, Tag(0x0019, 0x10B7): 1560.0},
         )
+        import jax
+
+        on_tpu = jax.default_backend() != "cpu"
         t0 = time.perf_counter()
-        scan = QDess.from_dicom(os.path.join(d, "src"), group_by="EchoNumbers")
+        # to_device: H2D of echo k overlaps parsing of echo k+1, and the
+        # analytic T2 physics runs on the already-resident arrays.
+        scan = QDess.from_dicom(
+            os.path.join(d, "src"), group_by="EchoNumbers",
+            to_device=True if on_tpu else None,
+        )
         t_load = time.perf_counter() - t0
         t2 = scan.generate_t2_map(FemoralCartilage(), suppress_fat=False)
         _ = np.asarray(t2.volumetric_map.volume)
@@ -346,9 +354,15 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
             )
         model = _load_iwoai_model(d)
 
+        import jax
+
+        on_tpu = jax.default_backend() != "cpu"
         t0 = time.perf_counter()
         for knee in ("left", "right"):
-            scan = QDess.from_dicom(os.path.join(d, knee), group_by="EchoNumbers")
+            scan = QDess.from_dicom(
+                os.path.join(d, knee), group_by="EchoNumbers",
+                to_device=True if on_tpu else None,
+            )
             fc = FemoralCartilage()
             scan.segment(model, fc, use_rss=True)
             # Untrained weights produce an unusable mask; swap in a

@@ -178,7 +178,14 @@ class QDess(ScanSequence):
         combiners = {"rss": rss_combine, "rms": rms_combine}
         if method not in combiners:
             raise ValueError(f"`method={method}` is not supported")
-        vol = combiners[method](*(np.asarray(v.volume) for v in self.volumes))
+        import jax
+
+        # Device-resident echoes combine on device (no host round trip).
+        arrs = [
+            v.volume if isinstance(v.volume, jax.Array) else np.asarray(v.volume)
+            for v in self.volumes
+        ]
+        vol = combiners[method](*arrs)
         if self.volumes[0].device == cpu_device:
             vol = np.asarray(vol)
 
