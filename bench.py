@@ -189,23 +189,29 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
         import jax
 
         on_tpu = jax.default_backend() != "cpu"
-        t0 = time.perf_counter()
-        # to_device: H2D of echo k overlaps parsing of echo k+1, and the
-        # analytic T2 physics runs on the already-resident arrays.
-        scan = QDess.from_dicom(
-            os.path.join(d, "src"), group_by="EchoNumbers",
-            to_device=True if on_tpu else None,
-        )
-        t_load = time.perf_counter() - t0
-        t2 = scan.generate_t2_map(FemoralCartilage(), suppress_fat=False)
-        _ = np.asarray(t2.volumetric_map.volume)
-        dt = time.perf_counter() - t0
+
+        def run():
+            t0 = time.perf_counter()
+            # to_device: H2D of echo k overlaps parsing of echo k+1, and the
+            # analytic T2 physics runs on the already-resident arrays.
+            scan = QDess.from_dicom(
+                os.path.join(d, "src"), group_by="EchoNumbers",
+                to_device=True if on_tpu else None,
+            )
+            t_load = time.perf_counter() - t0
+            t2 = scan.generate_t2_map(FemoralCartilage(), suppress_fat=False)
+            _ = np.asarray(t2.volumetric_map.volume)
+            return time.perf_counter() - t0, t_load
+
+        dt_cold, _ = run()  # warmup/compile (same policy as configs 1/3/4)
+        dt, t_load = run()
         nvox = int(np.prod(shape))
         return {
             "shape": list(shape),
             "e2e_seconds": round(dt, 3),
             "dicom_load_seconds": round(t_load, 3),
             "voxels_per_sec": round(nvox / dt, 1),
+            "e2e_seconds_incl_compile": round(dt_cold, 3),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -357,28 +363,34 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
         import jax
 
         on_tpu = jax.default_backend() != "cpu"
-        t0 = time.perf_counter()
-        for knee in ("left", "right"):
-            scan = QDess.from_dicom(
-                os.path.join(d, knee), group_by="EchoNumbers",
-                to_device=True if on_tpu else None,
-            )
-            fc = FemoralCartilage()
-            scan.segment(model, fc, use_rss=True)
-            # Untrained weights produce an unusable mask; swap in a
-            # plausible condyle arc so the tissue analytics run for real.
-            mvol = scan.volumes[0]
-            fc.set_mask(
-                MedicalVolume(_fc_annulus_mask(mvol.shape), mvol.affine),
-                use_largest_cc=False,
-                split_regions=True,
-            )
-            scan.generate_t2_map(fc, suppress_fat=False)
-            fc.calc_quant_vals()
-        dt = time.perf_counter() - t0
+
+        def run():
+            t0 = time.perf_counter()
+            for knee in ("left", "right"):
+                scan = QDess.from_dicom(
+                    os.path.join(d, knee), group_by="EchoNumbers",
+                    to_device=True if on_tpu else None,
+                )
+                fc = FemoralCartilage()
+                scan.segment(model, fc, use_rss=True)
+                # Untrained weights produce an unusable mask; swap in a
+                # plausible condyle arc so the tissue analytics run for real.
+                mvol = scan.volumes[0]
+                fc.set_mask(
+                    MedicalVolume(_fc_annulus_mask(mvol.shape), mvol.affine),
+                    use_largest_cc=False,
+                    split_regions=True,
+                )
+                scan.generate_t2_map(fc, suppress_fat=False)
+                fc.calc_quant_vals()
+            return time.perf_counter() - t0
+
+        dt_cold = run()  # warmup/compile (same policy as configs 1/3/4)
+        dt = run()
         return {
             "shape_per_knee": list(shape),
             "e2e_seconds_2_knees": round(dt, 3),
+            "e2e_seconds_2_knees_incl_compile": round(dt_cold, 3),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

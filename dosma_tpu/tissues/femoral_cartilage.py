@@ -232,6 +232,10 @@ class FemoralCartilage(Tissue):
 
         mask = np.asarray(self.__mask__.volume)
         qvol = np.asarray(quant_map.volume)
+        # Hoisted: nan_to_num makes three full-volume passes, and the
+        # masked product is loop-invariant — recomputing them per region
+        # (18x) dominated this method's runtime.
+        masked_q = mask * np.nan_to_num(qvol)
 
         pd_header = ["Subject", "Location", "Side", "Region", "Mean", "Std", "Median", "# Voxels"]
         pd_list = []
@@ -240,7 +244,7 @@ class FemoralCartilage(Tissue):
                 for coronal_ind, coronal in enumerate(self._CORONAL_KEYS):
                     roi = axial | coronal | sagittal
                     region = self.__binarize_region_mask__(regions_mask, roi)
-                    vals = region * mask * np.nan_to_num(qvol)
+                    vals = region * masked_q
                     qv_region_vals = vals[vals > 0]
                     num_voxels = len(qv_region_vals)
                     with warnings.catch_warnings():
