@@ -125,3 +125,44 @@ class TestMapss:
     def test_cmd_line_actions(self):
         names = [w.name for _, w in Mapss.cmd_line_actions()]
         assert names == ["intraregister", "generate_t1_rho_map", "generate_t2_map"]
+
+
+class TestCubeQuantSaveLoad:
+    """Checkpoint/resume parity (ref ``test_cubequant.py`` test_save_load /
+    test_from_dict)."""
+
+    def test_save_load_roundtrip(self, tmp_path):
+        vols, times, _tc = _mock_relaxometry_volumes(4)
+        scan = CubeQuant(vols)
+        scan.temp_path = str(tmp_path / "tmp")
+        scan.save(str(tmp_path / "save"), save_custom=True)
+
+        loaded = CubeQuant.load(str(tmp_path / "save"))
+        assert loaded.spin_lock_times == times
+        assert len(loaded.volumes) == 4
+        for a, b in zip(scan.volumes, loaded.volumes):
+            np.testing.assert_allclose(np.asarray(a.A), np.asarray(b.A), rtol=1e-6)
+
+    def test_from_dict_interregistered_reload(self, tmp_path):
+        """from_dict with a reference-style 'subvolumes' entry reloads the
+        interregistered files by index (ref ``cube_quant.py`` from_dict +
+        ``scans.py:212-265``)."""
+        import os
+
+        vols, times, _tc = _mock_relaxometry_volumes(3)
+        interreg = tmp_path / "interregistered"
+        os.makedirs(interreg)
+        for i, v in enumerate(vols):
+            v.save_volume(str(interreg / f"{i:03d}.nii.gz"))
+
+        data = {
+            "volumes": [MedicalVolume(np.zeros((4, 4, 2)), np.eye(4))] * 3,
+            "spin_lock_times": times,
+            "subvolumes": [str(interreg / f"{i:03d}.nii.gz") for i in range(3)],
+        }
+        scan = CubeQuant.from_dict(data, force=True)
+        assert len(scan.volumes) == 3
+        for i, v in enumerate(scan.volumes):
+            np.testing.assert_allclose(
+                np.asarray(v.A), np.asarray(vols[i].A), rtol=1e-4, atol=1e-5
+            )

@@ -111,3 +111,36 @@ class TestQDess:
         actions = QDess.cmd_line_actions()
         names = [wrapper.name for _, wrapper in actions]
         assert "segment" in names and "generate_t2_map" in names
+
+
+def test_segmentation_multiclass(tmp_path):
+    """ref ``test_qdess.py::test_segmentation_multiclass``: scan.segment with
+    a multi-class model wires each tissue's channel into its mask."""
+    import jax
+
+    from dosma_tpu.models.oaiunet2d import IWOAIOAIUnet2DNormalized
+    from dosma_tpu.models.unet2d import init_unet2d_params
+    from dosma_tpu.models.weights import save_keras_unet2d_weights
+    from dosma_tpu.tissues.femoral_cartilage import FemoralCartilage
+    from dosma_tpu.tissues.meniscus import Meniscus
+
+    from dosma_tpu.core.orientation import SAGITTAL, to_affine
+
+    H = 96
+    rs = np.random.RandomState(0)
+    aff = to_affine(SAGITTAL, (0.3, 0.3, 0.7))
+    vols = [MedicalVolume(rs.rand(H, H, 4) * 800, aff) for _ in range(2)]
+    scan = QDess(vols)
+
+    wpath = str(tmp_path / "iwoai-2019-unet2d-normalized_fc-tc-pc-men_weights.h5")
+    save_keras_unet2d_weights(
+        wpath, init_unet2d_params(jax.random.PRNGKey(0), num_classes=4)
+    )
+    model = IWOAIOAIUnet2DNormalized((H, H, 1), wpath)
+
+    fc, men = FemoralCartilage(), Meniscus()
+    masks = scan.segment(model, [fc, men], use_rss=True)
+    assert set(masks) == {"fc", "tc", "pc", "men"}
+    assert fc.get_mask() is not None
+    assert men.get_mask() is not None
+    assert {t.STR_ID for t in scan.tissues} == {"fc", "men"}
