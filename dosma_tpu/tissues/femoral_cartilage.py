@@ -82,8 +82,8 @@ class FemoralCartilage(Tissue):
         dtheta = 360 / num_bins
         theta_min, theta_max = tuple(theta)
 
-        mask = np.asarray(self.__mask__.volume)
-        mask = mask * np.nan_to_num(np.asarray(base_map))
+        mask = np.asarray(self.__mask__.volume, np.float32)
+        mask = mask * np.nan_to_num(np.asarray(base_map, np.float32))
         height, width, num_slices = mask.shape
 
         # STEP 1: sagittal max-projection + circle fit.
@@ -96,9 +96,14 @@ class FemoralCartilage(Tissue):
             )
         xc_fit, yc_fit, _R = circle_fit(nz[1], nz[0])
 
-        # STEP 2: angular binning.
-        yv, xv = np.meshgrid(range(height), range(width), indexing="ij")
-        rho, th = cart2pol(xv - xc_fit, yc_fit - yv)
+        # STEP 2: angular binning (f32 grids: these broadcast to full-volume
+        # temporaries below, and f64 doubled the analytics' memory traffic).
+        yv, xv = np.meshgrid(
+            np.arange(height, dtype=np.float32),
+            np.arange(width, dtype=np.float32),
+            indexing="ij",
+        )
+        rho, th = cart2pol(xv - np.float32(xc_fit), np.float32(yc_fit) - yv)
         th = (th >= 90) * (th - 360) + (th < 90) * th  # range [-270, 90)
         assert (np.min(th) >= theta_min) and (np.max(th) < theta_max)
         theta_bins = np.floor((th - theta_min) / dtheta)
@@ -106,9 +111,9 @@ class FemoralCartilage(Tissue):
         # STEP 3: per-(bin, slice) radial thresholds — vectorized scatter
         # min/max over valid voxels (replaces ref ``:139-152`` loops).
         valid = mask > 0
-        bin_idx3 = np.broadcast_to(theta_bins[..., None], mask.shape).astype(np.int64)
+        bin_idx3 = np.broadcast_to(theta_bins[..., None], mask.shape).astype(np.int32)
         slice_idx3 = np.broadcast_to(
-            np.arange(num_slices)[None, None, :], mask.shape
+            np.arange(num_slices, dtype=np.int32)[None, None, :], mask.shape
         )
         keys = (bin_idx3 * num_slices + slice_idx3)[valid]
         rho3 = np.broadcast_to(rho[..., None], mask.shape)
