@@ -606,3 +606,33 @@ class TestNativeJpegBaseline:
         PIL.fromarray(rgb, "RGB").save(buf, "JPEG", quality=90)
         with pytest.raises(ValueError):
             _native.jpeg_baseline_decode(buf.getvalue())
+
+
+def test_dicom_reader_loads_jpeg_baseline_series(tmp_path):
+    """A JPEG-baseline (.50) series flows through the high-level DicomReader
+    (grouping, affine, pixel decode) end-to-end."""
+    import os
+
+    from dosma_tpu.core.io.dicom_io import DicomReader
+    from dosma_tpu.core.io.dicom import read_dicom, write_dicom
+    from tests.util import write_dicom_series
+
+    src = tmp_path / "src"
+    write_dicom_series(str(src), shape=(24, 24, 3), n_echos=1)
+    out = tmp_path / "jpg"
+    os.makedirs(out)
+    # Transcode each slice to 8-bit baseline (smooth ramp data: lossy-safe).
+    for f in sorted(os.listdir(src)):
+        ds = read_dicom(str(src / f))
+        arr = (ds.pixel_array % 200).astype(np.uint8)
+        ds.BitsAllocated = 8
+        ds.BitsStored = 8
+        ds.HighBit = 7
+        ds["PixelData"] = arr.tobytes()
+        with open(out / f, "wb") as fh:
+            write_dicom(ds, fh, transfer_syntax=codecs.JPEG_BASELINE)
+
+    vols = DicomReader().load(str(out))
+    assert len(vols) == 1
+    assert vols[0].shape == (24, 24, 3)
+    assert np.asarray(vols[0].volume).dtype == np.uint8
