@@ -255,7 +255,11 @@ def register(
 
 def _collate_outputs(stage_cfgs, transform_paths, warped_files, stage_outputs,
                      sequential, collate):
-    if (sequential and collate) or len(stage_cfgs) == 1:
+    # Reference contract (ref ``registration.py:438-449``): sequential=False
+    # hands ALL parameter files to ONE elastix invocation (which chains them
+    # internally) and returns a single spec; sequential=True returns per-stage
+    # specs unless collate merges them.
+    if (not sequential) or collate or len(stage_cfgs) == 1:
         return RegistrationOutputSpec(
             transform=transform_paths,
             warped_file=warped_files[-1] if warped_files else None,
