@@ -10,8 +10,9 @@ pixel handlers behind ``read_file`` → ``pixel_array``
 - **JPEG Extended (Process 2 & 4)** ``1.2.840.10008.1.2.4.51`` — SOF1,
   8/12-bit samples.
 
-Decoder: SOF0/SOF1, 1 or 3 components, arbitrary (h, v) subsampling up to
-4, interleaved scans, restart intervals, 8/16-bit quantization tables.
+Decoder: SOF0/SOF1, 1 or 3 components, integer-ratio (h, v) subsampling
+(4:4:4/4:2:2/4:2:0 and friends), interleaved scans, restart intervals,
+8/16-bit quantization tables.
 Multi-component output keeps the RAW decoded component values (upsampled
 to full resolution); photometric interpretation (e.g. YBR_FULL_422 →
 RGB) is metadata handled above the codec, matching pydicom's default of
@@ -328,7 +329,15 @@ def jpeg_baseline_decode(data: bytes) -> np.ndarray:
         pix = np.einsum("ux,nuv,vy->nxy", _A, F, _A, optimize=True) + shift
         bh = len(ci["coef"]) // ci["bw"]
         img = pix.reshape(bh, ci["bw"], 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, ci["bw"] * 8)
-        # Upsample subsampled components to full MCU resolution.
+        # Upsample subsampled components to full MCU resolution. Integer
+        # ratios only (4:4:4 / 4:2:2 / 4:2:0 and friends — every ratio
+        # JFIF encoders emit); a T.81-legal non-integer ratio like
+        # {h=3, h=2} would silently misalign planes, so reject it.
+        if vmax % ci["v"] or hmax % ci["h"]:
+            raise NotImplementedError(
+                f"Non-integer chroma subsampling ratio (h={ci['h']}, v={ci['v']} "
+                f"vs hmax={hmax}, vmax={vmax}) is not supported"
+            )
         ry, rx = vmax // ci["v"], hmax // ci["h"]
         if ry > 1 or rx > 1:
             img = np.repeat(np.repeat(img, ry, axis=0), rx, axis=1)

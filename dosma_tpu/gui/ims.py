@@ -285,8 +285,11 @@ class DosmaViewer:
             from dosma_tpu.gui.gui_errors import show_error
 
             _logger.exception("GUI action failed")
-            show_error("Scan action failed", str(e))
             msg = f"error: {e}"
+            err_text = str(e)
+            # Tk calls must run on the main loop thread (this runs in the
+            # worker): marshal the dialog like every other widget access.
+            self._ui(lambda: show_error("Scan action failed", err_text))
             self._ui(lambda: self.status_var.set(msg))
         finally:
             self._ui(lambda: self.run_button.configure(state="normal"))
@@ -388,7 +391,8 @@ class DosmaViewer:
                 from dosma_tpu.gui.gui_errors import show_error
 
                 _logger.exception("knee workflow failed")
-                show_error("Knee workflow failed", str(e))
+                err_text = str(e)
+                self._ui(lambda: show_error("Knee workflow failed", err_text))
                 self.knee_status_var.set(f"error: {e}")
             finally:
                 self.knee_run_button.configure(state="normal")

@@ -316,6 +316,10 @@ class Unet2D:
         # Dispatch ALL batches first (H2D + compute are async), then read
         # back: upload of batch k+1 and compute overlap the readback of
         # batch k instead of serializing H2D → compute → D2H per batch.
+        # Bit-packing needs every class to fit one uint8 (C <= 8); wider
+        # heads return the plain per-class mask.
+        pack = self.num_classes <= 8
+        predict = unet2d_predict_mask_packed if pack else unet2d_predict_mask
         dev_outs = []
         for start in range(0, n, batch_size):
             chunk = v[start : start + batch_size]
@@ -326,14 +330,16 @@ class Unet2D:
                 )
             if not device_in:
                 chunk = jnp.asarray(chunk)
-            dev_outs.append((unet2d_predict_mask_packed(params, chunk, mean, std, thr), pad))
+            dev_outs.append((predict(params, chunk, mean, std, thr), pad))
 
         outs = []
         for out, pad in dev_outs:
-            o = np.asarray(out)  # (B, H, W) packed uint8 — C× less D2H
+            o = np.asarray(out)  # packed: (B, H, W) uint8 — C× less D2H
             if pad:
                 o = o[:-pad]
             outs.append(o)
         packed = np.concatenate(outs, axis=0)
+        if not pack:
+            return packed
         bits = np.arange(self.num_classes, dtype=np.uint8)
         return ((packed[..., None] >> bits) & 1).astype(np.uint8)

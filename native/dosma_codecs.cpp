@@ -358,7 +358,14 @@ static void idct8x8(const int32_t *coef, const int32_t *quant, int shift,
     for (int y = 0; y < 8; ++y) {
       double s = 0;
       for (int v = 0; v < 8; ++v) s += T[x][v] * kDct.A[v][y];
-      long long px = (long long)(s + shift + (s + shift >= 0 ? 0.5 : -0.5));
+      // nearbyint (default FE_TONEAREST = half-to-even) matches numpy's
+      // np.round rounding MODE. NOTE: exact-.5 IDCT outputs (flat blocks
+      // at some qualities) can still differ by 1 gray level from the
+      // Python twin — numpy's einsum accumulates in a different order, so
+      // the tie value itself may differ in the last ULP. The documented
+      // codec contract is therefore ±1 on rounding ties (standard across
+      // independent JPEG IDCT implementations).
+      long long px = (long long)__builtin_nearbyint(s + shift);
       if (px < 0) px = 0;
       if (px > maxval) px = maxval;
       out[x * 8 + y] = (int32_t)px;

