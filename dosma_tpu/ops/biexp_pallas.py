@@ -31,7 +31,7 @@ from dosma_tpu.ops.monoexp_pallas import pallas_supported  # noqa: F401
 
 __all__ = ["biexp_lm_pallas", "pallas_supported"]
 
-_OUT_ROWS = 8
+_OUT_ROWS = 6  # [a1, b1, a2, b2, r2, converged]
 _BLOCK_N = 8192
 
 
@@ -77,13 +77,13 @@ def _chol4_solve(A, g):
 
 
 def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: float):
-    y = y_ref[:]  # (T, 8, Q)
-    x = x_ref[:]  # (T, 1, 1)
+    y = y_ref[:, 0]  # (T, 8, L) — voxels packed block-locally
+    x = x_ref[:, 0]  # (T, 1, 1)
 
-    a1 = p0_ref[0]  # (8, Q)
-    b1 = p0_ref[1]
-    a2 = p0_ref[2]
-    b2 = p0_ref[3]
+    a1 = p0_ref[0, 0]  # (8, L)
+    b1 = p0_ref[1, 0]
+    a2 = p0_ref[2, 0]
+    b2 = p0_ref[3, 0]
 
     e1_0 = jnp.exp(b1 * x)
     e2_0 = jnp.exp(b2 * x)
@@ -174,38 +174,91 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
     ss_tot = jnp.sum((y - y_mean) ** 2, axis=0)
     r2 = 1.0 - ss_res / (ss_tot + 1e-8)
 
-    iters = jnp.full_like(a1, it_final.astype(jnp.float32))
-    out_ref[:] = jnp.stack([a1, b1, a2, b2, r2, converged, cost, iters], axis=0)
+    out_ref[:, 0] = jnp.stack([a1, b1, a2, b2, r2, converged], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "ftol", "xtol"))
 def _biexp_impl(yT, x_col, p0, max_iter, ftol, xtol):
     T, N = yT.shape
-    Q = N // 8
-    QB = _BLOCK_N // 8
-    grid = (Q // QB,)
-    y3 = yT.reshape(T, 8, Q)
-    p3 = p0.reshape(4, 8, Q)
+    LB = _BLOCK_N // 8
+    NB = N // _BLOCK_N
+    grid = (NB,)
+    # Block-local voxel packing: a CONTIGUOUS split of the voxel axis (the
+    # old global sublane-major reshape was a full HBM relayout each way).
+    y4 = yT.reshape(T, NB, 8, LB)
+    p4 = p0.reshape(4, NB, 8, LB)
     kernel = functools.partial(_kernel, max_iter=max_iter, ftol=ftol, xtol=xtol)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, 8, Q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS, NB, 8, LB), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((T, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, 8, LB), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 1, 8, LB), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_OUT_ROWS, 8, QB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (_OUT_ROWS, 1, 8, LB), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=90 * max_iter * N,
             bytes_accessed=yT.size * 4 + _OUT_ROWS * N * 4,
             transcendentals=2 * max_iter * N,
         ),
-    )(x_col, y3, p3)
+    )(x_col.reshape(T, 1, 1, 1), y4, p4)
     return out.reshape(_OUT_ROWS, N)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "transpose_y", "max_iter", "ftol", "xtol", "has_bounds", "nan_scipy"
+    ),
+)
+def _biexp_full(
+    y, p0, x, bounds_lo, bounds_hi,
+    transpose_y, max_iter, ftol, xtol, has_bounds, nan_scipy,
+):
+    """The COMPLETE fit — layout, padding, kernel, NaN policy — as one
+    jitted program (eager per-op dispatch through remote backends costs
+    more than the fit; same design as the monoexp twin)."""
+    yT = y.T if transpose_y else y
+    if yT.dtype != jnp.float32:
+        yT = yT.astype(jnp.float32)
+    T, N = yT.shape
+
+    # Padded voxels get y=1 with seed (1, 0, 0, 0): the model already equals
+    # the data, the zero gradient yields a zero Cholesky solution, and the
+    # lane converges on its first iteration without stalling the tile.
+    N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
+    yT_pad = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0) if N_pad > N else yT
+
+    pad_seed = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    if p0.ndim == 1:
+        p0_mat = jnp.broadcast_to(p0[:, None], (4, N))
+    else:
+        p0_mat = p0.T
+    if N_pad > N:
+        p0_mat = jnp.concatenate(
+            [p0_mat, jnp.broadcast_to(pad_seed[:, None], (4, N_pad - N))], axis=1
+        )
+
+    x_col = x[:, None, None]
+    out = _biexp_impl(yT_pad, x_col, p0_mat, max_iter, ftol, xtol)
+
+    popt = out[:4, :N].T
+    r2 = out[4, :N]
+    converged = out[5, :N] > 0.5
+
+    invalid = jnp.all(yT == 0, axis=0)
+    if has_bounds:
+        oob = jnp.any((yT < bounds_lo) | (yT > bounds_hi), axis=0)
+        invalid = invalid | oob
+
+    bad = invalid | (~converged) if nan_scipy else invalid
+    popt = jnp.where(bad[:, None], jnp.nan, popt)
+    r2 = jnp.where(bad, 0.0, r2)
+    return popt, r2, converged
 
 
 def biexp_lm_pallas(
@@ -227,48 +280,12 @@ def biexp_lm_pallas(
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y)
-    if y.dtype != jnp.float32:
-        y = y.astype(jnp.float32)
-    yT = y if y_layout == "tn" else y.T
-    T, N = yT.shape
-
-    # Padded voxels get y=1 with seed (1, 0, 0, 0): the model already equals
-    # the data, the zero gradient yields a zero Cholesky solution, and the
-    # lane converges on its first iteration without stalling the tile.
-    N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
-    if N_pad > N:
-        yT = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0)
-
-    x_col = x[:, None, None]
-
-    p0 = jnp.asarray(p0, jnp.float32)
-    pad_seed = jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32)
-    if p0.ndim == 1:
-        p0_mat = jnp.broadcast_to(p0[:, None], (4, N_pad))
-        if N_pad > N:
-            p0_mat = jnp.concatenate(
-                [p0_mat[:, :N], jnp.broadcast_to(pad_seed[:, None], (4, N_pad - N))], axis=1
-            )
-    else:
-        p0_mat = p0.T
-        if N_pad > N:
-            p0_mat = jnp.concatenate(
-                [p0_mat, jnp.broadcast_to(pad_seed[:, None], (4, N_pad - N))], axis=1
-            )
-
-    out = _biexp_impl(yT, x_col, p0_mat, int(max_iter), float(ftol), float(xtol))
-
-    popt = out[:4, :N].T
-    r2 = out[4, :N]
-    converged = out[5, :N] > 0.5
-
-    all_zero = jnp.all(yT[:, :N] == 0, axis=0)
-    invalid = all_zero
-    if y_bounds is not None:
-        oob = jnp.any((yT[:, :N] < y_bounds[0]) | (yT[:, :N] > y_bounds[1]), axis=0)
-        invalid = invalid | oob
-
-    bad = invalid | (~converged if nan_policy == "scipy" else False)
-    popt = jnp.where(bad[:, None], jnp.nan, popt)
-    r2 = jnp.where(bad, 0.0, r2)
-    return popt, r2, converged
+    lo, hi = (y_bounds if y_bounds is not None else (0.0, 0.0))
+    return _biexp_full(
+        y, jnp.asarray(p0, jnp.float32), x,
+        jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32),
+        transpose_y=(y_layout != "tn"),
+        max_iter=int(max_iter), ftol=float(ftol), xtol=float(xtol),
+        has_bounds=y_bounds is not None,
+        nan_scipy=(nan_policy == "scipy"),
+    )
