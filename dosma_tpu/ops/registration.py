@@ -947,7 +947,10 @@ def _optimize_bspline_level(
             data_loss = _mse(fixed_vals, moving_vals, weights)
         return data_loss + bending_weight * bending_energy(ctrl)
 
-    opt = optax.adam(learning_rate)
+    # Same annealing as the matrix stages (see _pyramid_core).
+    opt = optax.adam(
+        optax.cosine_decay_schedule(learning_rate, iterations, alpha=0.1)
+    )
     opt_state = opt.init(ctrl0)
 
     def step(carry, it):
