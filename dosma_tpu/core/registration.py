@@ -513,38 +513,47 @@ def apply_warp(
 
     # Same-grid matrix-only chains warp the whole stack in ONE vmapped
     # device program (the transform-reuse fan-out of ref ``:523-526``).
-    moving_mvs = [_load_volume(m) for m in moving]
-    transform_list = (
-        [transform] if isinstance(transform, (str, os.PathLike)) else list(transform)
-    )
-    tdata = [_load_transform_file(str(t)) for t in transform_list]
-    same_grid = (
+    # Cheap predicates (rtype, output paths, transform kinds) gate BEFORE
+    # any volume load so the fallback never reads volumes twice.
+    fast_eligible = (
         num_volumes > 1
         and rtype is MedicalVolume
         and all(output_path[i] is None for i in range(num_volumes))
-        and all("matrix" in t for t in tdata)
-        and all(
+    )
+    if fast_eligible:
+        transform_list = (
+            [transform] if isinstance(transform, (str, os.PathLike)) else list(transform)
+        )
+        tdata = [_load_transform_file(str(t)) for t in transform_list]
+        fast_eligible = all("matrix" in t for t in tdata)
+    if fast_eligible:
+        moving_mvs = [_load_volume(m) for m in moving]
+        if all(
             tuple(m.shape[:3]) == tuple(moving_mvs[0].shape[:3])
             and np.allclose(m.affine, moving_mvs[0].affine)
             for m in moving_mvs
-        )
-    )
-    if same_grid:
-        import jax
-        import jax.numpy as jnp
+        ):
+            import jax
+            import jax.numpy as jnp
 
-        from dosma_tpu.ops.registration import compose_transforms, warp_volume
+            from dosma_tpu.ops.registration import compose_transforms, warp_volume
 
-        fixed_affine = np.asarray(tdata[0]["fixed_affine"])
-        fixed_shape = tuple(tdata[0]["fixed_shape"])
-        M = compose_transforms([np.asarray(t["matrix"]) for t in tdata])
-        stack = jnp.stack([jnp.asarray(m.volume, jnp.float32) for m in moving_mvs])
-        warped = jax.vmap(
-            lambda arr: warp_volume(arr, M, fixed_affine, moving_mvs[0].affine, fixed_shape)
-        )(stack)
-        return seq_type(
-            MedicalVolume(warped[i], fixed_affine) for i in range(num_volumes)
-        )
+            fixed_affine = np.asarray(tdata[0]["fixed_affine"])
+            fixed_shape = tuple(tdata[0]["fixed_shape"])
+            M = compose_transforms([np.asarray(t["matrix"]) for t in tdata])
+            stack = jnp.stack([jnp.asarray(m.volume, jnp.float32) for m in moving_mvs])
+            warped = np.asarray(  # host-backed, matching the per-volume path
+                jax.vmap(
+                    lambda arr: warp_volume(
+                        arr, M, fixed_affine, moving_mvs[0].affine, fixed_shape
+                    )
+                )(stack)
+            )
+            return seq_type(
+                MedicalVolume(warped[i], fixed_affine) for i in range(num_volumes)
+            )
+        # Heterogeneous grids: reuse the already-loaded volumes below.
+        moving = moving_mvs
 
     out = [
         _apply_warp_single(mvg, transform, out_path, rtype)

@@ -9,12 +9,16 @@ damped 4x4 normal equations, and solves them with an unrolled Cholesky —
 all per-lane VPU ops. HBM traffic is one read of ``y`` and one write of
 the packed result.
 
-Layout: ``y`` as (T, 8, Q) blocks (voxel axis = 8 sublanes x Q lanes) so
-the per-voxel LM state packs full vregs. Both exponentials at the current
-accepted parameters are carried between iterations, so each iteration
-costs two fresh ``exp`` evaluations (for the proposal) instead of four.
+Layout: ``y`` (T, N) is consumed as (T, NB, 8, L) — voxels packed
+BLOCK-LOCALLY (``n = block*8L + s*L + q``), a contiguous split of the
+voxel axis (a reshape, not an HBM relayout), with per-voxel LM state as
+fully-packed (8, L) vregs. Both exponentials at the current accepted
+parameters are carried between iterations, so each iteration costs two
+fresh ``exp`` evaluations (for the proposal) instead of four. The whole
+wrapper (layout, padding, NaN policy) is one jitted program — a single
+dispatch per fit.
 
-Packed output rows: [a1, b1, a2, b2, r2, converged, cost, iterations].
+Packed output rows (6): [a1, b1, a2, b2, r2, converged].
 """
 
 from __future__ import annotations

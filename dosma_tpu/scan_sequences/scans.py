@@ -172,7 +172,8 @@ class NonTargetSequence(ScanSequence):
                 sequential=True, collate=True, return_volumes=True,
                 target_mask=target_mask_path, use_mask=use_mask, rtype=tuple,
             )
-            warped_others = [apply_warp(v, spec.transform) for v in others]
+            # List form: same-grid stacks warp in one vmapped program.
+            warped_others = list(apply_warp(others, spec.transform)) if others else []
         else:
             stage_cfgs = [_load_stage_params(p) for p in stages]
             mask_arr = None
