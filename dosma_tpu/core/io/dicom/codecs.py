@@ -1,6 +1,6 @@
 """Compressed DICOM pixel-data codecs (from scratch; pydicom unavailable).
 
-Implements the two transfer syntaxes most common in archived MR exports
+Implements the compressed transfer syntaxes found in archived MR exports
 (reference capability via pydicom's pixel handlers,
 ``/root/reference/dosma/core/io/dicom_io.py:303-314``):
 
@@ -9,6 +9,12 @@ Implements the two transfer syntaxes most common in archived MR exports
 - **JPEG Lossless** (``1.2.840.10008.1.2.4.57`` process 14 and
   ``...4.70`` process 14 selection-value 1): ITU T.81 SOF3 — Huffman-coded
   DPCM with the seven spatial predictors.
+- **JPEG Baseline/Extended** (``...4.50``/``...4.51``): ITU T.81
+  SOF0/SOF1 lossy DCT (:mod:`dosma_tpu.core.io.dicom.jpeg_baseline`).
+- **JPEG-LS** (``...4.80`` lossless / ``...4.81`` near-lossless): ITU
+  T.87 LOCO-I (:mod:`dosma_tpu.core.io.dicom.jpeg_ls`).
+
+JPEG 2000 (``...4.90/.91``) raises an actionable transcode error.
 
 Both directions (encode + decode) are provided so synthetic encapsulated
 files can be generated for round-trip tests and so :mod:`writer` can emit
@@ -29,6 +35,8 @@ __all__ = [
     "JPEG_LOSSLESS_SV1",
     "JPEG_BASELINE",
     "JPEG_EXTENDED",
+    "JPEG_LS_LOSSLESS",
+    "JPEG_LS_NEAR_LOSSLESS",
     "COMPRESSED_SYNTAXES",
     "unsupported_syntax_error",
     "EncapsulatedPixelData",
@@ -55,12 +63,11 @@ JPEG_2000 = "1.2.840.10008.1.2.4.91"
 #: Transfer syntaxes this module can decode (and encode).
 COMPRESSED_SYNTAXES = frozenset({
     RLE_LOSSLESS, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_BASELINE, JPEG_EXTENDED,
+    JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS,
 })
 
 #: Recognized-but-unimplemented syntaxes → actionable error text.
 _UNSUPPORTED_SYNTAXES = {
-    JPEG_LS_LOSSLESS: "JPEG-LS Lossless",
-    JPEG_LS_NEAR_LOSSLESS: "JPEG-LS Near-Lossless",
     JPEG_2000_LOSSLESS: "JPEG 2000 Lossless",
     JPEG_2000: "JPEG 2000",
 }
@@ -592,6 +599,11 @@ def encode_frames(
                 8 if frame.dtype.itemsize == 1 else 12
             )
             frag = jpeg_baseline_encode(frame, precision=precision)
+        elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+            from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_encode
+
+            near = 0 if transfer_syntax == JPEG_LS_LOSSLESS else 2
+            frag = jpeg_ls_encode(np.ascontiguousarray(frame), near=near)
         else:
             raise unsupported_syntax_error(transfer_syntax)
         if len(frag) % 2:
@@ -634,6 +646,12 @@ def decode_frames(
                 _native.jpeg_baseline_decode if samples == 1 else None,
                 jpeg_baseline_decode, frame,
             )
+        elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
+            from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode
+
+            if samples != 1:
+                raise NotImplementedError("JPEG-LS decode supports 1 sample/pixel")
+            img = jpeg_ls_decode(frame)
             if img.ndim == 3 and samples == 1:
                 raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
         else:

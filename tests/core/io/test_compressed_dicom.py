@@ -467,7 +467,7 @@ class TestJpegBaseline:
 
 class TestUnsupportedSyntaxErrors:
     @pytest.mark.parametrize(
-        "uid", ["1.2.840.10008.1.2.4.80", "1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.91"]
+        "uid", ["1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.91"]
     )
     def test_actionable_message(self, uid):
         err = codecs.unsupported_syntax_error(uid)
@@ -641,3 +641,101 @@ def test_dicom_reader_loads_jpeg_baseline_series(tmp_path):
     assert len(vols) == 1
     assert vols[0].shape == (24, 24, 3)
     assert np.asarray(vols[0].volume).dtype == np.uint8
+
+
+class TestJpegLs:
+    """JPEG-LS (.80/.81) — from-spec T.87 LOCO-I codec."""
+
+    def _phantom(self, shape=(40, 56), peak=3000.0, seed=0):
+        rs = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+        img = peak / 2 + peak / 3 * np.sin(yy / 7.0) * np.cos(xx / 9.0)
+        img += rs.randn(*shape) * peak / 50
+        return np.clip(img, 0, peak).astype(np.uint16)
+
+    @pytest.mark.parametrize(
+        "arr", [
+            (np.random.RandomState(0).rand(33, 47) * 255).astype(np.uint8),
+            (np.random.RandomState(1).rand(21, 29) * 4095).astype(np.uint16),
+            np.zeros((16, 16), np.uint8),
+            np.full((9, 9), 255, np.uint8),
+            np.repeat((np.random.RandomState(2).rand(8, 8) * 255).astype(np.uint8), 9, 1)[:, :61],
+            np.array([[0, 255] * 16] * 7, np.uint8),  # alternating (no runs)
+        ],
+    )
+    def test_lossless_roundtrip_exact(self, arr):
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode, jpeg_ls_encode
+
+        np.testing.assert_array_equal(jpeg_ls_decode(jpeg_ls_encode(arr, near=0)), arr)
+
+    @pytest.mark.parametrize("near", [1, 2, 4])
+    def test_near_lossless_error_bounded(self, near):
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode, jpeg_ls_encode
+
+        img = self._phantom()
+        dec = jpeg_ls_decode(jpeg_ls_encode(img, near=near))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= near
+
+    def test_compresses_smooth_content(self):
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_encode
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        img = np.clip(1500 + 1000 * np.sin(yy / 7.0) * np.cos(xx / 9.0), 0, 3000)
+        img = img.astype(np.uint16)
+        assert len(jpeg_ls_encode(img, near=0)) < img.nbytes / 2
+
+    def test_ls_lossless_file_roundtrip(self):
+        frame = self._phantom((32, 48))
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_LS_LOSSLESS)
+        back = read_dicom_bytes(buf.getvalue())
+        assert back.file_meta.get("TransferSyntaxUID") == codecs.JPEG_LS_LOSSLESS
+        np.testing.assert_array_equal(back.pixel_array, frame)
+
+    def test_ls_near_lossless_file_roundtrip(self):
+        frame = self._phantom((32, 48))
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_LS_NEAR_LOSSLESS)
+        back = read_dicom_bytes(buf.getvalue())
+        out = back.pixel_array
+        assert np.abs(out.astype(int) - frame.astype(int)).max() <= 2  # encoder NEAR=2
+
+    def test_dicom_reader_loads_jpeg_ls_series(self, tmp_path):
+        import os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader
+        from dosma_tpu.core.io.dicom import read_dicom, write_dicom as wd
+        from tests.util import write_dicom_series
+
+        src = tmp_path / "src"
+        write_dicom_series(str(src), shape=(24, 24, 3), n_echos=1)
+        out = tmp_path / "ls"
+        os.makedirs(out)
+        for f in sorted(os.listdir(src)):
+            ds = read_dicom(str(src / f))
+            with open(out / f, "wb") as fh:
+                wd(ds, fh, transfer_syntax=codecs.JPEG_LS_LOSSLESS)
+        vols = DicomReader().load(str(out))
+        srcvols = DicomReader().load(str(src))
+        np.testing.assert_array_equal(
+            np.asarray(vols[0].volume), np.asarray(srcvols[0].volume)
+        )
+
+    def test_bitstuffing_dense_ff_stream(self):
+        """Content engineered to emit many 0xFF bytes exercises the T.87
+        zero-bit stuffing path."""
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode, jpeg_ls_encode
+
+        rs = np.random.RandomState(3)
+        img = (rs.rand(64, 64) * 65535).astype(np.uint16)
+        enc = jpeg_ls_encode(img, near=0)
+        assert b"\xff" in enc[20:]  # the stream does hit stuffing
+        np.testing.assert_array_equal(jpeg_ls_decode(enc), img)
+
+    def test_rejects_multicomponent(self):
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_encode
+
+        with pytest.raises(NotImplementedError):
+            jpeg_ls_encode(np.zeros((4, 4, 3), np.uint8))
