@@ -185,6 +185,60 @@ def jpeg_baseline_decode(data: bytes):
     return out.astype(np.uint8) if precision == 8 else out
 
 
+def jpeg_ls_decode(data: bytes):
+    """Decode a single-component JPEG-LS stream via C++.
+
+    Returns uint8 for precision <= 8, uint16 otherwise — matching the
+    Python decoder. Multi-component/mapping-table streams raise
+    ValueError so the dispatch falls back to the Python path.
+    """
+    import numpy as np
+
+    lib = _load_codecs()
+    meta = (ctypes.c_int * 4)()
+    rc = lib.dosma_jpeg_ls_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        None, ctypes.c_longlong(0), meta, 1,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG-LS header parse failed (code {rc})")
+    rows, cols, precision = meta[0], meta[1], meta[2]
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.dosma_jpeg_ls_decode(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_longlong(out.size), meta, 0,
+    )
+    if rc != 0:
+        raise ValueError(f"native JPEG-LS decode failed (code {rc})")
+    return out.astype(np.uint8) if precision <= 8 else out
+
+
+def jpeg_ls_encode(arr, near: int = 0) -> bytes:
+    """Encode a grayscale frame as JPEG-LS via C++ (byte-identical to the
+    Python encoder)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr)
+    if a.ndim != 2 or a.dtype.kind != "u" or a.dtype.itemsize > 2:
+        raise ValueError("native JPEG-LS encoder expects a 2D uint8/uint16 array")
+    precision = max(2, int(a.max(initial=1)).bit_length())
+    a16 = a.astype(np.uint16)
+    lib = _load_codecs()
+    cap = a16.nbytes * 2 + 1024
+    buf = ctypes.create_string_buffer(cap)
+    lib.dosma_jpeg_ls_encode.restype = ctypes.c_longlong
+    n = lib.dosma_jpeg_ls_encode(
+        a16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int(a.shape[0]), ctypes.c_int(a.shape[1]),
+        ctypes.c_int(precision), ctypes.c_int(int(near)),
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_uint8)), ctypes.c_longlong(cap),
+    )
+    if n < 0:
+        raise ValueError(f"native JPEG-LS encode failed (code {n})")
+    return buf.raw[:n]
+
+
 def read_dicom_files(files: List[str]):
     """Parse many DICOM files via the C++ helper; returns list of Datasets.
 

@@ -603,7 +603,12 @@ def encode_frames(
             from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_encode
 
             near = 0 if transfer_syntax == JPEG_LS_LOSSLESS else 2
-            frag = jpeg_ls_encode(np.ascontiguousarray(frame), near=near)
+            native_ok = frame.ndim == 2 and frame.dtype.kind == "u"
+            frag = _native_or_python(
+                (lambda a: _native.jpeg_ls_encode(a, near=near)) if native_ok else None,
+                lambda a: jpeg_ls_encode(a, near=near),
+                np.ascontiguousarray(frame),
+            )
         else:
             raise unsupported_syntax_error(transfer_syntax)
         if len(frag) % 2:
@@ -651,7 +656,7 @@ def decode_frames(
 
             if samples != 1:
                 raise NotImplementedError("JPEG-LS decode supports 1 sample/pixel")
-            img = jpeg_ls_decode(frame)
+            img = _native_or_python(_native.jpeg_ls_decode, jpeg_ls_decode, frame)
             if img.ndim == 3 and samples == 1:
                 raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
         else:

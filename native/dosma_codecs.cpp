@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <vector>
 
 extern "C" {
@@ -534,6 +535,593 @@ int dosma_jpeg_baseline_decode(const uint8_t *data, long long n, uint16_t *dst,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG-LS (ITU-T T.87, LOCO-I) — single component, byte-identical twin of
+// core/io/dicom/jpeg_ls.py (which documents the spec mapping).
+// ---------------------------------------------------------------------------
+namespace jls {
+
+static const int J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                          4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+struct State {
+  int maxval, near, reset, range, qbpp, limit;
+  int64_t A[367], B[367], C[367], N[367], Nn[2];
+  int run_index;
+
+  void init(int maxval_, int near_, int reset_) {
+    maxval = maxval_;
+    near = near_;
+    reset = reset_;
+    range = (maxval + 2 * near) / (2 * near + 1) + 1;
+    qbpp = 0;
+    while ((1 << qbpp) < range) ++qbpp;
+    int bpp = 2;
+    while ((1 << bpp) < maxval + 1) ++bpp;
+    if (bpp < 2) bpp = 2;
+    limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
+    int64_t init_a = (range + 32) / 64;
+    if (init_a < 2) init_a = 2;
+    for (int i = 0; i < 367; ++i) {
+      A[i] = init_a;
+      B[i] = 0;
+      C[i] = 0;
+      N[i] = 1;
+    }
+    Nn[0] = Nn[1] = 0;
+    run_index = 0;
+  }
+
+  int golomb_k(int q) const {
+    int k = 0;
+    while ((N[q] << k) < A[q]) ++k;
+    return k;
+  }
+
+  int64_t map_error(int64_t e, int k, int q) const {
+    if (near == 0 && k == 0 && 2 * B[q] <= -N[q])
+      return e >= 0 ? 2 * e + 1 : -2 * (e + 1);
+    return e >= 0 ? 2 * e : -2 * e - 1;
+  }
+
+  int64_t unmap_error(int64_t m, int k, int q) const {
+    if (near == 0 && k == 0 && 2 * B[q] <= -N[q])
+      return (m % 2) ? (m - 1) / 2 : -(m / 2) - 1;
+    return (m % 2) ? -((m + 1) / 2) : m / 2;
+  }
+
+  void update(int q, int64_t e) {
+    B[q] += e * (2 * near + 1);
+    A[q] += e < 0 ? -e : e;
+    if (N[q] == reset) {
+      A[q] >>= 1;
+      B[q] = B[q] >= 0 ? (B[q] >> 1) : -((1 - B[q]) >> 1);
+      N[q] >>= 1;
+    }
+    N[q] += 1;
+    if (B[q] <= -N[q]) {
+      if (C[q] > -128) C[q] -= 1;
+      B[q] += N[q];
+      if (B[q] <= -N[q]) B[q] = -N[q] + 1;
+    } else if (B[q] > 0) {
+      if (C[q] < 127) C[q] += 1;
+      B[q] -= N[q];
+      if (B[q] > 0) B[q] = 0;
+    }
+  }
+
+  int ri_k(int ritype) const {
+    int q = 365 + ritype;
+    int64_t temp = A[q] + (ritype ? (N[q] >> 1) : 0);
+    int k = 0;
+    while ((N[q] << k) < temp) ++k;
+    return k;
+  }
+
+  int ri_map(int64_t e, int k, int ritype) const {
+    if (k == 0 && e > 0 && 2 * Nn[ritype] < N[365 + ritype]) return 1;
+    if (e < 0 && 2 * Nn[ritype] >= N[365 + ritype]) return 1;
+    if (e < 0 && k != 0) return 1;
+    return 0;
+  }
+
+  int64_t ri_unmap(int64_t em, int k, int ritype) const {
+    int64_t temp = em + ritype;
+    int mapbit = (int)(temp & 1);
+    int64_t e_abs = (temp + mapbit) / 2;
+    bool cond = (k != 0) || (2 * Nn[ritype] >= N[365 + ritype]);
+    return (cond == (mapbit != 0)) ? -e_abs : e_abs;
+  }
+
+  void ri_update(int ritype, int64_t e, int64_t em) {
+    int q = 365 + ritype;
+    if (e < 0) Nn[ritype] += 1;
+    A[q] += (em + 1 - ritype) >> 1;
+    if (N[q] == reset) {
+      A[q] >>= 1;
+      N[q] >>= 1;
+      Nn[ritype] >>= 1;
+    }
+    N[q] += 1;
+  }
+
+  int64_t quantize_error(int64_t e) const {
+    if (near == 0) return e;
+    return e > 0 ? (near + e) / (2 * near + 1) : -((near - e) / (2 * near + 1));
+  }
+
+  int64_t mod_reduce(int64_t e) const {
+    if (e < 0) e += range;
+    if (e >= (range + 1) / 2) e -= range;
+    return e;
+  }
+
+  int64_t reconstruct(int64_t px, int sign, int64_t e) const {
+    int64_t rx = px + (int64_t)sign * e * (2 * near + 1);
+    if (rx < -near)
+      rx += (int64_t)range * (2 * near + 1);
+    else if (rx > maxval + near)
+      rx -= (int64_t)range * (2 * near + 1);
+    if (rx < 0) rx = 0;
+    if (rx > maxval) rx = maxval;
+    return rx;
+  }
+};
+
+static inline int quantize_gradient(int d, int t1, int t2, int t3, int near) {
+  if (d <= -t3) return -4;
+  if (d <= -t2) return -3;
+  if (d <= -t1) return -2;
+  if (d < -near) return -1;
+  if (d <= near) return 0;
+  if (d < t1) return 1;
+  if (d < t2) return 2;
+  if (d < t3) return 3;
+  return 4;
+}
+
+static inline int64_t predict(int64_t a, int64_t b, int64_t c) {
+  int64_t mx = a > b ? a : b, mn = a > b ? b : a;
+  if (c >= mx) return mn;
+  if (c <= mn) return mx;
+  return a + b - c;
+}
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint32_t acc = 0;
+  int n = 0, width = 8;
+
+  void write_bit(int bit) {
+    if (n == 0) width = (!buf.empty() && buf.back() == 0xFF) ? 7 : 8;
+    acc = (acc << 1) | (bit & 1);
+    if (++n == width) {
+      buf.push_back((uint8_t)acc);
+      acc = 0;
+      n = 0;
+    }
+  }
+  void write_bits(int64_t v, int nbits) {
+    for (int i = nbits - 1; i >= 0; --i) write_bit((int)((v >> i) & 1));
+  }
+  void flush() {
+    if (n) {
+      acc <<= (width - n);
+      buf.push_back((uint8_t)acc);
+      acc = 0;
+      n = 0;
+    }
+  }
+};
+
+struct LsBitReader {
+  const uint8_t *data;
+  long long len, pos;
+  uint64_t acc = 0;
+  int n = 0;
+  bool prev_ff = false;
+  bool error = false;
+
+  void fill() {
+    if (pos >= len) {
+      acc <<= 8;
+      n += 8;
+      return;
+    }
+    uint8_t byte = data[pos];
+    if (prev_ff) {
+      if (byte & 0x80) {  // marker: pad zeros
+        acc <<= 8;
+        n += 8;
+        return;
+      }
+      ++pos;
+      acc = (acc << 7) | (byte & 0x7F);
+      n += 7;
+      prev_ff = false;
+    } else {
+      ++pos;
+      acc = (acc << 8) | byte;
+      n += 8;
+      prev_ff = byte == 0xFF;
+    }
+  }
+  int read_bit() {
+    if (n == 0) fill();
+    --n;
+    int bit = (int)((acc >> n) & 1);
+    acc &= (1ULL << n) - 1;
+    return bit;
+  }
+  int64_t read_bits(int nbits) {
+    int64_t v = 0;
+    for (int i = 0; i < nbits; ++i) v = (v << 1) | read_bit();
+    return v;
+  }
+};
+
+static void golomb_encode(BitWriter &bw, int64_t merr, int k, int limit, int qbpp) {
+  int64_t high = merr >> k;
+  if (high < limit - qbpp - 1) {
+    for (int64_t i = 0; i < high; ++i) bw.write_bit(0);
+    bw.write_bit(1);
+    bw.write_bits(merr & ((1LL << k) - 1), k);
+  } else {
+    for (int i = 0; i < limit - qbpp - 1; ++i) bw.write_bit(0);
+    bw.write_bit(1);
+    bw.write_bits(merr - 1, qbpp);
+  }
+}
+
+static int64_t golomb_decode(LsBitReader &br, int k, int limit, int qbpp) {
+  int high = 0;
+  while (br.read_bit() == 0) {
+    if (++high > limit + 64) {
+      br.error = true;
+      return 0;
+    }
+  }
+  if (high < limit - qbpp - 1) return ((int64_t)high << k) | br.read_bits(k);
+  return br.read_bits(qbpp) + 1;
+}
+
+// Neighbor fetch matching jpeg_ls.py::_neighbors.
+static inline void neighbors(const int64_t *rec, int row, int col, int rows,
+                             int cols, int64_t &a, int64_t &b, int64_t &c,
+                             int64_t &d) {
+  (void)rows;
+  if (row == 0) {
+    a = col ? rec[col - 1] : 0;
+    b = c = d = 0;
+    return;
+  }
+  const int64_t *prev = rec + (long long)(row - 1) * cols;
+  b = prev[col];
+  d = (col + 1 < cols) ? prev[col + 1] : b;
+  if (col == 0) {
+    a = prev[0];
+    c = (row >= 2) ? rec[(long long)(row - 2) * cols] : 0;
+  } else {
+    a = rec[(long long)row * cols + col - 1];
+    c = prev[col - 1];
+  }
+}
+
+static void default_thresholds(int maxval, int near, int *t1, int *t2, int *t3,
+                               int *reset) {
+  auto clampv = [&](int t, int lo) {
+    if (t < lo) t = lo;
+    if (t > maxval) t = maxval;
+    return t;
+  };
+  if (maxval >= 128) {
+    int factor = ((maxval < 4095 ? maxval : 4095) + 128) / 256;
+    *t1 = clampv(factor * (3 - 2) + 2 + 3 * near, near + 1);
+    *t2 = clampv(factor * (7 - 3) + 3 + 5 * near, *t1);
+    *t3 = clampv(factor * (21 - 4) + 4 + 7 * near, *t2);
+  } else {
+    int factor = 256 / (maxval + 1);
+    int v1 = 3 / factor + 3 * near;
+    if (v1 < 2) v1 = 2;
+    *t1 = clampv(v1, near + 1);
+    int v2 = 7 / factor + 5 * near;
+    if (v2 < 3) v2 = 3;
+    *t2 = clampv(v2, *t1);
+    int v3 = 21 / factor + 7 * near;
+    if (v3 < 4) v3 = 4;
+    *t3 = clampv(v3, *t2);
+  }
+  *reset = 64;
+}
+
+}  // namespace jls
+
+// Decode a single-component JPEG-LS stream. out_meta = {rows, cols,
+// precision, near}. probe=1 parses headers only. Returns 0 ok, -1 bad
+// stream, -2 unsupported, -3 corrupt entropy data.
+int dosma_jpeg_ls_decode(const uint8_t *data, long long nlen, uint16_t *dst,
+                         long long dst_len, int *out_meta, int probe) {
+  using namespace jls;
+  if (nlen < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  long long pos = 2;
+  int precision = -1, rows = -1, cols = -1;
+  int maxval = 0, t1 = 0, t2 = 0, t3 = 0, reset = 0, near = 0;
+  bool have_lse = false;
+
+  while (pos + 1 < nlen) {
+    if (data[pos] != 0xFF) return -1;
+    uint8_t marker = data[pos + 1];
+    pos += 2;
+    if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) continue;
+    if (pos + 2 > nlen) return -1;
+    int seglen = (data[pos] << 8) | data[pos + 1];
+    if (pos + seglen > nlen) return -1;
+    const uint8_t *body = data + pos + 2;
+    int blen = seglen - 2;
+    pos += seglen;
+    if (marker == 0xF7) {  // SOF55
+      if (blen < 6) return -1;
+      precision = body[0];
+      rows = (body[1] << 8) | body[2];
+      cols = (body[3] << 8) | body[4];
+      if (body[5] != 1) return -2;
+    } else if (marker == 0xF8) {  // LSE
+      if (blen < 1) return -1;
+      if (body[0] != 1) return -2;  // mapping tables unsupported
+      if (blen < 11) return -1;
+      maxval = (body[1] << 8) | body[2];
+      t1 = (body[3] << 8) | body[4];
+      t2 = (body[5] << 8) | body[6];
+      t3 = (body[7] << 8) | body[8];
+      reset = (body[9] << 8) | body[10];
+      have_lse = true;
+    } else if (marker == 0xDA) {  // SOS
+      if (blen < 4) return -1;
+      int ns = body[0];
+      if (ns != 1) return -2;
+      near = body[1 + 2 * ns];
+      if (body[2 + 2 * ns] != 0) return -2;  // ILV
+      break;
+    }
+  }
+  if (precision < 2 || rows < 0) return -1;
+  if (!have_lse || maxval == 0) maxval = (1 << precision) - 1;
+  int dt1, dt2, dt3, dreset;
+  default_thresholds(maxval, near, &dt1, &dt2, &dt3, &dreset);
+  if (t1 == 0) t1 = dt1;
+  if (t2 == 0) t2 = dt2;
+  if (t3 == 0) t3 = dt3;
+  if (reset == 0) reset = dreset;
+
+  if (out_meta) {
+    out_meta[0] = rows;
+    out_meta[1] = cols;
+    out_meta[2] = precision;
+    out_meta[3] = near;
+  }
+  if (probe) return 0;
+  if (!dst || dst_len < (long long)rows * cols) return -1;
+
+  State st;
+  st.init(maxval, near, reset);
+  LsBitReader br{data, nlen, pos};
+  std::vector<int64_t> rec((long long)rows * cols, 0);
+
+  for (int row = 0; row < rows; ++row) {
+    int64_t *cur = rec.data() + (long long)row * cols;
+    int col = 0;
+    while (col < cols) {
+      int64_t a, b, c, d;
+      neighbors(rec.data(), row, col, rows, cols, a, b, c, d);
+      int64_t d1 = d - b, d2 = b - c, d3 = c - a;
+      if (llabs(d1) <= near && llabs(d2) <= near && llabs(d3) <= near) {
+        // Run mode.
+        bool interrupted = false;
+        while (true) {
+          if (br.read_bit() == 1) {
+            int seg = 1 << J[st.run_index];
+            int count = seg < cols - col ? seg : cols - col;
+            for (int i = 0; i < count; ++i) cur[col++] = a;
+            if (count == seg) {
+              if (st.run_index < 31) ++st.run_index;
+              if (col >= cols) break;
+              continue;
+            }
+            break;  // partial fill ended the line
+          }
+          if (J[st.run_index]) {
+            int64_t r = br.read_bits(J[st.run_index]);
+            for (int64_t i = 0; i < r; ++i) cur[col++] = a;
+          }
+          interrupted = true;
+          break;
+        }
+        if (!interrupted) continue;
+
+        int64_t b_here = row ? rec[(long long)(row - 1) * cols + col] : 0;
+        int ritype = (llabs(a - b_here) <= near) ? 1 : 0;
+        int64_t px;
+        int sign;
+        if (ritype) {
+          px = a;
+          sign = 1;
+        } else {
+          px = b_here;
+          sign = a > b_here ? -1 : 1;
+        }
+        int k = st.ri_k(ritype);
+        int64_t em =
+            golomb_decode(br, k, st.limit - J[st.run_index] - 1, st.qbpp);
+        if (br.error) return -3;
+        int64_t errval = st.ri_unmap(em, k, ritype);
+        cur[col] = st.reconstruct(px, sign, errval);
+        st.ri_update(ritype, errval, em);
+        if (st.run_index > 0) --st.run_index;
+        ++col;
+        continue;
+      }
+
+      int q1 = quantize_gradient((int)d1, t1, t2, t3, near);
+      int q2 = quantize_gradient((int)d2, t1, t2, t3, near);
+      int q3 = quantize_gradient((int)d3, t1, t2, t3, near);
+      int q = 81 * q1 + 9 * q2 + q3;
+      int sign = 1;
+      if (q < 0) {
+        q = -q;
+        sign = -1;
+      }
+      int64_t px = predict(a, b, c) + sign * st.C[q];
+      if (px < 0) px = 0;
+      if (px > maxval) px = maxval;
+      int k = st.golomb_k(q);
+      int64_t merr = golomb_decode(br, k, st.limit, st.qbpp);
+      if (br.error) return -3;
+      int64_t errval = st.unmap_error(merr, k, q);
+      cur[col] = st.reconstruct(px, sign, errval);
+      st.update(q, errval);
+      ++col;
+    }
+  }
+
+  for (long long i = 0; i < (long long)rows * cols; ++i)
+    dst[i] = (uint16_t)rec[i];
+  return 0;
+}
+
+// Encode a single-component frame. Returns bytes written, negative error.
+long long dosma_jpeg_ls_encode(const uint16_t *src, int rows, int cols,
+                               int precision, int near, uint8_t *dst,
+                               long long cap) {
+  using namespace jls;
+  if (precision < 2 || precision > 16) return -2;
+  int maxval = (1 << precision) - 1;
+  int t1, t2, t3, reset;
+  default_thresholds(maxval, near, &t1, &t2, &t3, &reset);
+
+  std::vector<uint8_t> out;
+  out.reserve((long long)rows * cols / 2 + 64);
+  auto push16 = [&](int v) {
+    out.push_back((uint8_t)(v >> 8));
+    out.push_back((uint8_t)(v & 0xFF));
+  };
+  out.push_back(0xFF);
+  out.push_back(0xD8);
+  out.push_back(0xFF);
+  out.push_back(0xF7);  // SOF55
+  push16(8 + 3);
+  out.push_back((uint8_t)precision);
+  push16(rows);
+  push16(cols);
+  out.push_back(1);
+  out.push_back(1);
+  out.push_back(0x11);
+  out.push_back(0);
+  out.push_back(0xFF);
+  out.push_back(0xF8);  // LSE id 1
+  push16(13);
+  out.push_back(1);
+  push16(maxval);
+  push16(t1);
+  push16(t2);
+  push16(t3);
+  push16(reset);
+  out.push_back(0xFF);
+  out.push_back(0xDA);  // SOS
+  push16(6 + 2);
+  out.push_back(1);
+  out.push_back(1);
+  out.push_back(0x00);
+  out.push_back((uint8_t)near);
+  out.push_back(0);
+  out.push_back(0);
+
+  State st;
+  st.init(maxval, near, reset);
+  BitWriter bw;
+  std::vector<int64_t> rec((long long)rows * cols, 0);
+
+  for (int row = 0; row < rows; ++row) {
+    int64_t *cur = rec.data() + (long long)row * cols;
+    const uint16_t *srow = src + (long long)row * cols;
+    int col = 0;
+    while (col < cols) {
+      int64_t a, b, c, d;
+      neighbors(rec.data(), row, col, rows, cols, a, b, c, d);
+      int64_t d1 = d - b, d2 = b - c, d3 = c - a;
+      if (llabs(d1) <= near && llabs(d2) <= near && llabs(d3) <= near) {
+        // Run mode.
+        int run_len = 0;
+        while (col < cols && llabs((int64_t)srow[col] - a) <= near) {
+          cur[col++] = a;
+          ++run_len;
+        }
+        while (run_len >= (1 << J[st.run_index])) {
+          bw.write_bit(1);
+          run_len -= 1 << J[st.run_index];
+          if (st.run_index < 31) ++st.run_index;
+        }
+        if (col >= cols) {
+          if (run_len > 0) bw.write_bit(1);
+          continue;  // while(col<cols) exits
+        }
+        bw.write_bit(0);
+        if (J[st.run_index]) bw.write_bits(run_len, J[st.run_index]);
+
+        int64_t b_here = row ? rec[(long long)(row - 1) * cols + col] : 0;
+        int ritype = (llabs(a - b_here) <= near) ? 1 : 0;
+        int64_t px;
+        int sign;
+        if (ritype) {
+          px = a;
+          sign = 1;
+        } else {
+          px = b_here;
+          sign = a > b_here ? -1 : 1;
+        }
+        int64_t errval =
+            st.mod_reduce(st.quantize_error((int64_t)sign * (srow[col] - px)));
+        int k = st.ri_k(ritype);
+        int64_t em = 2 * llabs(errval) - ritype - st.ri_map(errval, k, ritype);
+        golomb_encode(bw, em, k, st.limit - J[st.run_index] - 1, st.qbpp);
+        cur[col] = st.reconstruct(px, sign, errval);
+        st.ri_update(ritype, errval, em);
+        if (st.run_index > 0) --st.run_index;
+        ++col;
+        continue;
+      }
+
+      int q1 = quantize_gradient((int)d1, t1, t2, t3, near);
+      int q2 = quantize_gradient((int)d2, t1, t2, t3, near);
+      int q3 = quantize_gradient((int)d3, t1, t2, t3, near);
+      int q = 81 * q1 + 9 * q2 + q3;
+      int sign = 1;
+      if (q < 0) {
+        q = -q;
+        sign = -1;
+      }
+      int64_t px = predict(a, b, c) + sign * st.C[q];
+      if (px < 0) px = 0;
+      if (px > maxval) px = maxval;
+      int64_t errval =
+          st.mod_reduce(st.quantize_error((int64_t)sign * (srow[col] - px)));
+      int k = st.golomb_k(q);
+      golomb_encode(bw, st.map_error(errval, k, q), k, st.limit, st.qbpp);
+      cur[col] = st.reconstruct(px, sign, errval);
+      st.update(q, errval);
+      ++col;
+    }
+  }
+
+  bw.flush();
+  out.insert(out.end(), bw.buf.begin(), bw.buf.end());
+  out.push_back(0xFF);
+  out.push_back(0xD9);
+
+  if ((long long)out.size() > cap) return -1;
+  std::memcpy(dst, out.data(), out.size());
+  return (long long)out.size();
 }
 
 // ---------------------------------------------------------------------------

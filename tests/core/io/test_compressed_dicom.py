@@ -739,3 +739,33 @@ class TestJpegLs:
 
         with pytest.raises(NotImplementedError):
             jpeg_ls_encode(np.zeros((4, 4, 3), np.uint8))
+
+
+class TestNativeJpegLs:
+    """C++ JPEG-LS parity: byte-identical encoder, identical decoder."""
+
+    @pytest.fixture(autouse=True)
+    def _needs_native(self):
+        from dosma_tpu.core.io import _native
+
+        if not _native.codecs_available():
+            pytest.skip("native codecs not built")
+
+    @pytest.mark.parametrize("near", [0, 2])
+    def test_byte_identical_encode_and_decode(self, near):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode, jpeg_ls_encode
+
+        rs = np.random.RandomState(0)
+        for img in (
+            (rs.rand(37, 41) * 255).astype(np.uint8),
+            (rs.rand(23, 29) * 4095).astype(np.uint16),
+            np.repeat((rs.rand(8, 8) * 255).astype(np.uint8), 8, 1)[:, :61],
+            np.full((16, 16), 77, np.uint8),
+        ):
+            enc_py = jpeg_ls_encode(img, near=near)
+            enc_nat = _native.jpeg_ls_encode(img, near=near)
+            assert enc_py == enc_nat
+            np.testing.assert_array_equal(
+                _native.jpeg_ls_decode(enc_py), jpeg_ls_decode(enc_py)
+            )
