@@ -81,8 +81,8 @@ def unsupported_syntax_error(transfer_syntax: str) -> NotImplementedError:
             f"Transfer syntax {transfer_syntax} ({name}) is not supported. "
             f"Transcode the series to one of: uncompressed Little Endian, "
             f"RLE Lossless ({RLE_LOSSLESS}), JPEG Lossless ({JPEG_LOSSLESS_SV1}), "
-            f"or JPEG Baseline ({JPEG_BASELINE}) — e.g. with dcmtk's `dcmdjpls`/"
-            f"`dcmdjp2k` or `gdcmconv --raw`."
+            f"JPEG-LS ({JPEG_LS_LOSSLESS}), or JPEG Baseline ({JPEG_BASELINE}) — "
+            f"e.g. with dcmtk's `dcmdjp2k` or `gdcmconv --raw`."
         )
     return NotImplementedError(f"Transfer syntax {transfer_syntax} is not supported")
 
