@@ -60,13 +60,15 @@ JPEG_LS_NEAR_LOSSLESS = "1.2.840.10008.1.2.4.81"
 JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
 JPEG_2000 = "1.2.840.10008.1.2.4.91"
 
-#: Transfer syntaxes this module can decode (and encode).
+#: Transfer syntaxes this module can decode (and encode). JPEG 2000 needs
+#: Pillow/OpenJPEG at runtime (baked into this stack; probed on use).
 COMPRESSED_SYNTAXES = frozenset({
     RLE_LOSSLESS, JPEG_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_BASELINE, JPEG_EXTENDED,
-    JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS,
+    JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS, JPEG_2000_LOSSLESS, JPEG_2000,
 })
 
-#: Recognized-but-unimplemented syntaxes → actionable error text.
+#: Recognized-but-unavailable syntaxes → actionable error text (J2K lands
+#: here only when Pillow lacks OpenJPEG).
 _UNSUPPORTED_SYNTAXES = {
     JPEG_2000_LOSSLESS: "JPEG 2000 Lossless",
     JPEG_2000: "JPEG 2000",
@@ -609,6 +611,17 @@ def encode_frames(
                 lambda a: jpeg_ls_encode(a, near=near),
                 np.ascontiguousarray(frame),
             )
+        elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
+            from dosma_tpu.core.io.dicom.jpeg_2000 import (
+                jpeg_2000_encode,
+                pil_j2k_available,
+            )
+
+            if not pil_j2k_available():
+                raise unsupported_syntax_error(transfer_syntax)
+            frag = jpeg_2000_encode(
+                frame, lossless=transfer_syntax == JPEG_2000_LOSSLESS
+            )
         else:
             raise unsupported_syntax_error(transfer_syntax)
         if len(frag) % 2:
@@ -657,6 +670,17 @@ def decode_frames(
             if samples != 1:
                 raise NotImplementedError("JPEG-LS decode supports 1 sample/pixel")
             img = _native_or_python(_native.jpeg_ls_decode, jpeg_ls_decode, frame)
+        elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
+            from dosma_tpu.core.io.dicom.jpeg_2000 import (
+                jpeg_2000_decode,
+                pil_j2k_available,
+            )
+
+            if not pil_j2k_available():
+                raise unsupported_syntax_error(transfer_syntax)
+            img = jpeg_2000_decode(frame)
+            if bits_allocated == 8 and img.dtype != np.uint8:
+                img = img.astype(np.uint8)
             if img.ndim == 3 and samples == 1:
                 raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
         else:

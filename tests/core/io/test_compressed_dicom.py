@@ -470,6 +470,8 @@ class TestUnsupportedSyntaxErrors:
         "uid", ["1.2.840.10008.1.2.4.90", "1.2.840.10008.1.2.4.91"]
     )
     def test_actionable_message(self, uid):
+        # J2K now decodes via Pillow/OpenJPEG; this error only surfaces
+        # when that runtime dependency is missing — keep it actionable.
         err = codecs.unsupported_syntax_error(uid)
         assert isinstance(err, NotImplementedError)
         assert "Transcode" in str(err) and uid in str(err)
@@ -479,13 +481,13 @@ class TestUnsupportedSyntaxErrors:
         ds = _mr_dataset(frame)
         buf = io.BytesIO()
         write_dicom(ds, buf)
-        # Swap the recorded transfer syntax for JPEG 2000 (new UID is 2
-        # bytes longer, so the element length bumps 20 → 22 with it).
+        # Swap the recorded transfer syntax for an unknown compressed UID
+        # (new UID is 2 bytes longer, so the element length bumps 20 → 22).
         raw = buf.getvalue().replace(
             b"UI\x14\x001.2.840.10008.1.2.1\x00",
-            b"UI\x16\x001.2.840.10008.1.2.4.90",
+            b"UI\x16\x001.2.840.10008.1.2.4.99",
         )
-        with pytest.raises(NotImplementedError, match="JPEG 2000"):
+        with pytest.raises(NotImplementedError, match="not supported"):
             read_dicom_bytes(raw)
 
 
@@ -769,3 +771,72 @@ class TestNativeJpegLs:
             np.testing.assert_array_equal(
                 _native.jpeg_ls_decode(enc_py), jpeg_ls_decode(enc_py)
             )
+
+
+class TestJpeg2000:
+    """JPEG 2000 (.90/.91) via Pillow/OpenJPEG — the same delegate-to-an-
+    installed-handler design the reference uses through pydicom."""
+
+    @pytest.fixture(autouse=True)
+    def _needs_openjpeg(self):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import pil_j2k_available
+
+        if not pil_j2k_available():
+            pytest.skip("Pillow lacks OpenJPEG")
+
+    def test_lossless_roundtrip_8bit(self):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_decode, jpeg_2000_encode
+
+        img = (np.random.RandomState(0).rand(48, 56) * 255).astype(np.uint8)
+        enc = jpeg_2000_encode(img, lossless=True)
+        assert enc[:2] == b"\xff\x4f"  # raw codestream, not a JP2 container
+        np.testing.assert_array_equal(jpeg_2000_decode(enc), img)
+
+    def test_lossless_roundtrip_16bit(self):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_decode, jpeg_2000_encode
+
+        img = (np.random.RandomState(1).rand(32, 40) * 4095).astype(np.uint16)
+        enc = jpeg_2000_encode(img, lossless=True)
+        out = jpeg_2000_decode(enc)
+        np.testing.assert_array_equal(out.astype(np.uint16), img)
+
+    def test_lossy_bounded(self):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_decode, jpeg_2000_encode
+
+        yy, xx = np.mgrid[0:64, 0:64]
+        img = (127 + 100 * np.sin(yy / 9.0) * np.cos(xx / 7.0)).astype(np.uint8)
+        enc = jpeg_2000_encode(img, lossless=False)
+        out = jpeg_2000_decode(enc)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 5.0
+
+    @pytest.mark.parametrize("syntax", [codecs.JPEG_2000_LOSSLESS])
+    def test_dicom_file_roundtrip(self, syntax):
+        frame = (np.random.RandomState(2).rand(32, 48) * 3000).astype(np.uint16)
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=syntax)
+        back = read_dicom_bytes(buf.getvalue())
+        assert back.file_meta.get("TransferSyntaxUID") == syntax
+        np.testing.assert_array_equal(back.pixel_array, frame)
+
+    def test_dicom_reader_loads_j2k_series(self, tmp_path):
+        import os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader
+        from dosma_tpu.core.io.dicom import read_dicom, write_dicom as wd
+        from tests.util import write_dicom_series
+
+        src = tmp_path / "src"
+        write_dicom_series(str(src), shape=(24, 24, 3), n_echos=1)
+        out = tmp_path / "j2k"
+        os.makedirs(out)
+        for f in sorted(os.listdir(src)):
+            ds = read_dicom(str(src / f))
+            with open(out / f, "wb") as fh:
+                wd(ds, fh, transfer_syntax=codecs.JPEG_2000_LOSSLESS)
+        vols = DicomReader().load(str(out))
+        srcvols = DicomReader().load(str(src))
+        np.testing.assert_array_equal(
+            np.asarray(vols[0].volume), np.asarray(srcvols[0].volume)
+        )

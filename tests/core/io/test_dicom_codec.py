@@ -104,8 +104,8 @@ class TestDatasetModel:
         assert back[Tag(0x0008, 0x1140)].value[0].EchoTime == 5.0
 
     def test_undecodable_transfer_syntax_rejected(self):
-        # JPEG 2000 — a compressed syntax we have no codec for.
-        fm = _explicit_elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.90")
+        # An unknown compressed syntax (J2K now decodes via OpenJPEG).
+        fm = _explicit_elem(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.99")
         fm_len = _explicit_elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(fm)))
         blob = b"\x00" * 128 + b"DICM" + fm_len + fm
         with pytest.raises(NotImplementedError):
