@@ -1,9 +1,10 @@
 """Bridge to the optional C++ accelerators (``native/*.cpp``).
 
 - ``libdosma_io.so``: batched threaded file reading (DICOM series).
-- ``libdosma_codecs.so``: compressed-pixel decoders (RLE Lossless, JPEG
-  Lossless SOF3) — the bit-serial Huffman scan is ~1000x faster in C++
-  than the pure-Python codec.
+- ``libdosma_codecs.so``: compressed-pixel codecs (RLE Lossless, JPEG
+  Lossless SOF3, JPEG Baseline/Extended SOF0/SOF1, JPEG-LS T.87) — the
+  bit-serial scans are ~50-1000x faster in C++ than the pure-Python
+  twins.
 
 Falls back gracefully (``available() == False`` / ``codecs_available() ==
 False``) when the shared libraries have not been built — all call sites
@@ -222,10 +223,14 @@ def jpeg_ls_encode(arr, near: int = 0) -> bytes:
     a = np.ascontiguousarray(arr)
     if a.ndim != 2 or a.dtype.kind != "u" or a.dtype.itemsize > 2:
         raise ValueError("native JPEG-LS encoder expects a 2D uint8/uint16 array")
-    precision = max(2, int(a.max(initial=1)).bit_length())
+    precision = 8 * a.dtype.itemsize  # P == sample width (PS3.5)
     a16 = a.astype(np.uint16)
     lib = _load_codecs()
-    cap = a16.nbytes * 2 + 1024
+    # Worst case: every sample takes the LIMIT escape (~2*(bpp+8) bits)
+    # plus 8/7 stuffing overhead — ~8 bytes/sample at 16-bit. A short cap
+    # would silently drop pathological frames onto the 1000x-slower
+    # Python path.
+    cap = a.size * 8 + 4096
     buf = ctypes.create_string_buffer(cap)
     lib.dosma_jpeg_ls_encode.restype = ctypes.c_longlong
     n = lib.dosma_jpeg_ls_encode(
@@ -236,7 +241,7 @@ def jpeg_ls_encode(arr, near: int = 0) -> bytes:
     )
     if n < 0:
         raise ValueError(f"native JPEG-LS encode failed (code {n})")
-    return buf.raw[:n]
+    return ctypes.string_at(buf, n)
 
 
 def read_dicom_files(files: List[str]):

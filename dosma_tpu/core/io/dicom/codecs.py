@@ -664,12 +664,20 @@ def decode_frames(
                 _native.jpeg_baseline_decode if samples == 1 else None,
                 jpeg_baseline_decode, frame,
             )
+            if img.ndim == 3 and samples == 1:
+                raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
+            if bits_allocated == 16 and img.dtype == np.uint8:
+                img = img.astype(np.uint16)
         elif transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR_LOSSLESS):
             from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode
 
             if samples != 1:
                 raise NotImplementedError("JPEG-LS decode supports 1 sample/pixel")
             img = _native_or_python(_native.jpeg_ls_decode, jpeg_ls_decode, frame)
+            # Match the dataset's sample width (a P<=8 stream in a 16-bit
+            # series must not change the series dtype / signed view).
+            if bits_allocated == 16 and img.dtype == np.uint8:
+                img = img.astype(np.uint16)
         elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
             from dosma_tpu.core.io.dicom.jpeg_2000 import (
                 jpeg_2000_decode,
@@ -681,6 +689,8 @@ def decode_frames(
             img = jpeg_2000_decode(frame)
             if bits_allocated == 8 and img.dtype != np.uint8:
                 img = img.astype(np.uint8)
+            elif bits_allocated == 16 and img.dtype == np.uint8:
+                img = img.astype(np.uint16)
             if img.ndim == 3 and samples == 1:
                 raise ValueError("JPEG stream has 3 components but SamplesPerPixel=1")
         else:

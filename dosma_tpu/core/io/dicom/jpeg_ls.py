@@ -366,6 +366,10 @@ def jpeg_ls_decode(data: bytes) -> np.ndarray:
         pos += 2
         if marker in (0x01, *range(0xD0, 0xD8)):
             continue
+        if marker == 0xDD:  # DRI: restart markers would corrupt silently
+            raise NotImplementedError(
+                "JPEG-LS restart intervals (DRI/RSTn) are not supported"
+            )
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
         body = data[pos + 2:pos + seglen]
         pos += seglen
@@ -491,9 +495,10 @@ def jpeg_ls_encode(frame: np.ndarray, near: int = 0) -> bytes:
         raise NotImplementedError("JPEG-LS encoder supports 1 component")
     if arr.dtype.kind != "u" or arr.dtype.itemsize > 2:
         raise ValueError("JPEG-LS encoder expects uint8/uint16 input")
-    precision = max(2, int(arr.max(initial=1)).bit_length())
-    if arr.dtype.itemsize == 1:
-        precision = max(precision, 8) if arr.max(initial=0) > 127 else precision
+    # Precision comes from the SAMPLE WIDTH, not the data max: PS3.5
+    # requires P == BitsStored, and a data-derived P would let a dark edge
+    # slice change the stream precision (and decoded dtype) mid-series.
+    precision = 8 * arr.dtype.itemsize
     maxval = (1 << precision) - 1
     rows, cols = arr.shape
     t1, t2, t3, reset = _default_thresholds(maxval, near)

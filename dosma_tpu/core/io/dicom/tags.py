@@ -111,6 +111,9 @@ DICT = {
     "BitsStored": (0x00280101, "US"),
     "HighBit": (0x00280102, "US"),
     "PixelRepresentation": (0x00280103, "US"),
+    "LossyImageCompression": (0x00282110, "CS"),
+    "LossyImageCompressionRatio": (0x00282112, "DS"),
+    "LossyImageCompressionMethod": (0x00282114, "CS"),
     "SmallestImagePixelValue": (0x00280106, "US"),
     "LargestImagePixelValue": (0x00280107, "US"),
     "WindowCenter": (0x00281050, "DS"),

@@ -180,6 +180,20 @@ def write_dicom(
         encapsulated = codecs.encode_frames(pixel_array(ds), transfer_syntax, nframes=nframes)
         ds = ds.copy()
         ds.add_new(T.DICT["PixelData"][0], "OB", encapsulated)
+        if transfer_syntax in (
+            codecs.JPEG_BASELINE, codecs.JPEG_EXTENDED,
+            codecs.JPEG_LS_NEAR_LOSSLESS, codecs.JPEG_2000,
+        ):
+            # Lossy provenance (PS3.3 C.7.6.1.1.5): downstream quantitative
+            # pipelines must be able to detect degraded pixel data.
+            ds.add_new(0x00282110, "CS", "01")
+            methods = {
+                codecs.JPEG_BASELINE: "ISO_10918_1",
+                codecs.JPEG_EXTENDED: "ISO_10918_1",
+                codecs.JPEG_LS_NEAR_LOSSLESS: "ISO_14495_1",
+                codecs.JPEG_2000: "ISO_15444_1",
+            }
+            ds.add_new(0x00282114, "CS", methods[transfer_syntax])
     elif transfer_syntax in (None, T.EXPLICIT_VR_LE) and already_encapsulated:
         # Decompress request: expand the fragments back to native bytes so
         # the written file matches the uncompressed syntax it declares.

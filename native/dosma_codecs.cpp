@@ -861,6 +861,9 @@ int dosma_jpeg_ls_decode(const uint8_t *data, long long nlen, uint16_t *dst,
     const uint8_t *body = data + pos + 2;
     int blen = seglen - 2;
     pos += seglen;
+    if (marker == 0xDD) {
+      return -2;  // DRI/RSTn unsupported (matches the Python decoder)
+    }
     if (marker == 0xF7) {  // SOF55
       if (blen < 6) return -1;
       precision = body[0];

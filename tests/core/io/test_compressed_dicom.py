@@ -840,3 +840,61 @@ class TestJpeg2000:
         np.testing.assert_array_equal(
             np.asarray(vols[0].volume), np.asarray(srcvols[0].volume)
         )
+
+
+class TestCodecReviewRegressions:
+    """Regression coverage for the r2 codec-review findings."""
+
+    def test_ls_precision_follows_dtype_not_data(self):
+        """A dark 16-bit slice must still write a P=16 stream (PS3.5:
+        P == BitsStored) and round-trip as uint16."""
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode, jpeg_ls_encode
+
+        frame = (np.random.RandomState(0).rand(16, 16) * 200).astype(np.uint16)
+        enc = jpeg_ls_encode(frame, near=0)
+        out = jpeg_ls_decode(enc)
+        assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out, frame)
+
+        # And through a full 16-bit DICOM round trip.
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_LS_LOSSLESS)
+        back = read_dicom_bytes(buf.getvalue())
+        assert back.pixel_array.dtype == np.uint16
+
+    def test_ls_rejects_restart_intervals(self):
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_decode, jpeg_ls_encode
+
+        enc = bytearray(jpeg_ls_encode(np.full((8, 8), 9, np.uint8)))
+        # Splice a DRI segment after SOI.
+        dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x10])
+        spliced = bytes(enc[:2]) + dri + bytes(enc[2:])
+        with pytest.raises(NotImplementedError, match="restart"):
+            jpeg_ls_decode(spliced)
+
+    def test_ls_native_rejects_restart_intervals(self):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.jpeg_ls import jpeg_ls_encode
+
+        if not _native.codecs_available():
+            pytest.skip("native codecs not built")
+        enc = bytearray(jpeg_ls_encode(np.full((8, 8), 9, np.uint8)))
+        dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x10])
+        with pytest.raises(ValueError):
+            _native.jpeg_ls_decode(bytes(enc[:2]) + dri + bytes(enc[2:]))
+
+    def test_lossy_provenance_tags_written(self):
+        frame = (np.random.RandomState(1).rand(24, 24) * 3000).astype(np.uint16)
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_LS_NEAR_LOSSLESS)
+        back = read_dicom_bytes(buf.getvalue())
+        assert str(back.LossyImageCompression) == "01"
+        assert "14495" in str(back[0x00282114].value)
+
+        # Lossless writes must NOT claim lossy compression.
+        buf2 = io.BytesIO()
+        write_dicom(ds, buf2, transfer_syntax=codecs.JPEG_LS_LOSSLESS)
+        back2 = read_dicom_bytes(buf2.getvalue())
+        assert 0x00282110 not in back2
