@@ -299,15 +299,24 @@ class DicomWriter(DataWriter):
         verbose: bool = False,
         fname_fmt: str = None,
         sort_by: Union[str, int, Sequence[Union[str, int]]] = None,
+        transfer_syntax: str = None,
     ):
         self.num_workers = num_workers
         self.verbose = verbose
         self.fname_fmt = fname_fmt
         self.sort_by = sort_by
+        #: Optional compressed transfer syntax UID for the written slices
+        #: (any member of ``codecs.COMPRESSED_SYNTAXES``, e.g. RLE or
+        #: JPEG-LS Lossless). Default writes Explicit VR Little Endian.
+        self.transfer_syntax = transfer_syntax
 
-    def save(self, volume: MedicalVolume, dir_path: str, fname_fmt=_NoValue, sort_by=_NoValue):
+    def save(self, volume: MedicalVolume, dir_path: str, fname_fmt=_NoValue,
+             sort_by=_NoValue, transfer_syntax=_NoValue):
         fname_fmt = self.fname_fmt if fname_fmt is _NoValue else fname_fmt
         sort_by = self.sort_by if sort_by is _NoValue else sort_by
+        transfer_syntax = (
+            self.transfer_syntax if transfer_syntax is _NoValue else transfer_syntax
+        )
 
         headers = volume.headers()
         if headers is None:
@@ -367,12 +376,17 @@ class DicomWriter(DataWriter):
                 list(
                     ex.map(
                         lambda args: _write_dicom_file(*args),
-                        [(volume_arr[..., s], headers[s], filepaths[s]) for s in range(num_slices)],
+                        [
+                            (volume_arr[..., s], headers[s], filepaths[s], transfer_syntax)
+                            for s in range(num_slices)
+                        ],
                     )
                 )
         else:
             for s in range(num_slices):
-                _write_dicom_file(volume_arr[..., s], headers[s], filepaths[s])
+                _write_dicom_file(
+                    volume_arr[..., s], headers[s], filepaths[s], transfer_syntax
+                )
 
     write = DataWriter.__call__
 
@@ -471,7 +485,8 @@ def _format_volume_to_header(volume: MedicalVolume) -> MedicalVolume:
     return volume
 
 
-def _write_dicom_file(np_slice: np.ndarray, header: Dataset, file_path: str):
+def _write_dicom_file(np_slice: np.ndarray, header: Dataset, file_path: str,
+                      transfer_syntax: str = None):
     """Replace PixelData with the 2D slice and write to ``file_path``."""
     header = copy.deepcopy(header)
     expected = (int(header.Rows), int(header.Columns))
@@ -492,7 +507,7 @@ def _write_dicom_file(np_slice: np.ndarray, header: Dataset, file_path: str):
 
     header.set_value("PixelRepresentation", 1 if np_slice.dtype.kind == "i" else 0)
     header["PixelData"] = np_slice_bytes
-    write_dicom(header, file_path)
+    write_dicom(header, file_path, transfer_syntax=transfer_syntax)
 
 
 def _update_np_dtype(arr: np.ndarray, bit_depth: int) -> np.ndarray:

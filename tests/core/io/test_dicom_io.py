@@ -364,3 +364,24 @@ class TestDicomWriterDtypeCoercion:
         DicomWriter().save(base._partial_clone(volume=arr), str(tmp_path / "o"))
         back = DicomReader().load(str(tmp_path / "o"))[0]
         np.testing.assert_array_equal(np.asarray(back.volume), arr)
+
+
+def test_dicom_writer_compressed_series(tmp_path):
+    """DicomWriter(transfer_syntax=...) writes a compressed series that the
+    reader round-trips exactly (dosma_tpu extension — the reference can only
+    write uncompressed via pydicom save_as defaults)."""
+    from dosma_tpu.core.io.dicom import codecs, read_dicom
+
+    src = tmp_path / "src"
+    write_dicom_series(str(src), shape=(16, 16, 3), n_echos=1)
+    base = DicomReader().load(str(src))[0]
+
+    for syntax in (codecs.RLE_LOSSLESS, codecs.JPEG_LS_LOSSLESS):
+        out = tmp_path / syntax.split(".")[-1]
+        DicomWriter(transfer_syntax=syntax).save(base, str(out))
+        files = sorted(os.listdir(out))
+        assert len(files) == 3
+        ds = read_dicom(str(out / files[0]))
+        assert ds.file_meta.get("TransferSyntaxUID") == syntax
+        back = DicomReader().load(str(out))[0]
+        assert back.is_identical(base)
