@@ -1,9 +1,10 @@
-"""DICOM Part-10 reader: Implicit & Explicit VR Little Endian.
+"""DICOM Part-10 reader: Implicit/Explicit VR LE, Explicit VR BE, Deflated.
 
 From-scratch binary parser (pydicom is unavailable in this environment).
 Supports the features the framework needs: file meta parsing, nested
-sequences (defined and undefined length), private tags, and uncompressed
-pixel data. Compressed transfer syntaxes raise a clear error.
+sequences (defined and undefined length), private tags, uncompressed and
+encapsulated (compressed) pixel data, and the Deflated Explicit VR LE
+transfer syntax (PS3.5 A.5). Unknown transfer syntaxes raise a clear error.
 """
 
 from __future__ import annotations
@@ -240,6 +241,14 @@ def read_dicom_bytes(data: bytes, stop_before_pixels: bool = False) -> Dataset:
         # Retired but present in legacy (notably GE) archives: the data
         # set is explicit VR with BIG-endian values; file meta stays LE.
         endian = ">"
+    elif transfer_syntax == T.DEFLATED_EXPLICIT_VR_LE:
+        # PS3.5 A.5: everything after the file meta group is one raw
+        # (headerless, RFC 1951) deflate stream wrapping an Explicit VR LE
+        # dataset. Inflate, then parse as usual. The reference gets this
+        # free through pydicom (``/root/reference/dosma/core/io/dicom_io.py:264-270``).
+        import zlib
+
+        fp = io.BytesIO(zlib.decompress(fp.read(), wbits=-zlib.MAX_WBITS))
     elif transfer_syntax not in (T.IMPLICIT_VR_LE, T.EXPLICIT_VR_LE):
         from dosma_tpu.core.io.dicom.codecs import (
             COMPRESSED_SYNTAXES,

@@ -122,6 +122,24 @@ DICT = {
     "RescaleSlope": (0x00281053, "DS"),
     "RescaleType": (0x00281054, "LO"),
     "PixelData": (0x7FE00010, "OW"),
+    # Enhanced multi-frame (PS3.3 C.7.6.16 functional group macros). The
+    # reference reads these implicitly through pydicom; our reader promotes
+    # them to classic per-slice attributes in ``multiframe.expand_frames``.
+    "SharedFunctionalGroupsSequence": (0x52009229, "SQ"),
+    "PerFrameFunctionalGroupsSequence": (0x52009230, "SQ"),
+    "PixelMeasuresSequence": (0x00289110, "SQ"),
+    "FrameContentSequence": (0x00209111, "SQ"),
+    "PlanePositionSequence": (0x00209113, "SQ"),
+    "PlaneOrientationSequence": (0x00209116, "SQ"),
+    "MREchoSequence": (0x00189114, "SQ"),
+    "EffectiveEchoTime": (0x00189082, "FD"),
+    "PixelValueTransformationSequence": (0x00289145, "SQ"),
+    "FrameAcquisitionNumber": (0x00209156, "US"),
+    "DimensionIndexValues": (0x00209157, "UL"),
+    "StackID": (0x00209056, "SH"),
+    "InStackPositionNumber": (0x00209057, "UL"),
+    "TemporalPositionIndex": (0x00209128, "UL"),
+    "ConcatenationFrameOffsetNumber": (0x00209228, "UL"),
 }
 
 # Multi-valued DS/IS/US tags (VM > 1).
@@ -177,8 +195,10 @@ NUMERIC_STRING_VRS = {"DS", "IS"}
 # Standard transfer syntaxes.
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
 EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"
 MR_IMAGE_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
+ENHANCED_MR_IMAGE_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
 SECONDARY_CAPTURE_STORAGE = "1.2.840.10008.5.1.4.1.1.7"
 
 # Root used when generating UIDs (public example root).

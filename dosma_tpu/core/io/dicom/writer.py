@@ -194,7 +194,10 @@ def write_dicom(
                 codecs.JPEG_2000: "ISO_15444_1",
             }
             ds.add_new(0x00282114, "CS", methods[transfer_syntax])
-    elif transfer_syntax in (None, T.EXPLICIT_VR_LE) and already_encapsulated:
+    elif (
+        transfer_syntax in (None, T.EXPLICIT_VR_LE, T.DEFLATED_EXPLICIT_VR_LE)
+        and already_encapsulated
+    ):
         # Decompress request: expand the fragments back to native bytes so
         # the written file matches the uncompressed syntax it declares.
         from dosma_tpu.core.io.dicom.reader import pixel_array
@@ -202,8 +205,9 @@ def write_dicom(
         arr = pixel_array(ds)
         ds = ds.copy()
         ds.add_new(T.DICT["PixelData"][0], "OW", np.ascontiguousarray(arr).tobytes())
-        transfer_syntax = T.EXPLICIT_VR_LE
-    elif transfer_syntax not in (None, T.EXPLICIT_VR_LE) and not (
+        if transfer_syntax != T.DEFLATED_EXPLICIT_VR_LE:
+            transfer_syntax = T.EXPLICIT_VR_LE
+    elif transfer_syntax not in (None, T.EXPLICIT_VR_LE, T.DEFLATED_EXPLICIT_VR_LE) and not (
         transfer_syntax in codecs.COMPRESSED_SYNTAXES
     ):
         raise NotImplementedError(f"Cannot write transfer syntax {transfer_syntax}")
@@ -226,7 +230,14 @@ def write_dicom(
         fp.write(struct.pack("<I", len(fm_bytes)))
         fp.write(fm_bytes)
 
-        fp.write(_dataset_bytes(ds))
+        body = _dataset_bytes(ds)
+        if transfer_syntax == T.DEFLATED_EXPLICIT_VR_LE:
+            # PS3.5 A.5: the post-meta dataset is one raw RFC 1951 stream.
+            import zlib
+
+            co = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+            body = co.compress(body) + co.flush()
+        fp.write(body)
     finally:
         if own:
             fp.close()

@@ -155,6 +155,8 @@ class DicomReader(DataReader):
             blobs = path_or_bytes if isinstance(path_or_bytes, (list, tuple)) else [path_or_bytes]
             dicom_slices = [read_dicom_bytes(b) for b in blobs]
 
+        dicom_slices = _expand_multiframe(dicom_slices)
+
         for _group in group_by:
             if _group not in dicom_slices[0]:
                 raise KeyError(f"Tag {_group} does not exist in dicom")
@@ -178,10 +180,8 @@ class DicomReader(DataReader):
                 dicom_data[val_groupby] = {"headers": [], "arr": []}
             arr2d = ds.pixel_array
             if arr2d.ndim != 2:
-                raise NotImplementedError(
-                    "Multi-frame DICOM files (NumberOfFrames > 1) are not "
-                    "supported by the series reader; split frames into "
-                    "per-slice files first."
+                raise ValueError(
+                    f"Expected one 2D frame per (expanded) dataset, got shape {arr2d.shape}"
                 )
             dicom_data[val_groupby]["headers"].append(ds)
             dicom_data[val_groupby]["arr"].append(arr2d)
@@ -196,6 +196,32 @@ class DicomReader(DataReader):
             affine = to_RAS_affine(headers, default_ornt=default_ornt)
             vols.append(MedicalVolume(arr, affine, headers=headers))
         return vols
+
+    def _group_parsed(self, dicom_slices, group_by, sort_by, default_ornt):
+        """Sort, group, and yield fully-parsed slices as MedicalVolumes."""
+        for _group in group_by:
+            if _group not in dicom_slices[0]:
+                raise KeyError(f"Tag {_group} does not exist in dicom")
+        if sort_by:
+            try:
+                idxs = index_natsorted(
+                    dicom_slices,
+                    key=lambda x: tuple(
+                        _unpack_dicom_attr(x, attr, required=True) for attr in sort_by
+                    ),
+                )
+                dicom_slices = [dicom_slices[i] for i in idxs]
+            except KeyError as e:
+                raise KeyError(f"Tag not found in dicom - {e}")
+        grouped: Dict[tuple, List[Dataset]] = {}
+        for ds in dicom_slices:
+            key = tuple(_unpack_dicom_attr(ds, attr, required=True) for attr in group_by)
+            grouped.setdefault(key, []).append(ds)
+        for key in sorted(grouped.keys()):
+            headers = grouped[key]
+            arr = np.stack([ds.pixel_array for ds in headers], axis=-1)
+            affine = to_RAS_affine(headers, default_ornt=default_ornt)
+            yield MedicalVolume(arr, affine, headers=headers)
 
     def iter_groups(
         self,
@@ -243,6 +269,13 @@ class DicomReader(DataReader):
 
         # Pass 1 — metadata only: group/sort keys without touching pixels.
         light = [read_dicom_bytes(b, stop_before_pixels=True) for b in blobs]
+        if any(int(ds.get("NumberOfFrames") or 1) > 1 for ds in light):
+            # Multi-frame groups/sort keys live per-frame inside the file;
+            # the two-pass pixel-deferral scheme cannot apply. Parse fully,
+            # expand frames, and group eagerly (still yielded per group).
+            full = _expand_multiframe([read_dicom_bytes(b) for b in blobs])
+            yield from self._group_parsed(full, group_by, sort_by, default_ornt)
+            return
         for _group in group_by:
             if _group not in light[0]:
                 raise KeyError(f"Tag {_group} does not exist in dicom")
@@ -272,16 +305,7 @@ class DicomReader(DataReader):
 
         for key in sorted(grouped.keys()):
             headers = parse_group(grouped[key])
-            arrs = []
-            for ds in headers:
-                arr2d = ds.pixel_array
-                if arr2d.ndim != 2:
-                    raise NotImplementedError(
-                        "Multi-frame DICOM files (NumberOfFrames > 1) are not "
-                        "supported by the series reader; split frames into "
-                        "per-slice files first."
-                    )
-                arrs.append(arr2d)
+            arrs = [ds.pixel_array for ds in headers]
             affine = to_RAS_affine(headers, default_ornt=default_ornt)
             yield MedicalVolume(np.stack(arrs, axis=-1), affine, headers=headers)
 
@@ -389,6 +413,15 @@ class DicomWriter(DataWriter):
                 )
 
     write = DataWriter.__call__
+
+
+def _expand_multiframe(dicom_slices: List[Dataset]) -> List[Dataset]:
+    """Expand any multi-frame datasets into per-frame classic datasets."""
+    if all(int(ds.get("NumberOfFrames") or 1) <= 1 for ds in dicom_slices):
+        return dicom_slices
+    from dosma_tpu.core.io.dicom.multiframe import expand_frames
+
+    return list(itertools.chain.from_iterable(expand_frames(ds) for ds in dicom_slices))
 
 
 def to_RAS_affine(headers: List[Dataset], default_ornt: Tuple[str, str] = None) -> np.ndarray:

@@ -5,12 +5,58 @@ forward model ``y = a*exp(b*x)`` (ref ``util.py:120-132``) and fake DICOM
 headers (ref ``util.py:136-192``).
 """
 
+import os
+
 import numpy as np
 
 from dosma_tpu.core.io.dicom import Dataset
 from dosma_tpu.core.io.dicom.writer import generate_uid
 from dosma_tpu.core.med_volume import MedicalVolume
 from dosma_tpu.core.orientation import to_affine, SAGITTAL
+
+# --- Env-gated real-data tier (model: reference ``tests/util.py:25-52``) ----
+#
+# Point ``DOSMA_UNITTEST_DATA_PATH`` at a directory holding real scans /
+# golden outputs / pretrained weights and the skip-gated tests in
+# ``tests/test_real_data.py`` light up. Layout mirrors the reference:
+#
+#   <data>/scans/{qdess,mapss,cubequant,cones}/dicoms/   real DICOM series
+#   <data>/datasets/oai/test_001_V00.nii.gz              OAI test volume
+#   <data>/datasets/oai/expected/*.npy                   golden masks
+#   <data>/weights/<alias>/*.h5                          pretrained weights
+UNITTEST_DATA_PATH = os.environ.get(
+    "DOSMA_UNITTEST_DATA_PATH", os.path.join(os.path.dirname(__file__), "../unittest-data/")
+)
+UNITTEST_SCANDATA_PATH = os.path.join(UNITTEST_DATA_PATH, "scans")
+UNITTEST_WEIGHTS_PATH = os.environ.get(
+    "DOSMA_WEIGHTS_PATH", os.path.join(UNITTEST_DATA_PATH, "weights")
+)
+
+SCANS = ["qdess", "mapss", "cubequant", "cones"]
+SCANS_INFO = {
+    "mapss": {"expected_num_echos": 7},
+    "qdess": {"expected_num_echos": 2},
+    "cubequant": {"expected_num_echos": 4},
+    "cones": {"expected_num_echos": 4},
+}
+
+
+def is_data_available() -> bool:
+    """True when the real-data directory exists (and isn't disabled)."""
+    disable_data = os.environ.get("DOSMA_UNITTEST_DISABLE_DATA", "").lower() == "true"
+    return not disable_data and os.path.isdir(UNITTEST_DATA_PATH)
+
+
+def are_weights_available(alias: str) -> bool:
+    return os.path.isdir(os.path.join(UNITTEST_WEIGHTS_PATH, alias))
+
+
+def get_scan_dirpath(scan: str) -> str:
+    return os.path.join(UNITTEST_SCANDATA_PATH, scan)
+
+
+def get_dicoms_path(fp: str) -> str:
+    return os.path.join(fp, "dicoms")
 
 
 def build_dummy_headers(shape, fields=None):
