@@ -168,6 +168,16 @@ class ScanIOMixin:
 
         os.makedirs(path, exist_ok=True)
         state = {attr: getattr(self, attr) for attr in self.__serializable_variables__()}
+        # Snapshot the reference header (sans pixel bytes) so header-derived
+        # metadata survives reload even when volumes are externalized to a
+        # header-less image format. ``ScanSequence.ref_dicom`` falls back to
+        # this when the reloaded volumes carry no headers.
+        ref = getattr(self, "ref_dicom", None)
+        if ref is not None:
+            ref = ref.copy()
+            if "PixelData" in ref:
+                del ref["PixelData"]
+            state["_ref_dicom_state"] = ref
         if save_custom:
             state = self._save(
                 state, path, image_data_format=image_data_format, num_workers=num_workers

@@ -44,6 +44,13 @@ class ScanSequence(ScanIOMixin):
         )
         self.tissues = []
         self._metadata = {}
+        # Pixel-stripped copy of the reference DICOM header, persisted by
+        # ``ScanIOMixin.save`` so header-derived metadata (acquisition
+        # parameters, private tags) survives a save/load round trip even
+        # when volumes are externalized to a header-less format (NIfTI).
+        # The reference loses this metadata on reload (its ``ref_dicom`` is
+        # also a property over volume headers) — fixed here.
+        self._ref_dicom_state = None
 
     def __validate_scan__(self) -> bool:
         return True
@@ -69,10 +76,14 @@ class ScanSequence(ScanIOMixin):
 
     @property
     def ref_dicom(self):
-        """First header of the first volume (ref ``scans.py:130-139``)."""
+        """First header of the first volume (ref ``scans.py:130-139``);
+        falls back to the header snapshot persisted at save time when the
+        reloaded volumes carry no DICOM headers."""
         vol = self.volumes[0] if isinstance(self.volumes, (list, tuple)) else self.volumes
         headers = vol.headers(flatten=True)
-        return headers[0] if headers is not None else None
+        if headers is not None:
+            return headers[0]
+        return getattr(self, "_ref_dicom_state", None)
 
     def __add_tissue__(self, new_tissue):
         if any(tissue.ID == new_tissue.ID for tissue in self.tissues):

@@ -166,6 +166,37 @@ class TestSaveLoad:
                 MockScan.load(data)
 
 
+class TestRefDicomPersistence:
+    def test_metadata_survives_headerless_reload(self, tmp_path):
+        """save_custom=True externalizes volumes to NIfTI (no DICOM headers);
+        header-derived metadata (acquisition params, private tags) must still
+        resolve after reload via the persisted ``_ref_dicom_state`` snapshot.
+        The reference loses this metadata (its ``ref_dicom`` is a property
+        over reloaded, header-less volumes)."""
+        from dosma_tpu.core.io.dicom import Tag
+        from dosma_tpu.core.io.format_io import ImageDataFormat
+        from dosma_tpu.scan_sequences.mri.qdess import QDess
+
+        d = os.path.join(str(tmp_path), "qdess_src")
+        write_dicom_series(
+            d, shape=(8, 8, 2), n_echos=2,
+            extra={Tag(0x0019, 0x10B6): 3132.0, Tag(0x0019, 0x10B7): 1560.0},
+        )
+        scan = QDess.from_dicom(d)
+        save = os.path.join(str(tmp_path), "saved")
+        scan.save(save, save_custom=True, image_data_format=ImageDataFormat.nifti)
+
+        loaded = QDess.load(save)
+        # Volumes reloaded from NIfTI — no per-slice headers...
+        assert loaded.volumes[0].headers() is None
+        # ...yet the reference header (and its private tags) still resolves.
+        assert loaded.ref_dicom is not None
+        assert float(loaded.get_metadata(loaded.__GL_AREA_TAG__)) == 3132.0
+        assert float(loaded.get_metadata(loaded.__TG_TAG__)) == 1560.0
+        # Pixel bytes were stripped from the snapshot.
+        assert "PixelData" not in loaded.ref_dicom
+
+
 class TestNestedPlaceholders:
     def test_placeholder_inside_placeholder_container(self, dicom_dir, tmp_path):
         """Placeholders nested inside a placeholder-wrapped container must

@@ -94,6 +94,75 @@ class TestSegmentCommandLine:
         parse_args(cmd.split())
         assert os.path.isfile(save / "fc" / "fc.nii.gz")
 
+    def test_qdess_segment_to_analytics_realistic(self, tmp_path, monkeypatch, caplog):
+        """Full coupling on a plausible mask: segmentation -> set_mask ->
+        split_regions -> T2 map -> knee regional analytics. A condyle-shaped
+        (annular-arc) mask is injected at the model boundary so the femoral
+        region split runs its happy path — the too-few-voxels bailout that
+        random weights trigger must NOT fire (ref flow
+        ``/root/reference/dosma/cli.py:589-647``)."""
+        import logging
+
+        import jax
+
+        from dosma_tpu import cli as cli_mod
+        from dosma_tpu.core.med_volume import MedicalVolume
+        from dosma_tpu.models.unet2d import init_unet2d_params
+        from dosma_tpu.models.weights import save_keras_unet2d_weights
+
+        src = tmp_path / "dicoms"
+        save = tmp_path / "out"
+        weights = tmp_path / "weights"
+        weights.mkdir()
+        save_keras_unet2d_weights(
+            str(weights / "iwoai-2019-unet2d_fc-tc-pc-men_weights.h5"),
+            init_unet2d_params(jax.random.PRNGKey(0), num_classes=4),
+        )
+        write_dicom_series(
+            str(src), shape=(64, 64, 8), n_echos=2, plane="sagittal",
+            echo_times=[8.0, 42.0],
+            extra={
+                Tag(0x0019, 0x10B6): 3132.0,
+                Tag(0x0019, 0x10B7): 1560.0,
+                "RepetitionTime": 25.0,
+                "FlipAngle": 30.0,
+            },
+        )
+
+        class _CondyleModel:
+            """Stub SegModel producing an annular condyle-like arc."""
+
+            batch_size = 4
+
+            def generate_mask(self, volume):
+                h, w, d = volume.shape[:3]
+                yv, xv = np.meshgrid(range(h), range(w), indexing="ij")
+                cx, cy, R = w / 2, h / 2, h / 3
+                rad = np.sqrt((xv - cx) ** 2 + (yv - cy) ** 2)
+                annulus = (rad > R * 0.8) & (rad < R * 1.1) & (yv > cy - R)
+                arr = np.repeat(annulus[..., None], d, axis=2).astype(np.uint8)
+                mask = MedicalVolume(arr, np.asarray(volume.affine))
+                return {k: mask for k in ("fc", "tc", "pc", "men")}
+
+        monkeypatch.setattr(cli_mod, "get_model", lambda *a, **k: _CondyleModel())
+
+        with caplog.at_level(logging.WARNING):
+            parse_args(
+                f"--d {src} --s {save} qdess --fc segment "
+                f"--weights_dir {weights} --model iwoai-2019-t6 --rss".split()
+            )
+            parse_args(f"--l {save} qdess --fc generate_t2_map --t1 1200".split())
+            parse_args(f"--l {save} --s {save} knee --fc --t2 --ml".split())
+
+        bailouts = [r for r in caplog.records if "too few voxels" in r.getMessage()]
+        assert not bailouts, [r.getMessage() for r in bailouts]
+        assert os.path.isfile(save / "fc" / "fc.nii.gz")
+        # Regional analytics were produced (xlsx metrics under the tissue dir).
+        import pathlib
+
+        fc_files = [str(p) for p in pathlib.Path(save / "fc").rglob("*")]
+        assert any(f.endswith(".xlsx") for f in fc_files), fc_files
+
 
 def test_tuple_parameter_comma_string():
     """Tuple-typed action parameters with defaults parse '0,100' into
