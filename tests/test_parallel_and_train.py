@@ -48,6 +48,40 @@ class TestShardedFit:
         assert sharded.shape[0] == 16  # padded to multiple of 8
         assert pad == 6
 
+    def test_masked_fit_uneven_shards_scatter_back(self):
+        """Mask-select -> sharded fit -> scatter-back with a selected count
+        that does NOT divide the device count: the padded lanes must neither
+        poison the fit nor leak into the rewrapped volume."""
+        from dosma_tpu.ops.nlls import lm_fit
+        from dosma_tpu.parallel.sharding import get_mesh, sharded_lm_fit
+
+        rs = np.random.RandomState(7)
+        shape = (9, 11, 7)  # 693 voxels
+        x = np.array([5.0, 15.0, 30.0, 60.0], np.float32)
+        b = -1 / (rs.rand(*shape).astype(np.float32) * 70 + 10)
+        vol = np.exp(b[..., None] * x)  # (9, 11, 7, 4)
+        mask = rs.rand(*shape) > 0.45
+        assert mask.sum() % 8 != 0  # uneven on the 8-device mesh
+
+        Y = vol[mask].astype(np.float32)  # (n_sel, T)
+        p0 = np.array([1.0, -1 / 30], np.float32)
+
+        def mono(xc, p):
+            return p[0] * jnp.exp(p[1] * xc)
+
+        popt_s, _r2, conv = sharded_lm_fit(mono, x, Y, p0, mesh=get_mesh(), max_iter=60)
+        popt_1, _r2_1, _c1 = lm_fit(mono, x, Y, p0, max_iter=60)
+        popt_s, popt_1 = np.asarray(popt_s), np.asarray(popt_1)
+        assert popt_s.shape == (int(mask.sum()), 2)
+        assert np.asarray(conv).mean() > 0.95
+        np.testing.assert_allclose(popt_s, popt_1, atol=1e-4)
+
+        # Scatter back into the volume: unmasked voxels stay at the fill.
+        tc = np.full(shape, np.nan, np.float32)
+        tc[mask] = -1.0 / popt_s[:, 1]
+        assert np.isnan(tc[~mask]).all()
+        np.testing.assert_allclose(tc[mask], -1.0 / b[mask], rtol=5e-3)
+
     def test_pallas_kernel_under_shard_map_matches_generic(self):
         """The flagship fused kernel runs per-shard via shard_map and agrees
         with the generic engine on an 8-virtual-device mesh (VERDICT r1 #8).
