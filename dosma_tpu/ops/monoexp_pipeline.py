@@ -21,11 +21,14 @@ __all__ = ["monoexp_fit_full"]
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_polyfit_seed", "max_iter", "decimals", "has_mask"),
+    static_argnames=(
+        "use_polyfit_seed", "max_iter", "decimals", "has_mask", "uniform_x"
+    ),
 )
 def _monoexp_pipeline(
     x, yT, mask_flat, tc0_b, lb, ub, r2_threshold, nan_fill,
     use_polyfit_seed: bool, max_iter: int, decimals: Optional[int], has_mask: bool,
+    uniform_x: bool = False,
 ):
     from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas
 
@@ -44,7 +47,9 @@ def _monoexp_pipeline(
             [jnp.ones((N,), yT.dtype), jnp.full((N,), tc0_b, yT.dtype)], axis=-1
         )
 
-    popt, r2, _conv = monoexp_lm_pallas(x, yT, p0, max_iter=max_iter, y_layout="tn")
+    popt, r2, _conv = monoexp_lm_pallas(
+        x, yT, p0, max_iter=max_iter, y_layout="tn", uniform_x=uniform_x
+    )
 
     # rate → time constant (out_ufunc 1/|b|), bounds, r² threshold, nan fill.
     tc = 1.0 / jnp.abs(popt[:, 1])
@@ -85,6 +90,9 @@ def monoexp_fit_full(
     Returns:
         (tc_map (N,), r2 (N,)) jax arrays.
     """
+    from dosma_tpu.ops.monoexp_pallas import _detect_uniform_x
+
+    uniform_x = _detect_uniform_x(x)  # x is concrete here (pre-jit)
     yT = jnp.asarray(yT)
     if yT.dtype != jnp.float32:
         yT = yT.astype(jnp.float32)
@@ -106,4 +114,5 @@ def monoexp_fit_full(
         use_polyfit, int(max_iter),
         None if decimal_precision is None else int(decimal_precision),
         has_mask,
+        uniform_x,
     )

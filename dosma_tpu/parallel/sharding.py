@@ -163,7 +163,12 @@ def _shard_mapped_pallas(
     from jax import shard_map
 
     if kernel == "pallas_monoexp":
+        from dosma_tpu.ops.monoexp_pallas import _detect_uniform_x
         from dosma_tpu.ops.monoexp_pallas import monoexp_lm_pallas as kernel_fn
+
+        # x is concrete here; inside shard_map it traces, so resolve the
+        # uniform-spacing specialization before entering.
+        kwargs.setdefault("uniform_x", _detect_uniform_x(x))
     else:
         from dosma_tpu.ops.biexp_pallas import biexp_lm_pallas as kernel_fn
 
