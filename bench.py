@@ -65,6 +65,33 @@ def _readback(x):
     return float(jnp.sum(x))
 
 
+def _marginal(fn, iters=3):
+    """Device-marginal cost of ``fn`` (a zero-arg callable returning a device
+    array): time TWO back-to-back calls under one scalar readback minus ONE
+    call, min over ``iters``. Crucially, BOTH readback programs — including
+    the two-result combiner — are compiled during warmup: the r2 bench
+    timed the combiner's first call, so its multi-second tunnel compile
+    landed in the "marginal" number (config2 reported 79.8 s for an 0.8 s
+    computation).
+    """
+
+    def _two():
+        va, vb = fn(), fn()
+        return _readback(va.ravel()[0] + vb.ravel()[0])
+
+    _readback(fn())  # warm fn + single-readback program
+    _two()  # warm the two-call combiner program
+    ones, twos = [], []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _readback(fn())
+        ones.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _two()
+        twos.append(time.perf_counter() - t0)
+    return max(min(twos) - min(ones), 0.0)
+
+
 # ----------------------------------------------------------------------
 # Config 1 (headline): noisy monoexponential fit, 512x512x64 x 4 echoes
 # ----------------------------------------------------------------------
@@ -228,13 +255,7 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
                 FemoralCartilage(), suppress_fat=False
             ).volumetric_map.volume
 
-        _readback(t2_only())
-        t0 = time.perf_counter(); _readback(t2_only()); one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        va, vb = t2_only(), t2_only()
-        _readback(va.ravel()[0] + vb.ravel()[0])
-        two = time.perf_counter() - t0
-        t2_marginal = max(two - one, 0.0)
+        t2_marginal = _marginal(t2_only)
 
         nvox = int(np.prod(shape))
         return {
@@ -307,13 +328,7 @@ def _bench_cubequant_e2e(shape=(192, 192, 48)):
         def fit_only():
             return scan.generate_t1_rho_map().volumetric_map.volume
 
-        _readback(fit_only())
-        t0 = time.perf_counter(); _readback(fit_only()); one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        va, vb = fit_only(), fit_only()
-        _readback(va.ravel()[0] + vb.ravel()[0])
-        two = time.perf_counter() - t0
-        fit_marginal = max(two - one, 0.0)
+        fit_marginal = _marginal(fit_only)
 
         nvox = int(np.prod(shape))
         return {
@@ -395,11 +410,20 @@ def _bench_iwoai_fullvol(shape=(384, 384, 64)):
                 for i in range(0, arr.shape[0], B)
             ]
 
-        outs = fwd_all(); _readback(outs[-1])
-        t0 = time.perf_counter()
-        outs = fwd_all()
-        _readback(sum(o.ravel()[0] for o in outs))
-        dt_fwd = time.perf_counter() - t0
+        def _timed():
+            outs = fwd_all()
+            _readback(sum(o.ravel()[0] for o in outs))
+
+        _timed()  # warm EVERY program incl. the combining readback (the r2
+        # bench compiled the combiner inside the timed region, so its
+        # multi-second tunnel compile made forward "compute" look slower
+        # than the full device-resident pipeline)
+        ts_fwd = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _timed()
+            ts_fwd.append(time.perf_counter() - t0)
+        dt_fwd = min(ts_fwd)
 
         return {
             "shape": list(shape),
@@ -533,6 +557,51 @@ def _bench_registration(shape=(192, 192, 48)):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# Full-grid warp throughput (the apply_warp / interregister inner cost)
+# ----------------------------------------------------------------------
+def _bench_warp(shape=(192, 192, 48)):
+    """Full-grid trilinear warp of one volume under an affine map — the
+    gather-bound primitive behind apply_warp and every stage-output
+    resample (VERDICT r2 weak #4: ~8 Mpts/s via XLA scalar gathers)."""
+    import jax
+
+    from dosma_tpu.ops.registration import warp_volume
+
+    rs = np.random.RandomState(3)
+    vol = rs.rand(*shape).astype(np.float32)
+    aff = np.diag([0.5, 0.5, 2.0, 1.0])
+    ang = 0.07
+    M = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0, 1.2],
+            [np.sin(ang), np.cos(ang), 0, -0.7],
+            [0, 0, 1.0, 0.4],
+            [0, 0, 0, 1.0],
+        ],
+        np.float32,
+    )
+    vd = jax.device_put(vol)
+
+    def one():
+        return warp_volume(vd, M, aff, aff, shape)
+
+    _readback(one())
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r1, r2, r3 = one(), one(), one()
+        _readback(r1.ravel()[0] + r2.ravel()[0] + r3.ravel()[0])
+        times.append((time.perf_counter() - t0) / 3)
+    dt = min(times)
+    n = int(np.prod(shape))
+    return {
+        "shape": list(shape),
+        "warp_seconds": round(dt, 4),
+        "warp_mpts_per_sec": round(n / dt / 1e6, 1),
+    }
 
 
 # ----------------------------------------------------------------------
@@ -684,6 +753,7 @@ def main():
     c5 = _try(_bench_bilateral_pipeline)
     reg = _try(_bench_registration)
     bspl = _try(_bench_bspline_registration)
+    warp = _try(_bench_warp)
 
     vs_baseline = c1["voxels_per_sec"] / c1["scipy_baseline_voxels_per_sec"]
 
@@ -703,6 +773,7 @@ def main():
                     "config5_bilateral_pipeline": c5,
                     "registration_affine_pair": reg,
                     "registration_bspline_pair": bspl,
+                    "warp_fullgrid": warp,
                     "biexp_pallas_fit": biexp,
                     "unet_seg_slices_per_sec_384x384_b16": unet_rate,
                     "unet_seg_slices_per_sec_384x384_b64": unet_rate_b64,
