@@ -42,6 +42,26 @@ def make_control_grid(fixed_shape, fixed_affine, grid_spacing_mm: float):
     return tuple(int(s) for s in shape), spacing_vox
 
 
+_DENSE_MAX_POINTS = 65536  # evaluate dense (MXU) up to this K; slab above
+
+
+def _basis_profile(u: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Dense cubic B-spline basis profile (K, g) for continuous control
+    coords ``u`` (K,): row k holds the 4 non-zero basis weights scattered
+    onto their control indices by one-hot comparison (clipped to the
+    border, replicating edge control points exactly like the gather
+    formulation this replaced).
+    """
+    i0 = jnp.floor(u).astype(jnp.int32) - 1
+    w = _cubic_bspline_weights(u - jnp.floor(u))
+    iota = jnp.arange(g, dtype=jnp.int32)
+    W = jnp.zeros((u.shape[0], g), u.dtype)
+    for a in range(4):
+        ia = jnp.clip(i0 + a, 0, g - 1)
+        W = W + (iota[None, :] == ia[:, None]) * w[a][:, None]
+    return W
+
+
 def bspline_displacement(
     ctrl: jnp.ndarray, idx_pts: jnp.ndarray, spacing_vox: jnp.ndarray
 ) -> jnp.ndarray:
@@ -50,29 +70,40 @@ def bspline_displacement(
     ``ctrl``: (3, gx, gy, gz) control displacements (world/mm units).
     The grid is anchored so control point (1,1,1) sits at index (0,0,0)
     (one-cell margin for the cubic support).
+
+    Evaluated as THREE dense per-axis basis contractions (einsum over the
+    full — tiny — control grid) rather than 64 neighborhood gathers: on
+    TPU the dense form runs on the MXU/VPU and, critically, its VJP with
+    respect to ``ctrl`` is the TRANSPOSED contraction (a dense matmul)
+    instead of 64 scatter-adds per optimization step — scatter is the
+    slowest XLA primitive on TPU and dominated the FFD stage's wall time.
+    Large K (full-grid warps) runs in fixed-size slabs to bound the
+    (K, gx·gy) intermediates.
     """
+    import jax
+
     g = jnp.asarray(ctrl)
-    _, gx, gy, gz = g.shape
+    K = idx_pts.shape[1]
+    if K > _DENSE_MAX_POINTS:
+        chunk = _DENSE_MAX_POINTS
+        nc = -(-K // chunk)
+        pad = nc * chunk - K
+        p = jnp.pad(idx_pts, ((0, 0), (0, pad)))
+        slabs = p.reshape(3, nc, chunk).transpose(1, 0, 2)
+        out = jax.lax.map(lambda s: _bspline_disp_dense(g, s, spacing_vox), slabs)
+        return out.transpose(1, 0, 2).reshape(3, -1)[:, :K]
+    return _bspline_disp_dense(g, idx_pts, spacing_vox)
 
+
+def _bspline_disp_dense(g, idx_pts, spacing_vox):
     u = idx_pts / spacing_vox[:, None] + 1.0  # continuous control coords
-    i0 = jnp.floor(u).astype(jnp.int32) - 1
-    t = u - jnp.floor(u)
-
-    wx = _cubic_bspline_weights(t[0])
-    wy = _cubic_bspline_weights(t[1])
-    wz = _cubic_bspline_weights(t[2])
-
-    out = jnp.zeros((3, idx_pts.shape[1]), g.dtype)
-    for a in range(4):
-        ia = jnp.clip(i0[0] + a, 0, gx - 1)
-        for b_i in range(4):
-            ib = jnp.clip(i0[1] + b_i, 0, gy - 1)
-            wab = wx[a] * wy[b_i]
-            for c in range(4):
-                ic = jnp.clip(i0[2] + c, 0, gz - 1)
-                w = wab * wz[c]
-                out = out + w[None, :] * g[:, ia, ib, ic]
-    return out
+    _, gx, gy, gz = g.shape
+    Wx = _basis_profile(u[0], gx)  # (K, gx)
+    Wy = _basis_profile(u[1], gy)
+    Wz = _basis_profile(u[2], gz)
+    A = jnp.einsum("kz,cxyz->ckxy", Wz, g)
+    B = jnp.einsum("ky,ckxy->ckx", Wy, A)
+    return jnp.einsum("kx,ckx->ck", Wx, B)
 
 
 def bending_energy(ctrl: jnp.ndarray) -> jnp.ndarray:
