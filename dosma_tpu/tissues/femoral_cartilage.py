@@ -77,8 +77,6 @@ class FemoralCartilage(Tissue):
     # ------------------------------------------------------------------
     def split_regions(self, base_map, thickness_divisor=0.5, num_bins=72, theta=(-270, 90)):
         """Split mask into 3x2x3 anatomical regions (ref ``:86-194``)."""
-        import scipy.ndimage as sni
-
         dtheta = 360 / num_bins
         theta_min, theta_max = tuple(theta)
 
@@ -110,58 +108,64 @@ class FemoralCartilage(Tissue):
 
         # STEP 3: per-(bin, slice) radial thresholds — vectorized scatter
         # min/max over valid voxels (replaces ref ``:139-152`` loops).
-        valid = mask > 0
-        bin_idx3 = np.broadcast_to(theta_bins[..., None], mask.shape).astype(np.int32)
-        slice_idx3 = np.broadcast_to(
-            np.arange(num_slices, dtype=np.int32)[None, None, :], mask.shape
-        )
-        keys = (bin_idx3 * num_slices + slice_idx3)[valid]
-        rho3 = np.broadcast_to(rho[..., None], mask.shape)
-        rho_valid = rho3[valid]
+        # Valid voxels are extracted ONCE via nonzero; all scatter inputs
+        # are gathered through the (iy, ix, iz) index lists, so no full-
+        # volume int/f64 temporaries are ever materialized (the broadcast
+        # formulation cost ~0.7 s/knee at 384x384x32).
+        iy, ix, iz = np.nonzero(mask > 0)
+        bins2d = theta_bins.astype(np.int32)
+        keys = bins2d[iy, ix] * num_slices + iz.astype(np.int32)
+        rho_valid = rho[iy, ix]
 
         nkeys = num_bins * num_slices
-        rho_min = np.full(nkeys, np.inf)
-        rho_max = np.full(nkeys, -np.inf)
+        rho_min = np.full(nkeys, np.inf, dtype=np.float32)
+        rho_max = np.full(nkeys, -np.inf, dtype=np.float32)
         np.minimum.at(rho_min, keys, rho_valid)
         np.maximum.at(rho_max, keys, rho_valid)
         has_any = np.isfinite(rho_min)
-        thresholds = np.zeros(nkeys)
+        thresholds = np.zeros(nkeys, dtype=np.float32)
         thresholds[has_any] = (
-            thickness_divisor * (rho_max[has_any] - rho_min[has_any]) + rho_min[has_any]
+            np.float32(thickness_divisor) * (rho_max[has_any] - rho_min[has_any])
+            + rho_min[has_any]
         )
-        rhos_threshold_volume = thresholds[bin_idx3 * num_slices + slice_idx3]
+        # (height, width, num_slices) f32 gather from the small table.
+        rhos_threshold_volume = thresholds.reshape(num_bins, num_slices)[bins2d]
 
-        regions_volume = np.zeros(mask.shape, dtype=np.uint16)
-
-        # anterior/central/posterior (θ thresholds -105 / -75).
+        # anterior/central/posterior (θ thresholds -105 / -75) — 2D bits.
         acp_map = (
             self._ANTERIOR_KEY * (th < -105)
             + self._CENTRAL_KEY * np.logical_and(th >= -105, th < -75)
             + self._POSTERIOR_KEY * (th >= -75)
-        )
-        regions_volume += np.asarray(
-            np.broadcast_to(acp_map[..., None], mask.shape), dtype=np.uint16
-        )
+        ).astype(np.uint16)
 
         # medial/lateral at center-of-mass slice, honoring scan direction.
-        com_slicewise = sni.center_of_mass(mask)[-1]
-        ml_volume = np.zeros(mask.shape, dtype=np.uint16)
+        # Slice-wise weighted sum == scipy.ndimage.center_of_mass(mask)[-1]
+        # (same formula, f64 accumulation) without the other two axes.
+        slice_sums = mask.sum(axis=(0, 1), dtype=np.float64)
+        com_slicewise = float(
+            (slice_sums * np.arange(num_slices)).sum() / slice_sums.sum()
+        )
         boundary = int(np.ceil(com_slicewise))
+        ml_row = np.empty(num_slices, dtype=np.uint16)
         if self.medial_to_lateral:
-            ml_volume[..., :boundary] = self._MEDIAL_KEY
-            ml_volume[..., boundary:] = self._LATERAL_KEY
+            ml_row[:boundary] = self._MEDIAL_KEY
+            ml_row[boundary:] = self._LATERAL_KEY
         else:
-            ml_volume[..., :boundary] = self._LATERAL_KEY
-            ml_volume[..., boundary:] = self._MEDIAL_KEY
-        regions_volume += ml_volume
+            ml_row[:boundary] = self._LATERAL_KEY
+            ml_row[boundary:] = self._MEDIAL_KEY
 
         # deep/superficial at the radial threshold (note: both bits set on
-        # the threshold surface itself — reference parity).
-        deep_volume = (rho3 <= rhos_threshold_volume) * self._DEEP_KEY
-        superficial_volume = (rho3 >= rhos_threshold_volume) * self._SUPERFICIAL_KEY
-        regions_volume += np.asarray(
-            deep_volume + superficial_volume + self._TOTAL_AXIAL_KEY, dtype=np.uint16
-        )
+        # the threshold surface itself — reference parity). Assembled in
+        # uint16 end to end; the only 3D comparisons are f32 vs f32.
+        rho_col = rho[:, :, None]
+        regions_volume = acp_map[:, :, None] + ml_row[None, None, :]
+        deep_bits = (rho_col <= rhos_threshold_volume).astype(np.uint16)
+        deep_bits <<= 5  # _DEEP_KEY
+        regions_volume += deep_bits
+        sup_bits = (rho_col >= rhos_threshold_volume).astype(np.uint16)
+        sup_bits <<= 6  # _SUPERFICIAL_KEY
+        regions_volume += sup_bits
+        regions_volume += np.uint16(self._TOTAL_AXIAL_KEY)
 
         acp_boundary = [
             int(np.floor((-105 - theta_min) / dtheta)),
@@ -187,32 +191,35 @@ class FemoralCartilage(Tissue):
             raise ValueError("t2_map and mask must be 3D")
 
         num_slices = qv_map.shape[-1]
-        qv = np.nan_to_num(qv_map) * mask
-        qv = np.where(qv <= 0, np.nan, qv)
 
-        bin_idx3 = np.broadcast_to(theta_bins[..., None].astype(np.int64), qv.shape)
-        slice_idx3 = np.broadcast_to(np.arange(num_slices)[None, None, :], qv.shape)
-        keys = bin_idx3 * num_slices + slice_idx3
+        # Extract the masked voxels once and do everything downstream on
+        # the compressed arrays: the only full-volume pass left is the
+        # uint8 nonzero. Equivalent to the dense formulation
+        # ``where(nan_to_num(qv)*mask <= 0, nan, ...)`` — nan/≤0 voxels
+        # are dropped rather than carried as NaN lanes.
+        my, mx, mz = np.nonzero(mask)
+        vals = np.nan_to_num(qv_map[my, mx, mz]) * mask[my, mx, mz]
+        keep = vals > 0
+        iy, ix, iz = my[keep], mx[keep], mz[keep]
+        vq_sel = vals[keep]
+        keys_sel = theta_bins.astype(np.int64)[iy, ix] * num_slices + iz
+        rm_sel = regions_mask[iy, ix, iz]
         nkeys = num_bins * num_slices
 
-        def scatter_mean(values, where):
+        def scatter_mean(lane):
+            k = keys_sel[lane] if lane is not None else keys_sel
+            v = vq_sel[lane] if lane is not None else vq_sel
             sums = np.zeros(nkeys)
             counts = np.zeros(nkeys)
-            k = keys[where]
-            v = values[where]
             np.add.at(sums, k, v)
             np.add.at(counts, k, 1)
             with np.errstate(invalid="ignore"):
                 out = sums / counts
             return out.reshape(num_bins, num_slices)
 
-        finite = np.isfinite(qv)
-        total = scatter_mean(qv, finite)
-
-        sup_bit = (regions_mask & self._SUPERFICIAL_KEY) == self._SUPERFICIAL_KEY
-        deep_bit = (regions_mask & self._DEEP_KEY) == self._DEEP_KEY
-        superficial = scatter_mean(qv, finite & sup_bit)
-        deep = scatter_mean(qv, finite & deep_bit)
+        total = scatter_mean(None)
+        superficial = scatter_mean((rm_sel & self._SUPERFICIAL_KEY) != 0)
+        deep = scatter_mean((rm_sel & self._DEEP_KEY) != 0)
 
         for arr in (total, superficial, deep):
             arr[arr == 0] = np.nan
@@ -239,8 +246,17 @@ class FemoralCartilage(Tissue):
         qvol = np.asarray(quant_map.volume)
         # Hoisted: nan_to_num makes three full-volume passes, and the
         # masked product is loop-invariant — recomputing them per region
-        # (18x) dominated this method's runtime.
-        masked_q = mask * np.nan_to_num(qvol)
+        # (18x) dominated this method's runtime. The >0 selection is also
+        # loop-invariant, so extract the candidate voxels ONCE and run all
+        # 18 region selections on the compressed arrays (the full-volume
+        # per-region products cost ~1.2 s/knee at 384x384x32).
+        my, mx, mz = np.nonzero(mask)
+        masked_vals = np.asarray(mask[my, mx, mz]) * np.nan_to_num(
+            np.asarray(qvol[my, mx, mz], dtype=np.float64)
+        )
+        keep = masked_vals > 0
+        vq_sel = masked_vals[keep]
+        rm_sel = regions_mask[my, mx, mz][keep]
 
         pd_header = ["Subject", "Location", "Side", "Region", "Mean", "Std", "Median", "# Voxels"]
         pd_list = []
@@ -248,9 +264,7 @@ class FemoralCartilage(Tissue):
             for sagittal_ind, sagittal in enumerate(self._SAGITTAL_KEYS):
                 for coronal_ind, coronal in enumerate(self._CORONAL_KEYS):
                     roi = axial | coronal | sagittal
-                    region = self.__binarize_region_mask__(regions_mask, roi)
-                    vals = region * masked_q
-                    qv_region_vals = vals[vals > 0]
+                    qv_region_vals = vq_sel[(rm_sel & roi) == roi]
                     num_voxels = len(qv_region_vals)
                     with warnings.catch_warnings():
                         warnings.simplefilter("ignore", RuntimeWarning)
