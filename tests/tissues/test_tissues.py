@@ -233,3 +233,114 @@ def test_load_data_dispatches_set_mask(tmp_path):
     tc2.load_data(str(tmp_path))
     assert tc2.get_mask() is not None
     assert tc2.regions_mask is not None
+
+
+class TestVectorizedAnalyticsParity:
+    """Pin the extract-once/scatter implementations to a brute-force
+    per-(bin, slice) loop transcription of the reference algorithm
+    (ref femoral_cartilage.py:86-285)."""
+
+    def test_split_regions_matches_bruteforce(self):
+        from dosma_tpu.utils.geometry_utils import cart2pol, circle_fit
+
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map(shape=(48, 48, 9))
+        fc.set_mask(mask, use_largest_cc=False, split_regions=True)
+        regions = fc.regions_mask
+
+        # --- brute force, straight from the reference's loop structure ---
+        m = np.asarray(mask.A, np.float32)
+        m = m * np.nan_to_num(m)
+        h, w, d = m.shape
+        proj = np.max(m, 2)
+        nz = np.nonzero(proj)
+        xc, yc, _ = circle_fit(nz[1], nz[0])
+        yv, xv = np.meshgrid(
+            np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij"
+        )
+        rho, th = cart2pol(xv - np.float32(xc), np.float32(yc) - yv)
+        th = (th >= 90) * (th - 360) + (th < 90) * th
+        bins = np.floor((th + 270) / 5).astype(int)
+        thr = np.zeros((72, d), np.float32)
+        for b in range(72):
+            for s in range(d):
+                sel = (bins == b)[:, :, None] & (np.arange(d) == s)[None, None, :] & (m > 0)
+                if sel.any():
+                    r = rho[np.any(sel, axis=2)]
+                    rmin, rmax = np.float32(r.min()), np.float32(r.max())
+                    thr[b, s] = np.float32(0.5) * (rmax - rmin) + rmin
+        expected = np.zeros(m.shape, np.uint16)
+        slice_sums = m.sum(axis=(0, 1), dtype=np.float64)
+        com = float((slice_sums * np.arange(d)).sum() / slice_sums.sum())
+        boundary = int(np.ceil(com))
+        for i in range(h):
+            for j in range(w):
+                for s in range(d):
+                    v = 0
+                    v |= (
+                        fc._ANTERIOR_KEY
+                        if th[i, j] < -105
+                        else (fc._CENTRAL_KEY if th[i, j] < -75 else fc._POSTERIOR_KEY)
+                    )
+                    v |= fc._MEDIAL_KEY if s < boundary else fc._LATERAL_KEY
+                    t = thr[bins[i, j], s]
+                    if rho[i, j] <= t:
+                        v |= fc._DEEP_KEY
+                    if rho[i, j] >= t:
+                        v |= fc._SUPERFICIAL_KEY
+                    v |= fc._TOTAL_AXIAL_KEY
+                    expected[i, j, s] = v
+        np.testing.assert_array_equal(regions, expected)
+
+    def test_unroll_matches_bruteforce(self):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map(shape=(48, 48, 9))
+        fc.set_mask(mask, use_largest_cc=False, split_regions=True)
+        q = np.asarray(qmap.A)
+        total, superficial, deep = fc.unroll(q, fc.regions_mask, fc.theta_bins)
+
+        m = np.asarray(mask.A)
+        bins = fc.theta_bins.astype(int)
+        d = q.shape[-1]
+        nb = int(np.max(bins)) + 1
+
+        def brute(layer_bit):
+            out = np.full((nb, d), np.nan)
+            for b in range(nb):
+                for s in range(d):
+                    sel = (bins == b)[:, :, None] & (np.arange(d) == s)[None, None, :]
+                    sel = sel & (m > 0) & (np.nan_to_num(q) * m > 0)
+                    if layer_bit:
+                        sel = sel & ((fc.regions_mask & layer_bit) != 0)
+                    if sel.any():
+                        val = q[sel].mean()
+                        out[b, s] = np.nan if val == 0 else val
+            return out
+
+        for got, bit in ((total, 0), (superficial, fc._SUPERFICIAL_KEY), (deep, fc._DEEP_KEY)):
+            np.testing.assert_allclose(got, brute(bit), rtol=1e-12, equal_nan=True)
+
+    def test_region_stats_match_bruteforce(self):
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map(shape=(48, 48, 9))
+        fc.set_mask(mask, use_largest_cc=False, split_regions=True)
+        fc.add_quantitative_value(T2(qmap))
+        fc.calc_quant_vals()
+        df = fc.quant_vals["T2"][1]
+
+        # Reference loop semantics: region bits all set AND masked value > 0.
+        regions, _, _, _ = fc.split_regions(np.asarray(qmap.A))
+        masked_q = np.asarray(mask.A) * np.nan_to_num(np.asarray(qmap.A))
+        idx = 0
+        for axial in fc._AXIAL_KEYS:
+            for sagittal in fc._SAGITTAL_KEYS:
+                for coronal in fc._CORONAL_KEYS:
+                    roi = axial | coronal | sagittal
+                    vals = ((regions & roi) == roi) * masked_q
+                    vals = vals[vals > 0]
+                    row = df.iloc[idx]
+                    assert row["# Voxels"] == len(vals)
+                    if len(vals):
+                        np.testing.assert_allclose(row["Mean"], vals.mean())
+                        np.testing.assert_allclose(row["Median"], np.median(vals))
+                    idx += 1
