@@ -138,17 +138,25 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
         new_cost = jnp.sum(n_r * n_r, axis=0)
         new_cost = jnp.where(jnp.isfinite(new_cost), new_cost, jnp.inf)
 
-        accept = new_cost < cost
-        rel_decrease = (cost - new_cost) <= ftol * jnp.maximum(cost, 1e-30)
+        # Convergence criteria ported from the monoexp VARPRO kernel's f32
+        # findings (DEVNOTES "VARPRO/exact-Newton" item 3): near the optimum
+        # the ACHIEVED reduction falls below the f32 cost resolution and
+        # proposals get noise-rejected, so (a) latch on the PREDICTED
+        # reduction dp.g <= ftol*cost (scipy's ftol criterion,
+        # rejection-proof), (b) accept equal-cost proposals, and (c) grow
+        # lambda x10 on rejection. In the f64/f32 replica this cut the
+        # noisy worst-case lane from 22 to 8 iterations at unchanged
+        # solution quality (rel-RMSE vs the f64 solution ~1e-4).
+        accept = (new_cost <= cost) & jnp.isfinite(new_cost)
+        pred = d1 * g[0] + d2 * g[1] + d3 * g[2] + d4 * g[3]
+        rel_decrease = pred <= ftol * jnp.maximum(cost, 1e-30)
         ratio = lambda d, p: jnp.abs(d) / jnp.maximum(jnp.abs(p), 1e-12)  # noqa: E731
         step_ratio = jnp.maximum(
             jnp.maximum(ratio(d1, a1), ratio(d2, b1)),
             jnp.maximum(ratio(d3, a2), ratio(d4, b2)),
         )
         small_step = step_ratio <= xtol
-        gn_small = small_step & (lam <= 1e-2)
-        at_floor = (~accept) & (lam >= 1e2)
-        newly = (accept & (rel_decrease | small_step)) | gn_small | at_floor
+        newly = rel_decrease | small_step
 
         a1 = jnp.where(accept, n_a1, a1)
         b1 = jnp.where(accept, n_b1, b1)
@@ -158,7 +166,7 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float, xtol: 
         e2 = jnp.where(accept, n_e2, e2)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-12),
-                        jnp.minimum(lam * 3.0, 1e10))
+                        jnp.minimum(lam * 10.0, 1e10))
         converged = jnp.maximum(converged, newly.astype(jnp.float32))
         return it + 1, a1, b1, a2, b2, e1, e2, cost, lam, converged
 
