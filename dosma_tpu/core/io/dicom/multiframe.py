@@ -88,14 +88,19 @@ def expand_frames(ds: Dataset) -> List[Dataset]:
     for kw in _STRIP_KEYWORDS:
         if kw in base:
             del base[kw]
+    if ds.get("SOPClassUID") == T.ENHANCED_MR_IMAGE_STORAGE:
+        base.set_value("SOPClassUID", T.MR_IMAGE_STORAGE)
     if base.file_meta is not None:
         # Pixel bytes are re-serialized native little-endian below; the
         # synthetic headers must not claim the parent's transfer syntax.
         base.file_meta = base.file_meta.copy()
         base.file_meta.set_value("TransferSyntaxUID", T.EXPLICIT_VR_LE)
-        base.file_meta.set_value("MediaStorageSOPClassUID", T.MR_IMAGE_STORAGE)
-    if ds.get("SOPClassUID") == T.ENHANCED_MR_IMAGE_STORAGE:
-        base.set_value("SOPClassUID", T.MR_IMAGE_STORAGE)
+        # Mirror the dataset's (possibly rewritten) SOP class — a non-MR
+        # multi-frame object (e.g. multi-frame Secondary Capture) must not
+        # get file meta claiming MR Image Storage over an SC dataset.
+        sop = base.get("SOPClassUID")
+        if sop:
+            base.file_meta.set_value("MediaStorageSOPClassUID", sop)
 
     # Promote shared macros to classic tags on the base dataset.
     for seq_kw, attr_kw, out_kw in (
@@ -123,17 +128,19 @@ def expand_frames(ds: Dataset) -> List[Dataset]:
     dz = base.get("SpacingBetweenSlices") or base.get("SliceThickness") or 1.0
     ipp0 = base.get("ImagePositionPatient")
 
-    # Per-frame echo times → synthetic classic EchoNumbers.
+    # Per-frame (or shared) echo times → synthetic classic EchoNumbers.
+    # Single-echo exports get EchoNumbers=1 on every frame so the default
+    # ``group_by="EchoNumbers"`` load works on them too.
     echo_times = []
     for i in range(nframes):
         item = perframe[i] if i < len(perframe) else None
         echo_times.append(_fg(item, "MREchoSequence", "EffectiveEchoTime"))
-    have_echoes = any(t is not None for t in echo_times) and len(
-        {t for t in echo_times if t is not None}
-    ) > 1
+    uniq = sorted({float(t) for t in echo_times if t is not None})
+    have_echoes = bool(uniq)
     if have_echoes:
-        uniq = sorted({float(t) for t in echo_times if t is not None})
         echo_index = {t: k + 1 for k, t in enumerate(uniq)}
+    elif base.get("EchoTime") is not None and "EchoNumbers" not in base:
+        base.set_value("EchoNumbers", 1)
 
     from dosma_tpu.core.io.dicom.writer import generate_uid
 

@@ -156,49 +156,13 @@ class DicomReader(DataReader):
             dicom_slices = [read_dicom_bytes(b) for b in blobs]
 
         dicom_slices = _expand_multiframe(dicom_slices)
-
-        for _group in group_by:
-            if _group not in dicom_slices[0]:
-                raise KeyError(f"Tag {_group} does not exist in dicom")
-
-        if sort_by:
-            try:
-                idxs = index_natsorted(
-                    dicom_slices,
-                    key=lambda x: tuple(
-                        _unpack_dicom_attr(x, attr, required=True) for attr in sort_by
-                    ),
-                )
-                dicom_slices = [dicom_slices[i] for i in idxs]
-            except KeyError as e:
-                raise KeyError(f"Tag not found in dicom - {e}")
-
-        dicom_data = {}
-        for ds in dicom_slices:
-            val_groupby = tuple(_unpack_dicom_attr(ds, attr, required=True) for attr in group_by)
-            if val_groupby not in dicom_data:
-                dicom_data[val_groupby] = {"headers": [], "arr": []}
-            arr2d = ds.pixel_array
-            if arr2d.ndim != 2:
-                raise ValueError(
-                    f"Expected one 2D frame per (expanded) dataset, got shape {arr2d.shape}"
-                )
-            dicom_data[val_groupby]["headers"].append(ds)
-            dicom_data[val_groupby]["arr"].append(arr2d)
-
-        vols = []
-        for k in sorted(dicom_data.keys()):
-            dd = dicom_data[k]
-            headers = dd["headers"]
-            if not headers:
-                continue
-            arr = np.stack(dd["arr"], axis=-1)
-            affine = to_RAS_affine(headers, default_ornt=default_ornt)
-            vols.append(MedicalVolume(arr, affine, headers=headers))
-        return vols
+        return list(self._group_parsed(dicom_slices, group_by, sort_by, default_ornt))
 
     def _group_parsed(self, dicom_slices, group_by, sort_by, default_ornt):
-        """Sort, group, and yield fully-parsed slices as MedicalVolumes."""
+        """Sort, group, and yield fully-parsed slices as MedicalVolumes.
+
+        The single grouping implementation behind both :meth:`load` and
+        :meth:`iter_groups` (the two previously carried drifting copies)."""
         for _group in group_by:
             if _group not in dicom_slices[0]:
                 raise KeyError(f"Tag {_group} does not exist in dicom")
@@ -219,7 +183,15 @@ class DicomReader(DataReader):
             grouped.setdefault(key, []).append(ds)
         for key in sorted(grouped.keys()):
             headers = grouped[key]
-            arr = np.stack([ds.pixel_array for ds in headers], axis=-1)
+            arrs = []
+            for ds in headers:
+                arr2d = ds.pixel_array
+                if arr2d.ndim != 2:
+                    raise ValueError(
+                        f"Expected one 2D frame per (expanded) dataset, got shape {arr2d.shape}"
+                    )
+                arrs.append(arr2d)
+            arr = np.stack(arrs, axis=-1)
             affine = to_RAS_affine(headers, default_ornt=default_ornt)
             yield MedicalVolume(arr, affine, headers=headers)
 
@@ -271,10 +243,17 @@ class DicomReader(DataReader):
         light = [read_dicom_bytes(b, stop_before_pixels=True) for b in blobs]
         if any(int(ds.get("NumberOfFrames") or 1) > 1 for ds in light):
             # Multi-frame groups/sort keys live per-frame inside the file;
-            # the two-pass pixel-deferral scheme cannot apply. Parse fully,
-            # expand frames, and group eagerly (still yielded per group).
-            full = _expand_multiframe([read_dicom_bytes(b) for b in blobs])
-            yield from self._group_parsed(full, group_by, sort_by, default_ornt)
+            # the two-pass pixel-deferral scheme cannot apply. Parse fully
+            # (on the worker pool when configured), expand frames, and
+            # group eagerly (still yielded per group).
+            if self.num_workers:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    parsed = list(ex.map(read_dicom_bytes, blobs))
+            else:
+                parsed = [read_dicom_bytes(b) for b in blobs]
+            yield from self._group_parsed(
+                _expand_multiframe(parsed), group_by, sort_by, default_ornt
+            )
             return
         for _group in group_by:
             if _group not in light[0]:
@@ -305,7 +284,14 @@ class DicomReader(DataReader):
 
         for key in sorted(grouped.keys()):
             headers = parse_group(grouped[key])
-            arrs = [ds.pixel_array for ds in headers]
+            arrs = []
+            for ds in headers:
+                arr2d = ds.pixel_array
+                if arr2d.ndim != 2:
+                    raise ValueError(
+                        f"Expected one 2D frame per dataset, got shape {arr2d.shape}"
+                    )
+                arrs.append(arr2d)
             affine = to_RAS_affine(headers, default_ornt=default_ornt)
             yield MedicalVolume(np.stack(arrs, axis=-1), affine, headers=headers)
 

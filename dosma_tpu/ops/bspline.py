@@ -9,6 +9,7 @@ jit/grad-friendly, so the same code serves optimization and resampling.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,8 +81,6 @@ def bspline_displacement(
     Large K (full-grid warps) runs in fixed-size slabs to bound the
     (K, gx·gy) intermediates.
     """
-    import jax
-
     g = jnp.asarray(ctrl)
     K = idx_pts.shape[1]
     if K > _DENSE_MAX_POINTS:
@@ -101,9 +100,14 @@ def _bspline_disp_dense(g, idx_pts, spacing_vox):
     Wx = _basis_profile(u[0], gx)  # (K, gx)
     Wy = _basis_profile(u[1], gy)
     Wz = _basis_profile(u[2], gz)
-    A = jnp.einsum("kz,cxyz->ckxy", Wz, g)
-    B = jnp.einsum("ky,ckxy->ckx", Wy, A)
-    return jnp.einsum("kx,ckx->ck", Wx, B)
+    # f32-faithful contractions (repo convention for registration matmuls,
+    # see ops/registration.py _mm): the default bf16 multiplies cost ~3
+    # decimal digits on O(1) control displacements AND degrade the VJP
+    # driving the ctrl gradients.
+    hi = jax.lax.Precision.HIGHEST
+    A = jnp.einsum("kz,cxyz->ckxy", Wz, g, precision=hi)
+    B = jnp.einsum("ky,ckxy->ckx", Wy, A, precision=hi)
+    return jnp.einsum("kx,ckx->ck", Wx, B, precision=hi)
 
 
 def bending_energy(ctrl: jnp.ndarray) -> jnp.ndarray:

@@ -261,7 +261,9 @@ def _kernel(x_ref, y_ref, p0_ref, out_ref, *, max_iter: int, ftol: float,
         # iterations instead of ~4.
         pred_small = (D * raw * raw) <= ftol * jnp.maximum(cost, 1e-30)
         at_floor = (~accept) & (lam >= 1e2)
-        newly = (accept & (rel_decrease | small_step)) | small_step | pred_small | at_floor
+        # small_step and pred_small latch unconditionally (rejection-proof);
+        # only the achieved-reduction ftol test requires an accepted step.
+        newly = (accept & rel_decrease) | small_step | pred_small | at_floor
 
         b = jnp.where(accept, new_b, b)
         e0c = jnp.where(accept, new_e0, e0c)

@@ -1130,3 +1130,116 @@ class TestCodecReviewRegressions:
         write_dicom(ds, buf2, transfer_syntax=codecs.JPEG_LS_LOSSLESS)
         back2 = read_dicom_bytes(buf2.getvalue())
         assert 0x00282110 not in back2
+
+
+class TestGroupingAndMultiFrameRegressions:
+    """r3 review findings: grouping guards + multi-frame edge cases."""
+
+    def _rgb_series_bytes(self, n=2):
+        rs = np.random.RandomState(5)
+        blobs = []
+        for i in range(n):
+            frame = (rs.rand(8, 8) * 255).astype(np.uint16)
+            ds = _mr_dataset(frame)
+            ds.SamplesPerPixel = 3
+            rgb = np.repeat(frame[..., None], 3, axis=2)
+            ds["PixelData"] = np.ascontiguousarray(rgb).tobytes()
+            ds.InstanceNumber = i + 1
+            ds.ImagePositionPatient = [0.0, 0.0, float(i)]
+            buf = io.BytesIO()
+            write_dicom(ds, buf)
+            blobs.append(buf.getvalue())
+        return blobs
+
+    def test_iter_groups_rejects_color_frames(self):
+        """iter_groups must raise on non-2D frames like load does (it used
+        to silently stack a malformed 4D volume through the prefetch path)."""
+        from dosma_tpu.core.io.dicom_io import DicomReader
+
+        blobs = self._rgb_series_bytes()
+        with pytest.raises(ValueError, match="2D frame"):
+            list(DicomReader().iter_groups(blobs))
+        with pytest.raises(ValueError, match="2D frame"):
+            DicomReader().load(blobs)
+
+    def _enhanced_single_echo(self, nslices=3):
+        from dosma_tpu.core.io.dicom import tags as T
+
+        rs = np.random.RandomState(29)
+        arr = (rs.rand(nslices, 10, 10) * 1000).astype(np.uint16)
+        ds = _mr_dataset(arr, nframes=nslices)
+        del ds["EchoNumbers"]
+        del ds["EchoTime"]
+        ds.SOPClassUID = T.ENHANCED_MR_IMAGE_STORAGE
+
+        shared = Dataset()
+        echo = Dataset()
+        echo.EffectiveEchoTime = 12.5
+        shared.MREchoSequence = [echo]
+        ds.SharedFunctionalGroupsSequence = [shared]
+        perframe = []
+        for s in range(nslices):
+            item = Dataset()
+            pp = Dataset()
+            pp.ImagePositionPatient = [0.0, 0.0, 2.0 * s]
+            item.PlanePositionSequence = [pp]
+            perframe.append(item)
+        ds.PerFrameFunctionalGroupsSequence = perframe
+        return ds, arr
+
+    def test_enhanced_single_echo_loads_with_default_groupby(self, tmp_path):
+        """Single-echo enhanced exports (one shared EffectiveEchoTime, no
+        per-frame echoes) must work with the default group_by."""
+        import os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader
+
+        ds, arr = self._enhanced_single_echo()
+        path = os.path.join(tmp_path, "single_echo.dcm")
+        write_dicom(ds, path)
+        (mv,) = DicomReader().load(path)  # default group_by="EchoNumbers"
+        np.testing.assert_array_equal(
+            np.asarray(mv.volume), np.transpose(arr, (1, 2, 0))
+        )
+        hdr = mv.headers(flatten=True)[0]
+        assert int(hdr.EchoNumbers) == 1
+        assert float(hdr.EchoTime) == 12.5
+
+    def test_enhanced_uniform_perframe_echo_gets_number(self, tmp_path):
+        """Per-frame echoes that are all EQUAL must also synthesize
+        EchoNumbers=1 (the old guard required >1 distinct echo time)."""
+        import os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader
+
+        ds, arr = self._enhanced_single_echo()
+        for item in ds.PerFrameFunctionalGroupsSequence:
+            echo = Dataset()
+            echo.EffectiveEchoTime = 12.5
+            item.MREchoSequence = [echo]
+        path = os.path.join(tmp_path, "uniform_echo.dcm")
+        write_dicom(ds, path)
+        (mv,) = DicomReader().load(path)
+        hdr = mv.headers(flatten=True)[0]
+        assert int(hdr.EchoNumbers) == 1
+
+    def test_non_mr_multiframe_file_meta_mirrors_dataset_sop(self):
+        """Non-MR multi-frame objects (e.g. multi-frame Secondary Capture)
+        must not get file meta claiming MR Image Storage over a non-MR
+        dataset SOP class."""
+        from dosma_tpu.core.io.dicom.multiframe import expand_frames
+
+        sc_sop = "1.2.840.10008.5.1.4.1.1.7.2"  # multi-frame SC
+        rs = np.random.RandomState(31)
+        arr = (rs.rand(3, 8, 8) * 100).astype(np.uint16)
+        ds = _mr_dataset(arr, nframes=3)
+        ds.SOPClassUID = sc_sop
+        # Round-trip through the writer so the dataset carries file meta.
+        buf = io.BytesIO()
+        write_dicom(ds, buf)
+        ds = read_dicom_bytes(buf.getvalue())
+        assert ds.file_meta is not None
+        frames = expand_frames(ds)
+        for d in frames:
+            assert d.SOPClassUID == sc_sop
+            assert d.file_meta.get("MediaStorageSOPClassUID") == sc_sop
