@@ -739,48 +739,95 @@ def _sanitize(obj):
     return obj
 
 
-def main():
-    N = 512 * 512 * 64
-    T = 4
+# Watchdog: a hung device RPC (tunnel outage) blocks the main thread in C
+# code where no signal/exception can reach it. If one config stalls past
+# DOSMA_BENCH_STALL_SECONDS (default 900), emit the JSON with everything
+# collected so far and exit, so a mid-bench outage can't erase the headline.
+_PROGRESS = {"stage": "startup", "t": time.time(), "results": {}, "done": False}
 
-    c1 = _bench_monoexp(N, T)
-    unet_rate = _try(_bench_unet)
-    unet_rate_b64 = _try(_bench_unet, B=64)
-    biexp = _try(_bench_biexp)
-    c2 = _try(_bench_qdess_e2e)
-    c3 = _try(_bench_cubequant_e2e)
-    c4 = _try(_bench_iwoai_fullvol)
-    c5 = _try(_bench_bilateral_pipeline)
-    reg = _try(_bench_registration)
-    bspl = _try(_bench_bspline_registration)
-    warp = _try(_bench_warp)
 
-    vs_baseline = c1["voxels_per_sec"] / c1["scipy_baseline_voxels_per_sec"]
+def _mark(name):
+    import sys
+    import time as _time
 
+    _PROGRESS["stage"] = name
+    _PROGRESS["t"] = time.time()
+    print(f"[bench {_time.strftime('%H:%M:%S')}] {name}", file=sys.stderr, flush=True)
+
+
+def _emit(results, aborted_stage=None):
+    c1 = results.get("config1_monoexp_noisy") or {}
+    value = c1.get("voxels_per_sec", 0.0)
+    baseline = c1.get("scipy_baseline_voxels_per_sec") or 0.0
+    extra = {"north_star_target_seconds": 1.0}
+    extra.update(results)
+    if aborted_stage is not None:
+        extra["aborted"] = (
+            f"stage '{aborted_stage}' stalled (device RPC hung — tunnel outage?); "
+            "partial results emitted by watchdog"
+        )
     print(
         json.dumps(
             _sanitize({
                 "metric": "monoexp_fit_voxels_per_sec_512x512x64x4_noisy",
-                "value": c1["voxels_per_sec"],
+                "value": value,
                 "unit": "voxels/sec",
-                "vs_baseline": round(vs_baseline, 1),
-                "extra": {
-                    "north_star_target_seconds": 1.0,
-                    "config1_monoexp_noisy": c1,
-                    "config2_qdess_e2e": c2,
-                    "config3_cubequant_e2e": c3,
-                    "config4_iwoai_fullvol_seg": c4,
-                    "config5_bilateral_pipeline": c5,
-                    "registration_affine_pair": reg,
-                    "registration_bspline_pair": bspl,
-                    "warp_fullgrid": warp,
-                    "biexp_pallas_fit": biexp,
-                    "unet_seg_slices_per_sec_384x384_b16": unet_rate,
-                    "unet_seg_slices_per_sec_384x384_b64": unet_rate_b64,
-                },
+                "vs_baseline": round(value / baseline, 1) if baseline else 0.0,
+                "extra": extra,
             })
-        )
+        ),
+        flush=True,
     )
+
+
+def _start_watchdog():
+    import sys
+    import threading
+
+    stall = float(os.environ.get("DOSMA_BENCH_STALL_SECONDS", "900"))
+
+    def run():
+        while not _PROGRESS["done"]:
+            time.sleep(10)
+            if not _PROGRESS["done"] and time.time() - _PROGRESS["t"] > stall:
+                print(
+                    f"[bench] WATCHDOG: stage '{_PROGRESS['stage']}' stalled "
+                    f">{stall:.0f}s; emitting partial results",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                _emit(_PROGRESS["results"], aborted_stage=_PROGRESS["stage"])
+                os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def main():
+    N = 512 * 512 * 64
+    T = 4
+    _start_watchdog()
+    res = _PROGRESS["results"]
+
+    steps = [
+        ("config1_monoexp_noisy", lambda: _try(_bench_monoexp, N, T)),
+        ("unet_seg_slices_per_sec_384x384_b16", lambda: _try(_bench_unet)),
+        ("unet_seg_slices_per_sec_384x384_b64", lambda: _try(_bench_unet, B=64)),
+        ("biexp_pallas_fit", lambda: _try(_bench_biexp)),
+        ("config2_qdess_e2e", lambda: _try(_bench_qdess_e2e)),
+        ("config3_cubequant_e2e", lambda: _try(_bench_cubequant_e2e)),
+        ("config4_iwoai_fullvol_seg", lambda: _try(_bench_iwoai_fullvol)),
+        ("config5_bilateral_pipeline", lambda: _try(_bench_bilateral_pipeline)),
+        ("registration_affine_pair", lambda: _try(_bench_registration)),
+        ("registration_bspline_pair", lambda: _try(_bench_bspline_registration)),
+        ("warp_fullgrid", lambda: _try(_bench_warp)),
+    ]
+    for key, fn in steps:
+        _mark(key)
+        res[key] = fn()
+    _mark("done")
+    _PROGRESS["done"] = True
+
+    _emit(res)
 
 
 if __name__ == "__main__":
