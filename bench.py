@@ -788,7 +788,7 @@ def _start_watchdog():
 
     def run():
         while not _PROGRESS["done"]:
-            time.sleep(10)
+            time.sleep(min(10.0, stall / 2))
             if not _PROGRESS["done"] and time.time() - _PROGRESS["t"] > stall:
                 print(
                     f"[bench] WATCHDOG: stage '{_PROGRESS['stage']}' stalled "
