@@ -254,6 +254,22 @@ class MedicalVolume(NDArrayOperatorsMixin):
             self._volume = np.asarray(self._volume)
         return self
 
+    def copy_to_host_async(self) -> "MedicalVolume":
+        """TPU-native extension: start an async device->host copy of the pixels.
+
+        No-op for host-backed volumes. The transfer proceeds in the
+        background, so a later ``np.asarray(mv.A)`` / ``mv.cpu()`` completes
+        against the prefetched copy instead of starting a fresh serialized
+        D2H transfer — use it to overlap map readback with host-side work
+        (e.g. region splitting before regional analytics). Returns ``self``.
+        """
+        if _is_jax(self._volume):
+            try:
+                self._volume.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # pragma: no cover
+                pass  # backend/array type without async-copy support
+        return self
+
     # ------------------------------------------------------------------
     # Interop
     # ------------------------------------------------------------------

@@ -113,7 +113,15 @@ class Tissue(ABC):
         self.quant_vals[map_type.name] = (quant_map, quant_df)
 
     def add_quantitative_value(self, qv_new: QuantitativeValue):
-        """Register a fitted quantitative value (T2, T1ρ, ...) with the tissue."""
+        """Register a fitted quantitative value (T2, T1ρ, ...) with the tissue.
+
+        Regional analytics (:meth:`calc_quant_vals`) reads the map on the
+        host, so a device-resident map starts its D2H copy now — the
+        transfer overlaps the host-side mask/region work that runs first.
+        """
+        vm = qv_new.volumetric_map
+        if isinstance(vm, MedicalVolume):
+            vm.copy_to_host_async()
         self.quantitative_values.append(qv_new)
 
     # ---------------------------------------------------------------- weights

@@ -221,6 +221,15 @@ class TestCloneAndDevice:
         assert back.device == dm.cpu_device
         assert np.allclose(back.A, mv.A, atol=1e-6)
 
+    def test_copy_to_host_async(self):
+        # Device-backed: starts the background D2H and returns self; the
+        # later host pull sees identical data. Host-backed: pure no-op.
+        mv = build_mv().astype(np.float32)
+        mvj = mv.to(dm.Device(0))
+        assert mvj.copy_to_host_async() is mvj
+        assert np.allclose(np.asarray(mvj.A), mv.A, atol=1e-6)
+        assert mv.copy_to_host_async() is mv
+
     def test_jit_through_pytree(self):
         import jax
 
