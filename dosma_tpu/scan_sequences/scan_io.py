@@ -192,6 +192,16 @@ class ScanIOMixin:
         ``fname_fmt`` maps types to basename templates (default:
         MedicalVolume -> ``image-{}``)."""
         fname_fmt = {MedicalVolume: "image-{}", **(fname_fmt or {})}
+
+        # Start D2H for every device-backed volume up front so the transfers
+        # overlap the CPU-heavy gzip/encode of earlier volumes in the loop.
+        def _prefetch(value, _path):
+            if isinstance(value, MedicalVolume):
+                value.copy_to_host_async()
+            return value
+
+        _walk(metadata, _prefetch)
+
         out = {}
         for attr, value in metadata.items():
             root = os.path.abspath(os.path.join(save_dir, attr))
