@@ -312,6 +312,12 @@ def _register_matrix_chains(
             )
             results.append((Ms, warped))
 
+    # Start D2H for every final warped array up front: the transfers
+    # overlap the per-image transform-file writes and gzip encodes below.
+    for _ms, _warped in results:
+        if hasattr(_warped, "copy_to_host_async"):
+            _warped.copy_to_host_async()
+
     outputs, volumes = [], []
     for idx, ((Ms, warped), moving_mv) in enumerate(zip(results, moving_mvs)):
         reg_dir = os.path.join(output_path, f"moving-{idx}")
