@@ -79,6 +79,13 @@ class QuantitativeValue:
             )
         data_format = ImageDataFormat.nifti
 
+        # Start every device->host transfer up front so they overlap the
+        # serial gzip encodes below.
+        if self.volumetric_map is not None:
+            self.volumetric_map.copy_to_host_async()
+        for vol in self.additional_volumes.values():
+            vol.copy_to_host_async()
+
         if self.volumetric_map is not None:
             self.volumetric_map.save_volume(self._map_path(dir_path), data_format=data_format)
         for name, vol in self.additional_volumes.items():
