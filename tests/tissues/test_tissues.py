@@ -88,6 +88,27 @@ class TestFemoralCartilage:
         assert set(df.columns) >= {"Mean", "Std", "Median", "# Voxels"}
         assert len(maps) == 3
 
+    def test_calc_quant_vals_device_resident_map(self):
+        # A device-backed map starts its async D2H in add_quantitative_value;
+        # analytics must produce numbers identical to the host-backed path.
+        import dosma_tpu as dm
+
+        fc_host = FemoralCartilage(medial_to_lateral=True)
+        fc_dev = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        for fc, m in ((fc_host, qmap), (fc_dev, qmap.to(dm.Device(0)))):
+            fc.set_mask(mask)
+            fc.add_quantitative_value(T2(m))
+            fc.calc_quant_vals()
+        df_host = fc_host.quant_vals["T2"][1]
+        df_dev = fc_dev.quant_vals["T2"][1]
+        np.testing.assert_allclose(
+            df_host["Mean"].to_numpy(dtype=float),
+            df_dev["Mean"].to_numpy(dtype=float),
+            rtol=1e-5,
+            equal_nan=True,
+        )
+
     def test_save_data(self, tmp_path):
         fc = FemoralCartilage(medial_to_lateral=True)
         mask, qmap = _fc_mask_and_map()
