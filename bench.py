@@ -741,7 +741,7 @@ def _sanitize(obj):
 
 # Watchdog: a hung device RPC (tunnel outage) blocks the main thread in C
 # code where no signal/exception can reach it. If one config stalls past
-# DOSMA_BENCH_STALL_SECONDS (default 900), emit the JSON with everything
+# DOSMA_BENCH_STALL_SECONDS (default 1200), emit the JSON with everything
 # collected so far and exit, so a mid-bench outage can't erase the headline.
 _PROGRESS = {"stage": "startup", "t": time.time(), "results": {}, "done": False}
 
@@ -784,7 +784,7 @@ def _start_watchdog():
     import sys
     import threading
 
-    stall = float(os.environ.get("DOSMA_BENCH_STALL_SECONDS", "900"))
+    stall = float(os.environ.get("DOSMA_BENCH_STALL_SECONDS", "1200"))
 
     def run():
         while not _PROGRESS["done"]:
