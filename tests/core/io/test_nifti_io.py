@@ -86,3 +86,32 @@ def test_nan_scl_slope_means_unscaled(tmp_path):
     open(p, "wb").write(bytes(raw))
     mv = NiftiReader().load(p)
     assert np.isfinite(np.asarray(mv.volume)).all()
+
+
+def test_gz_multi_member_chunk_boundaries(tmp_path):
+    """Large volumes write as concatenated gzip members (RFC 1952); bodies
+    at, below, and straddling the 8 MB chunk boundary all round-trip."""
+    import gzip
+
+    from dosma_tpu.core.io.nifti import _gzip_write
+
+    rs = np.random.RandomState(3)
+    chunk = 8 * 1024 * 1024
+    for size in (100, chunk - 352, chunk, chunk + 1, int(2.5 * chunk)):
+        body = rs.bytes(size)
+        p = str(tmp_path / f"b{size}.gz")
+        _gzip_write(p, body)
+        with gzip.open(p, "rb") as f:
+            assert f.read() == body, size
+
+
+def test_gz_large_volume_roundtrip(tmp_path):
+    # >8 MB int16 volume through the public writer/reader.
+    rs = np.random.RandomState(4)
+    arr = (rs.randint(0, 2000, (256, 256, 48))).astype(np.int16)
+    mv = MedicalVolume(arr, to_affine(SAGITTAL, (0.4, 0.4, 1.0)))
+    p = str(tmp_path / "big.nii.gz")
+    NiftiWriter().save(mv, p)
+    out = NiftiReader().load(p)
+    assert np.array_equal(np.asarray(out.A), arr)
+    assert np.allclose(out.affine, mv.affine, atol=1e-4)
