@@ -310,6 +310,7 @@ class DicomWriter(DataWriter):
         fname_fmt: str = None,
         sort_by: Union[str, int, Sequence[Union[str, int]]] = None,
         transfer_syntax: str = None,
+        multi_frame: bool = False,
     ):
         self.num_workers = num_workers
         self.verbose = verbose
@@ -319,14 +320,20 @@ class DicomWriter(DataWriter):
         #: (any member of ``codecs.COMPRESSED_SYNTAXES``, e.g. RLE or
         #: JPEG-LS Lossless). Default writes Explicit VR Little Endian.
         self.transfer_syntax = transfer_syntax
+        #: Write ONE Enhanced MR Image Storage file holding every slice as a
+        #: frame (functional-group geometry) instead of one file per slice.
+        #: Composes with ``transfer_syntax`` (frames encode individually).
+        #: Beyond the reference, whose writer/reader are per-slice-only.
+        self.multi_frame = multi_frame
 
     def save(self, volume: MedicalVolume, dir_path: str, fname_fmt=_NoValue,
-             sort_by=_NoValue, transfer_syntax=_NoValue):
+             sort_by=_NoValue, transfer_syntax=_NoValue, multi_frame=_NoValue):
         fname_fmt = self.fname_fmt if fname_fmt is _NoValue else fname_fmt
         sort_by = self.sort_by if sort_by is _NoValue else sort_by
         transfer_syntax = (
             self.transfer_syntax if transfer_syntax is _NoValue else transfer_syntax
         )
+        multi_frame = self.multi_frame if multi_frame is _NoValue else multi_frame
 
         headers = volume.headers()
         if headers is None:
@@ -378,6 +385,14 @@ class DicomWriter(DataWriter):
 
         os.makedirs(dir_path, exist_ok=True)
         num_slices = len(headers)
+
+        if multi_frame:
+            fname = (fname_fmt or "I%04d.dcm") % 1
+            _write_multiframe_file(
+                volume_arr, headers, os.path.join(dir_path, fname), transfer_syntax
+            )
+            return
+
         filename_format = fname_fmt or ("I%0" + str(max(4, ceil(log10(max(num_slices, 2))))) + "d.dcm")
         filepaths = [os.path.join(dir_path, filename_format % (s + 1)) for s in range(num_slices)]
 
@@ -502,6 +517,85 @@ def _format_volume_to_header(volume: MedicalVolume) -> MedicalVolume:
     volume = volume.reformat(orientation)
     assert volume.headers().shape == (1, 1, volume.shape[2])
     return volume
+
+
+def _write_multiframe_file(volume_arr: np.ndarray, headers, file_path: str,
+                           transfer_syntax: str = None):
+    """Write the whole stack as ONE Enhanced MR Image Storage object.
+
+    Per-slice geometry/timing moves into the shared + per-frame functional
+    groups (PS3.3 C.7.6.16): PixelMeasures/PlaneOrientation shared;
+    PlanePosition, FrameContent (InStackPositionNumber), and MREcho
+    (EffectiveEchoTime, when the slice headers carry EchoTime) per frame.
+    The classic tags that vary per frame are stripped from the top level.
+    This exceeds the reference, which can neither write nor read
+    multi-frame objects (``dicom_io.py:303-314`` stacks per-file
+    pixel_array blindly); our reader re-expands these files transparently
+    (``dicom/multiframe.py``), so a round trip regroups multi-echo stacks
+    by the synthesized EchoNumbers.
+    """
+    from dosma_tpu.core.io.dicom import tags as T
+    from dosma_tpu.core.io.dicom.writer import generate_uid
+
+    n = len(headers)
+    base = copy.deepcopy(headers[0])
+
+    arr = np.ascontiguousarray(np.moveaxis(volume_arr, -1, 0))  # (F, R, C)
+    expected = (int(base.Rows), int(base.Columns))
+    assert arr.shape[1:] == expected, (
+        f"In-plane dimension mismatch - expected shape {expected}, got {arr.shape[1:]}"
+    )
+    bits_allocated = int(base.BitsAllocated)
+    if arr.dtype.itemsize * 8 != bits_allocated:
+        arr = _update_np_dtype(arr, bits_allocated)
+    base.set_value("PixelRepresentation", 1 if arr.dtype.kind == "i" else 0)
+
+    shared = Dataset()
+    pm = Dataset()
+    for kw in ("PixelSpacing", "SliceThickness", "SpacingBetweenSlices"):
+        v = base.get(kw)
+        if v is not None:
+            pm.set_value(kw, v)
+    shared.set_value("PixelMeasuresSequence", [pm])
+    iop = base.get("ImageOrientationPatient")
+    if iop is not None:
+        po = Dataset()
+        po.set_value("ImageOrientationPatient", iop)
+        shared.set_value("PlaneOrientationSequence", [po])
+
+    perframe = []
+    for i, h in enumerate(headers):
+        item = Dataset()
+        ipp = h.get("ImagePositionPatient")
+        if ipp is not None:
+            pp = Dataset()
+            pp.set_value("ImagePositionPatient", [float(x) for x in ipp])
+            item.set_value("PlanePositionSequence", [pp])
+        fcs = Dataset()
+        fcs.set_value("InStackPositionNumber", i + 1)
+        item.set_value("FrameContentSequence", [fcs])
+        et = h.get("EchoTime")
+        if et is not None:
+            me = Dataset()
+            me.set_value("EffectiveEchoTime", float(et))
+            item.set_value("MREchoSequence", [me])
+        perframe.append(item)
+
+    # Frame-varying classic tags live in the functional groups now.
+    for kw in ("ImagePositionPatient", "InstanceNumber", "EchoNumbers"):
+        if kw in base:
+            del base[kw]
+    base.set_value("NumberOfFrames", n)
+    base.set_value("SharedFunctionalGroupsSequence", [shared])
+    base.set_value("PerFrameFunctionalGroupsSequence", perframe)
+    base.set_value("SOPClassUID", T.ENHANCED_MR_IMAGE_STORAGE)
+    base.set_value("SOPInstanceUID", generate_uid())
+    if base.file_meta is not None:
+        base.file_meta.set_value("MediaStorageSOPClassUID", base.get("SOPClassUID"))
+        base.file_meta.set_value("MediaStorageSOPInstanceUID", base.get("SOPInstanceUID"))
+    base["PixelData"] = arr.tobytes()
+
+    write_dicom(base, file_path, transfer_syntax=transfer_syntax)
 
 
 def _write_dicom_file(np_slice: np.ndarray, header: Dataset, file_path: str,

@@ -1243,3 +1243,70 @@ class TestGroupingAndMultiFrameRegressions:
         for d in frames:
             assert d.SOPClassUID == sc_sop
             assert d.file_meta.get("MediaStorageSOPClassUID") == sc_sop
+
+
+class TestMultiFrameWriter:
+    """DicomWriter(multi_frame=True): one Enhanced MR file for the whole
+    stack, functional-group geometry, re-readable through the normal
+    reader. The reference writer is per-slice-only."""
+
+    def _series_vol(self, tmp_path, n_echos=1):
+        import os as _os
+
+        from tests.util import write_dicom_series
+
+        sys_dir = _os.path.join(tmp_path, "src")
+        write_dicom_series(sys_dir, shape=(24, 24, 5), n_echos=n_echos)
+        from dosma_tpu.core.io.dicom_io import DicomReader
+
+        return DicomReader().load(sys_dir, group_by="EchoNumbers")
+
+    def test_roundtrip_3d(self, tmp_path):
+        import os as _os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader, DicomWriter
+
+        (v,) = self._series_vol(tmp_path)
+        out = _os.path.join(tmp_path, "mf")
+        DicomWriter(multi_frame=True).save(v, out)
+        assert _os.listdir(out) == ["I0001.dcm"]
+        (back,) = DicomReader().load(out, group_by="EchoNumbers")
+        back = back.reformat(v.orientation)
+        np.testing.assert_array_equal(np.asarray(back.A), np.asarray(v.A))
+        np.testing.assert_allclose(back.affine, v.affine, atol=1e-4)
+        hdr = back.headers(flatten=True)[0]
+        assert int(hdr.InStackPositionNumber if "InStackPositionNumber" in hdr
+                   else hdr.InstanceNumber) >= 1
+
+    def test_roundtrip_compressed(self, tmp_path):
+        import os as _os
+
+        from dosma_tpu.core.io.dicom import codecs
+        from dosma_tpu.core.io.dicom_io import DicomReader, DicomWriter
+
+        (v,) = self._series_vol(tmp_path)
+        out = _os.path.join(tmp_path, "mf_rle")
+        DicomWriter(multi_frame=True).save(v, out, transfer_syntax=codecs.RLE_LOSSLESS)
+        (back,) = DicomReader().load(out, group_by="EchoNumbers")
+        back = back.reformat(v.orientation)
+        np.testing.assert_array_equal(np.asarray(back.A), np.asarray(v.A))
+
+    def test_roundtrip_4d_two_echo_regroups(self, tmp_path):
+        import os as _os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader, DicomWriter
+        from dosma_tpu.core.med_volume import MedicalVolume
+
+        e1, e2 = self._series_vol(tmp_path, n_echos=2)
+        v4 = np.stack([np.asarray(e1.A), np.asarray(e2.A)], axis=-1)
+        h4 = np.stack([e1.headers(), e2.headers()], axis=-1)
+        mv4 = MedicalVolume(v4, e1.affine, headers=h4)
+        out = _os.path.join(tmp_path, "mf4")
+        DicomWriter(multi_frame=True).save(mv4, out)
+        assert len(_os.listdir(out)) == 1
+        back = DicomReader().load(out, group_by="EchoNumbers")
+        assert len(back) == 2
+        for orig, got in zip((e1, e2), back):
+            got = got.reformat(orig.orientation)
+            np.testing.assert_array_equal(np.asarray(got.A), np.asarray(orig.A))
+            np.testing.assert_allclose(got.affine, orig.affine, atol=1e-4)
