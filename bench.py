@@ -790,13 +790,23 @@ def _start_watchdog():
         while not _PROGRESS["done"]:
             time.sleep(min(10.0, stall / 2))
             if not _PROGRESS["done"] and time.time() - _PROGRESS["t"] > stall:
-                print(
-                    f"[bench] WATCHDOG: stage '{_PROGRESS['stage']}' stalled "
-                    f">{stall:.0f}s; emitting partial results",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                _emit(_PROGRESS["results"], aborted_stage=_PROGRESS["stage"])
+                # Snapshot before iterating (the main thread may still be
+                # mutating results), and survive any emit error — losing the
+                # watchdog to a race would forfeit protection from a LATER
+                # genuine hang.
+                try:
+                    snapshot = dict(_PROGRESS["results"])
+                    if _PROGRESS["done"]:  # stage finished while we decided
+                        return
+                    print(
+                        f"[bench] WATCHDOG: stage '{_PROGRESS['stage']}' stalled "
+                        f">{stall:.0f}s; emitting partial results",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                    _emit(snapshot, aborted_stage=_PROGRESS["stage"])
+                except Exception:  # pragma: no cover - keep watchdog alive
+                    continue
                 os._exit(0)
 
     threading.Thread(target=run, daemon=True).start()

@@ -581,9 +581,36 @@ def _write_multiframe_file(volume_arr: np.ndarray, headers, file_path: str,
             item.set_value("MREchoSequence", [me])
         perframe.append(item)
 
-    # Frame-varying classic tags live in the functional groups now.
-    for kw in ("ImagePositionPatient", "InstanceNumber", "EchoNumbers"):
-        if kw in base:
+    # Echo identity must survive the round trip: the reader regroups by
+    # EffectiveEchoTime. A multi-echo stack without per-slice EchoTime has
+    # nothing standard to carry that identity in a multi-frame object.
+    echo_numbers = {
+        str(h.get("EchoNumbers")) for h in headers if h.get("EchoNumbers") is not None
+    }
+    have_echo_times = any(h.get("EchoTime") is not None for h in headers)
+    if len(echo_numbers) > 1 and not have_echo_times:
+        raise ValueError(
+            "multi_frame write requires per-slice EchoTime to preserve echo "
+            "identity (EchoNumbers alone has no standard multi-frame encoding); "
+            "write per-slice files instead (multi_frame=False)"
+        )
+
+    # Frame-varying classic tags live in the functional groups now. Keep
+    # frame-0's ImagePositionPatient/InstanceNumber at the top level so a
+    # 1-frame file (which the reader returns unexpanded) stays readable;
+    # the per-frame functional groups override them for real stacks.
+    if len(echo_numbers) > 1 and "EchoNumbers" in base:
+        del base["EchoNumbers"]
+    # Tags that vary across slices but have no functional-group encoding
+    # here would otherwise freeze frame 0's value onto every frame.
+    for kw in (
+        "SliceLocation", "AcquisitionTime", "ContentTime", "TriggerTime",
+        "AcquisitionNumber", "TemporalPositionIdentifier",
+        "WindowCenter", "WindowWidth",
+        "SmallestImagePixelValue", "LargestImagePixelValue",
+    ):
+        vals = {str(h.get(kw)) for h in headers}
+        if len(vals) > 1 and kw in base:
             del base[kw]
     base.set_value("NumberOfFrames", n)
     base.set_value("SharedFunctionalGroupsSequence", [shared])

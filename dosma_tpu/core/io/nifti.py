@@ -300,8 +300,10 @@ def _gzip_write(path: str, body: bytes, level: int = 1, chunk_mb: int = 8):
         with open(path, "wb") as f:
             f.write(gzip.compress(body, compresslevel=level, mtime=0))
         return
+    # memoryview slices: no second copy of the body (gzip.compress takes
+    # any buffer-protocol object).
     mv = memoryview(body)
-    pieces = [bytes(mv[i : i + chunk]) for i in range(0, len(body), chunk)]
+    pieces = [mv[i : i + chunk] for i in range(0, len(body), chunk)]
     workers = min(8, os.cpu_count() or 1, len(pieces))
     with cf.ThreadPoolExecutor(workers) as ex:
         outs = ex.map(lambda p: gzip.compress(p, compresslevel=level, mtime=0), pieces)

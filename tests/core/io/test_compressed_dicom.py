@@ -1310,3 +1310,58 @@ class TestMultiFrameWriter:
             got = got.reformat(orig.orientation)
             np.testing.assert_array_equal(np.asarray(got.A), np.asarray(orig.A))
             np.testing.assert_allclose(got.affine, orig.affine, atol=1e-4)
+
+    def test_single_slice_multiframe_readable(self, tmp_path):
+        # Review finding: classic tags must survive for 1-frame files, which
+        # the reader returns unexpanded.
+        import os as _os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader, DicomWriter
+
+        (v,) = self._series_vol(tmp_path)
+        v1 = v[:, :, :1]
+        out = _os.path.join(tmp_path, "mf1")
+        DicomWriter(multi_frame=True).save(v1, out)
+        (back,) = DicomReader().load(out, group_by="EchoNumbers")
+        back = back.reformat(v1.orientation)
+        np.testing.assert_array_equal(np.asarray(back.A), np.asarray(v1.A))
+        np.testing.assert_allclose(back.affine, v1.affine, atol=1e-4)
+
+    def test_echo_numbers_without_echo_time_refused(self, tmp_path):
+        # Review finding: EchoNumbers alone has no standard multi-frame
+        # encoding — destroying echo identity silently is worse than refusing.
+        import os as _os
+
+        import pytest as _pytest
+
+        from dosma_tpu.core.io.dicom_io import DicomWriter
+        from dosma_tpu.core.med_volume import MedicalVolume
+
+        e1, e2 = self._series_vol(tmp_path, n_echos=2)
+        for e in (e1, e2):
+            for h in e.headers(flatten=True):
+                if "EchoTime" in h:
+                    del h["EchoTime"]
+        v4 = np.stack([np.asarray(e1.A), np.asarray(e2.A)], axis=-1)
+        h4 = np.stack([e1.headers(), e2.headers()], axis=-1)
+        mv4 = MedicalVolume(v4, e1.affine, headers=h4)
+        with _pytest.raises(ValueError, match="EchoTime"):
+            DicomWriter(multi_frame=True).save(mv4, _os.path.join(tmp_path, "bad"))
+
+    def test_varying_classic_tags_stripped(self, tmp_path):
+        # Review finding: per-slice-varying tags with no functional-group
+        # encoding must not freeze frame 0's value onto every frame.
+        import os as _os
+
+        from dosma_tpu.core.io.dicom_io import DicomReader, DicomWriter
+
+        (v,) = self._series_vol(tmp_path)
+        for i, h in enumerate(v.headers(flatten=True)):
+            h.set_value("SliceLocation", float(i) * 2.0)
+            h.set_value("AcquisitionTime", f"12000{i}")
+        out = _os.path.join(tmp_path, "mf_strip")
+        DicomWriter(multi_frame=True).save(v, out)
+        (back,) = DicomReader().load(out, group_by="EchoNumbers")
+        for h in back.headers(flatten=True):
+            assert "SliceLocation" not in h
+            assert "AcquisitionTime" not in h
