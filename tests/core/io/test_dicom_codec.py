@@ -135,3 +135,43 @@ def test_private_tag_vr_is_creator_gated():
     assert _resolve_implicit_vr(0x001910B7, creators) == "DS"
     # Foreign vendor in the same block -> raw bytes.
     assert _resolve_implicit_vr(0x001910B6, {(0x0019, 0x10): "OTHER_VENDOR"}) == "UN"
+
+
+class TestMalformedStreams:
+    """Malformed Part-10 input must fail with clean exceptions — no hangs,
+    no unbounded allocations, no silent wrong volumes."""
+
+    def _raw(self, tmp_path):
+        import os as _os
+
+        from tests.util import write_dicom_series
+
+        d = _os.path.join(tmp_path, "s")
+        write_dicom_series(d, shape=(16, 16, 2), n_echos=1)
+        f = _os.path.join(d, sorted(_os.listdir(d))[0])
+        with open(f, "rb") as fh:
+            return fh.read()
+
+    def test_truncations_raise_cleanly(self, tmp_path):
+        import pytest as _pytest
+
+        from dosma_tpu.core.io.dicom import read_dicom_bytes
+
+        raw = self._raw(tmp_path)
+        for data in (
+            b"\x00" * 132,          # magic-sized garbage
+            raw[:140],               # truncated header
+            raw[: len(raw) // 2],    # truncated mid-element
+            raw[:-50],               # truncated pixel data
+        ):
+            with _pytest.raises((EOFError, ValueError)):
+                read_dicom_bytes(data)
+
+    def test_garbage_after_magic_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from dosma_tpu.core.io.dicom import read_dicom_bytes
+
+        raw = self._raw(tmp_path)
+        with _pytest.raises((EOFError, ValueError)):
+            read_dicom_bytes(raw[:132] + b"\xff" * 64)
