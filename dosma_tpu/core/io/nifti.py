@@ -182,7 +182,11 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         ) = fields
 
         ndim = int(d0)
+        if not 1 <= ndim <= 7:
+            raise ValueError(f"Invalid NIfTI dim[0]={ndim} in {path}")
         shape = tuple(int(x) for x in (d1, d2, d3, d4, d5, d6, d7)[:ndim])
+        if any(x < 1 for x in shape):
+            raise ValueError(f"Invalid NIfTI dims {shape} in {path}")
         dtype_name = _CODE_TO_DTYPE.get(int(datatype))
         if dtype_name is None:  # np.dtype(None) would silently mean float64
             raise ValueError(f"Unsupported NIfTI datatype code {datatype}")
@@ -190,11 +194,35 @@ def read_nifti(path: str, mmap: bool = False) -> Tuple[np.ndarray, np.ndarray]:
         n_items = int(np.prod(shape)) if shape else 0
         offset = int(vox_offset) if vox_offset else _HDR_SIZE + 4
 
+        # Guard against headers whose dims claim more data than the file
+        # holds — trusting them means allocating the claimed size (a lying
+        # 30000^3 header would try ~100 TB before any shape check).
+        expected = n_items * dtype.itemsize
+        if not is_gz:
+            available = os.path.getsize(path) - offset
+            if available < expected:
+                raise ValueError(
+                    f"NIfTI header claims {expected} data bytes but file has "
+                    f"{max(available, 0)}: {path}"
+                )
+
         if mmap and not is_gz:
             arr = np.memmap(path, dtype=dtype, mode="c", offset=offset, shape=shape, order="F")
         else:
             f.seek(offset)
-            raw = f.read(n_items * dtype.itemsize)
+            # Chunked read: a short stream fails with a clean error instead
+            # of a giant up-front allocation.
+            chunks, got = [], 0
+            while got < expected:
+                piece = f.read(min(64 * 1024 * 1024, expected - got))
+                if not piece:
+                    raise ValueError(
+                        f"NIfTI header claims {expected} data bytes but stream "
+                        f"ended after {got}: {path}"
+                    )
+                chunks.append(piece)
+                got += len(piece)
+            raw = b"".join(chunks) if len(chunks) != 1 else chunks[0]
             # frombuffer over bytes is READ-ONLY; copy so in-place volume
             # math (mv *= 2, mv[...] = 0) works like the reference.
             arr = np.frombuffer(raw, dtype=dtype).reshape(shape, order="F").copy(order="F")

@@ -115,3 +115,31 @@ def test_gz_large_volume_roundtrip(tmp_path):
     out = NiftiReader().load(p)
     assert np.array_equal(np.asarray(out.A), arr)
     assert np.allclose(out.affine, mv.affine, atol=1e-4)
+
+
+def test_lying_dims_raise_cleanly(tmp_path):
+    """A header claiming more data than the file holds must raise ValueError,
+    not attempt the claimed allocation (a 30000^3 dim field ~ 100 TB)."""
+    import gzip
+    import struct
+
+    from dosma_tpu.core.io.nifti import read_nifti, write_nifti
+
+    p = str(tmp_path / "a.nii")
+    write_nifti(p, np.zeros((4, 4, 2), np.float32), np.eye(4))
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<8h", raw, 40, 3, 30000, 30000, 30000, 1, 1, 1, 1)
+    bad = str(tmp_path / "big.nii")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="claims"):
+        read_nifti(bad)
+    bad_gz = str(tmp_path / "big.nii.gz")
+    open(bad_gz, "wb").write(gzip.compress(bytes(raw)))
+    with pytest.raises(ValueError, match="claims"):
+        read_nifti(bad_gz)
+    # negative / zero dims are rejected up front
+    struct.pack_into("<8h", raw, 40, 3, -4, 4, 2, 1, 1, 1, 1)
+    bad2 = str(tmp_path / "neg.nii")
+    open(bad2, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="Invalid NIfTI dims"):
+        read_nifti(bad2)
