@@ -235,12 +235,18 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
                 to_device=True if on_tpu else None,
             )
             t_load = time.perf_counter() - t0
+            fc = FemoralCartilage()
             t1 = time.perf_counter()
-            t2 = scan.generate_t2_map(FemoralCartilage(), suppress_fat=False)
+            # Compute WITHOUT tissue registration: add_quantitative_value
+            # starts the map's async D2H prefetch, which this microbench
+            # would otherwise time inside the "compute" window (there is no
+            # host work here for the async copy to overlap with).
+            t2 = scan.generate_t2_map(suppress_fat=False, t1=fc.T1_EXPECTED)
             vmap_vol = t2.volumetric_map.volume
             _readback(vmap_vol)  # device completion WITHOUT the full D2H
             t_compute = time.perf_counter() - t1
             t1 = time.perf_counter()
+            fc.add_quantitative_value(t2)  # realistic flow: starts async D2H
             _ = np.asarray(vmap_vol)
             t_readback = time.perf_counter() - t1
             return time.perf_counter() - t0, t_load, t_compute, t_readback, scan
@@ -249,10 +255,13 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
         dt, t_load, t_compute, t_readback, scan = run()
 
         # Device-marginal T2 physics: two back-to-back maps under one scalar
-        # readback minus one — the chip cost of the fused T2 program alone.
+        # readback minus one — the chip cost of the fused T2 program alone
+        # (no tissue: registration would start a full D2H per call).
+        _t1_expected = FemoralCartilage().T1_EXPECTED
+
         def t2_only():
             return scan.generate_t2_map(
-                FemoralCartilage(), suppress_fat=False
+                suppress_fat=False, t1=_t1_expected
             ).volumetric_map.volume
 
         t2_marginal = _marginal(t2_only)
@@ -478,7 +487,10 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
         on_tpu = jax.default_backend() != "cpu"
 
         def run():
-            stages = {"load": 0.0, "segment": 0.0, "t2_map": 0.0, "analytics": 0.0}
+            stages = {
+                "load": 0.0, "segment": 0.0, "t2_map": 0.0,
+                "map_readback": 0.0, "analytics": 0.0,
+            }
             t00 = time.perf_counter()
             for knee in ("left", "right"):
                 t0 = time.perf_counter()
@@ -502,8 +514,18 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
                 )
                 stages["analytics"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                scan.generate_t2_map(fc, suppress_fat=False)
+                t2_qv = scan.generate_t2_map(fc, suppress_fat=False)
+                vmap_vol = t2_qv.volumetric_map.volume
+                if on_tpu:
+                    _readback(vmap_vol)  # device completion, not the full D2H
                 stages["t2_map"] += time.perf_counter() - t0
+                # The map's D2H (started async at tissue registration) would
+                # otherwise be awaited invisibly inside calc_quant_vals —
+                # time it as its own stage so rig transfer variance doesn't
+                # masquerade as host analytics cost.
+                t0 = time.perf_counter()
+                _ = np.asarray(vmap_vol)
+                stages["map_readback"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 fc.calc_quant_vals()
                 stages["analytics"] += time.perf_counter() - t0
@@ -516,8 +538,10 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
             "e2e_seconds_2_knees": round(dt, 3),
             "e2e_seconds_2_knees_incl_compile": round(dt_cold, 3),
             # Per-stage split (summed over both knees): load includes the
-            # DICOM parse + H2D prefetch; segment includes mask D2H; t2_map
-            # and analytics are device compute and host analytics resp.
+            # DICOM parse + H2D prefetch; segment includes mask D2H + the
+            # (garbage-mask) largest-CC/region-split the reference flow also
+            # pays; t2_map is device compute; map_readback is the 18 MB/knee
+            # D2H (pure rig transfer); analytics is host-side region math.
             "stage_seconds": {k: round(v, 3) for k, v in stages.items()},
         }
     finally:

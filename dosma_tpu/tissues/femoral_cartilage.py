@@ -80,12 +80,21 @@ class FemoralCartilage(Tissue):
         dtheta = 360 / num_bins
         theta_min, theta_max = tuple(theta)
 
-        mask = np.asarray(self.__mask__.volume, np.float32)
-        mask = mask * np.nan_to_num(np.asarray(base_map, np.float32))
-        height, width, num_slices = mask.shape
+        # Valid voxels = mask != 0 AND base_map > 0 (the reference multiplies
+        # the f32 mask by nan_to_num(base_map) and keeps product > 0, ref
+        # ``:100-137``; with a non-negative uint8 mask the boolean form is
+        # identical and skips three full-volume f32 temporaries + the
+        # nan_to_num passes — ~0.3 s/call at 384x384x32).
+        mask_vol = np.asarray(self.__mask__.volume)
+        base = np.asarray(base_map)
+        valid = mask_vol != 0
+        if base is not mask_vol:
+            with np.errstate(invalid="ignore"):
+                valid &= base > 0  # NaN > 0 is False, matching nan_to_num
+        height, width, num_slices = valid.shape
 
-        # STEP 1: sagittal max-projection + circle fit.
-        projected = np.max(mask, 2)
+        # STEP 1: sagittal any-projection + circle fit.
+        projected = valid.any(2)
         nz = np.nonzero(projected)
         if len(nz[0]) < 3:
             raise ValueError(
@@ -112,7 +121,7 @@ class FemoralCartilage(Tissue):
         # are gathered through the (iy, ix, iz) index lists, so no full-
         # volume int/f64 temporaries are ever materialized (the broadcast
         # formulation cost ~0.7 s/knee at 384x384x32).
-        iy, ix, iz = np.nonzero(mask > 0)
+        iy, ix, iz = np.nonzero(valid)
         bins2d = theta_bins.astype(np.int32)
         keys = bins2d[iy, ix] * num_slices + iz.astype(np.int32)
         rho_valid = rho[iy, ix]
@@ -139,9 +148,18 @@ class FemoralCartilage(Tissue):
         ).astype(np.uint16)
 
         # medial/lateral at center-of-mass slice, honoring scan direction.
-        # Slice-wise weighted sum == scipy.ndimage.center_of_mass(mask)[-1]
-        # (same formula, f64 accumulation) without the other two axes.
-        slice_sums = mask.sum(axis=(0, 1), dtype=np.float64)
+        # Slice-wise weighted sum == scipy.ndimage.center_of_mass(mask *
+        # nan_to_num(base_map))[-1] (same formula, f64 accumulation) without
+        # the other two axes; the product weights are gathered only at the
+        # valid voxels instead of materializing the full-volume product.
+        if base is mask_vol:
+            weights = mask_vol[iy, ix, iz].astype(np.float64) ** 2
+        else:
+            weights = (
+                mask_vol[iy, ix, iz].astype(np.float64)
+                * base[iy, ix, iz].astype(np.float64)
+            )
+        slice_sums = np.bincount(iz, weights=weights, minlength=num_slices)
         com_slicewise = float(
             (slice_sums * np.arange(num_slices)).sum() / slice_sums.sum()
         )
