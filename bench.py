@@ -65,6 +65,19 @@ def _readback(x):
     return float(jnp.sum(x))
 
 
+def _best_of(run, n=2):
+    """Min-by-elapsed over ``n`` timed ``run()`` calls (first element of the
+    returned tuple = elapsed seconds). E2e walls on this rig swing ~2x with
+    tunnel/host load; min-of-n keeps the captured number a property of the
+    code rather than of the rig's moment."""
+    best = run()
+    for _ in range(n - 1):
+        r = run()
+        if r[0] < best[0]:
+            best = r
+    return best
+
+
 def _marginal(fn, iters=3):
     """Device-marginal cost of ``fn`` (a zero-arg callable returning a device
     array): time TWO back-to-back calls under one scalar readback minus ONE
@@ -252,7 +265,7 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
             return time.perf_counter() - t0, t_load, t_compute, t_readback, scan
 
         dt_cold, *_ = run()  # warmup/compile (same policy as configs 1/3/4)
-        dt, t_load, t_compute, t_readback, scan = run()
+        dt, t_load, t_compute, t_readback, scan = _best_of(run)
 
         # Device-marginal T2 physics: two back-to-back maps under one scalar
         # readback minus one — the chip cost of the fused T2 program alone
@@ -331,7 +344,7 @@ def _bench_cubequant_e2e(shape=(192, 192, 48)):
             return time.perf_counter() - t0, t_reg, t_fit, t_readback, scan
 
         dt_cold, *_ = run()  # warmup/compile (same policy as configs 1 and 4)
-        dt, t_reg, t_fit, t_readback, scan = run()
+        dt, t_reg, t_fit, t_readback, scan = _best_of(run)
 
         # Device-marginal T1rho fit (post-registration volumes reused).
         def fit_only():
@@ -383,9 +396,13 @@ def _bench_iwoai_fullvol(shape=(384, 384, 64)):
     try:
         model = _load_iwoai_model(d)
         masks = model.generate_mask(vol)  # warmup/compile
-        t0 = time.perf_counter()
-        masks = model.generate_mask(vol)
-        dt = time.perf_counter() - t0
+
+        def timed_e2e():
+            t0 = time.perf_counter()
+            m = model.generate_mask(vol)
+            return time.perf_counter() - t0, m
+
+        dt, masks = _best_of(timed_e2e)
         assert set(masks) == {"fc", "tc", "pc", "men"}
 
         # Device-resident variant: the volume is already in HBM (the
@@ -394,10 +411,14 @@ def _bench_iwoai_fullvol(shape=(384, 384, 64)):
         import jax
 
         vol_dev = vol.to("tpu") if jax.default_backend() != "cpu" else vol
-        masks = model.generate_mask(vol_dev)  # warmup (device input program)
-        t0 = time.perf_counter()
-        masks = model.generate_mask(vol_dev)
-        dt_dev = time.perf_counter() - t0
+        model.generate_mask(vol_dev)  # warmup (device input program)
+
+        def timed_dev():
+            t0 = time.perf_counter()
+            model.generate_mask(vol_dev)
+            return (time.perf_counter() - t0,)
+
+        (dt_dev,) = _best_of(timed_dev)
 
         # Compute-only decomposition (VERDICT r2 weak #2: the e2e/device gap
         # needs an explicit split): the fused whiten+forward+threshold+
@@ -514,16 +535,20 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
                 )
                 stages["analytics"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-                t2_qv = scan.generate_t2_map(fc, suppress_fat=False)
+                # Compute without tissue registration (same protocol as
+                # config2): registering starts the map's async D2H, which
+                # would serialize with the completion probe and land in this
+                # stage instead of map_readback.
+                t2_qv = scan.generate_t2_map(suppress_fat=False, t1=fc.T1_EXPECTED)
                 vmap_vol = t2_qv.volumetric_map.volume
                 if on_tpu:
                     _readback(vmap_vol)  # device completion, not the full D2H
                 stages["t2_map"] += time.perf_counter() - t0
-                # The map's D2H (started async at tissue registration) would
-                # otherwise be awaited invisibly inside calc_quant_vals —
-                # time it as its own stage so rig transfer variance doesn't
-                # masquerade as host analytics cost.
+                # The map's D2H would otherwise be awaited invisibly inside
+                # calc_quant_vals — time it as its own stage so rig transfer
+                # variance doesn't masquerade as host analytics cost.
                 t0 = time.perf_counter()
+                fc.add_quantitative_value(t2_qv)  # realistic flow: async D2H
                 _ = np.asarray(vmap_vol)
                 stages["map_readback"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
@@ -532,7 +557,7 @@ def _bench_bilateral_pipeline(shape=(384, 384, 32)):
             return time.perf_counter() - t00, stages
 
         dt_cold, _ = run()  # warmup/compile (same policy as configs 1/3/4)
-        dt, stages = run()
+        dt, stages = _best_of(run)
         return {
             "shape_per_knee": list(shape),
             "e2e_seconds_2_knees": round(dt, 3),
@@ -566,14 +591,16 @@ def _bench_registration(shape=(192, 192, 48)):
     d = tempfile.mkdtemp(prefix="dosma_bench_reg_")
     try:
         register(fv, mv, "affine", output_path=d, num_workers=0)  # warmup/compile
-        t0 = time.perf_counter()
-        register(fv, mv, "affine", output_path=d, num_workers=0)
-        dt = time.perf_counter() - t0
+
+        def timed(**kw):
+            t0 = time.perf_counter()
+            register(fv, mv, "affine", output_path=d, num_workers=0, **kw)
+            return (time.perf_counter() - t0,)
+
+        (dt,) = _best_of(timed)
         # Transform-only variant: no result-file write, so no D2H/gzip of the
         # warped volume — the in-process registration cost itself.
-        t0 = time.perf_counter()
-        register(fv, mv, "affine", output_path=d, num_workers=0, save_volumes=False)
-        dt_noio = time.perf_counter() - t0
+        (dt_noio,) = _best_of(lambda: timed(save_volumes=False))
         return {
             "shape": list(shape),
             "affine_pair_seconds": round(dt, 3),
@@ -658,9 +685,13 @@ def _bench_bspline_registration(shape=(192, 192, 48)):
     d = tempfile.mkdtemp(prefix="dosma_bench_bspl_")
     try:
         out = register(fv, mv, "bspline", output_path=d, return_volumes=True)  # warm
-        t0 = time.perf_counter()
-        register(fv, mv, "bspline", output_path=d, num_workers=0, save_volumes=False)
-        dt = time.perf_counter() - t0
+
+        def timed():
+            t0 = time.perf_counter()
+            register(fv, mv, "bspline", output_path=d, num_workers=0, save_volumes=False)
+            return (time.perf_counter() - t0,)
+
+        (dt,) = _best_of(timed)
 
         warped = np.asarray(out["volumes"][0].volume)
         c = tuple(slice(s // 8, -s // 8) for s in shape)  # interior crop

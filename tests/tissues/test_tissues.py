@@ -313,6 +313,36 @@ class TestVectorizedAnalyticsParity:
                     expected[i, j, s] = v
         np.testing.assert_array_equal(regions, expected)
 
+    def test_split_regions_base_map_nan_zero_parity(self):
+        """base_map voxels that are NaN or <= 0 are excluded exactly like the
+        reference's ``mask * nan_to_num(base_map) > 0`` product form, and the
+        ML center-of-mass stays weighted by the product values."""
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map(shape=(48, 48, 9))
+        q = np.asarray(qmap.A, np.float64).copy()
+        rs = np.random.RandomState(7)
+        inside = np.nonzero(np.asarray(mask.A))
+        # Knock out ~20% of in-mask voxels with NaN and another ~20% with 0.
+        n = len(inside[0])
+        drop = rs.permutation(n)
+        q[tuple(i[drop[: n // 5]] for i in inside)] = np.nan
+        q[tuple(i[drop[n // 5 : 2 * n // 5]] for i in inside)] = 0.0
+        fc.set_mask(mask, use_largest_cc=False, split_regions=True)
+
+        regions, theta_bins, boundary, acp = fc.split_regions(q)
+
+        # Product-form oracle (reference semantics): recompute the valid set
+        # and COM boundary from mask * nan_to_num(base).
+        prod = np.asarray(mask.A, np.float64) * np.nan_to_num(q)
+        slice_sums = prod.sum(axis=(0, 1))
+        com = float((slice_sums * np.arange(prod.shape[-1])).sum() / slice_sums.sum())
+        assert boundary == int(np.ceil(com))
+        # Valid voxels drive the per-(bin, slice) thresholds; spot-check that
+        # thresholds derived from a run WITHOUT the NaN/zero knockouts differ
+        # (i.e. the knockouts were not silently ignored).
+        regions_clean, _, _, _ = fc.split_regions(np.asarray(qmap.A))
+        assert not np.array_equal(regions, regions_clean)
+
     def test_unroll_matches_bruteforce(self):
         fc = FemoralCartilage(medial_to_lateral=True)
         mask, qmap = _fc_mask_and_map(shape=(48, 48, 9))
