@@ -867,6 +867,45 @@ def _start_watchdog():
     threading.Thread(target=run, daemon=True).start()
 
 
+def _bench_tunnel_health():
+    """Rig provenance: measured scalar round-trip latency and bulk H2D/D2H
+    bandwidth of the device link. Not a framework metric — recorded so that
+    run-to-run swings in e2e walls (which include D2H readbacks) can be
+    attributed to the rig instead of the code (the r2→r3 'qDESS regression'
+    was exactly this)."""
+    import jax
+    import jax.numpy as jnp
+
+    # Scalar RTT: dispatch a trivial op and read back one float.
+    x = jax.device_put(np.float32(1.0))
+    _readback(jnp.asarray(x))  # warm
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.asarray(x) + 1.0)
+        rtts.append(time.perf_counter() - t0)
+
+    # Bulk transfers: 16 MB each way.
+    host = np.ones((4 * 1024 * 1024,), np.float32)
+    mb = host.nbytes / 1e6
+    jax.device_put(host).block_until_ready()  # warm
+    h2d, d2h = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(host)
+        dev.block_until_ready()
+        h2d.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        d2h.append(time.perf_counter() - t0)
+    return {
+        "scalar_rtt_ms": round(min(rtts) * 1e3, 2),
+        "h2d_mb_per_sec": round(mb / min(h2d), 1),
+        "d2h_mb_per_sec": round(mb / min(d2h), 1),
+        "transfer_mb": mb,
+    }
+
+
 def main():
     N = 512 * 512 * 64
     T = 4
@@ -874,6 +913,7 @@ def main():
     res = _PROGRESS["results"]
 
     steps = [
+        ("tunnel_health", lambda: _try(_bench_tunnel_health)),
         ("config1_monoexp_noisy", lambda: _try(_bench_monoexp, N, T)),
         ("unet_seg_slices_per_sec_384x384_b16", lambda: _try(_bench_unet)),
         ("unet_seg_slices_per_sec_384x384_b64", lambda: _try(_bench_unet, B=64)),

@@ -68,9 +68,17 @@ class Device:
                 )
             jax_device = matching[idx]
         elif type(device).__module__.startswith("torch") and hasattr(device, "type"):
-            # torch.device interop; torch is CPU-only in this build.
-            self._type, self._index, self._jax_device = "cpu", -1, None
-            return
+            # torch.device interop (ref ``device.py:63-72``): cpu maps to the
+            # host device; accelerator torch devices map onto the jax device
+            # of the same ordinal (torch is CPU-only in this build, so e.g.
+            # ``torch.device("cuda", 0)`` has no runtime here — reject it the
+            # way the reference rejects GPU ids without cupy).
+            if device.type == "cpu":
+                self._type, self._index, self._jax_device = "cpu", -1, None
+                return
+            raise ValueError(
+                f"torch device type {device.type!r} has no jax runtime in this build"
+            )
         else:
             # Assume a jax.Device-like object.
             if not hasattr(device, "platform"):
@@ -135,10 +143,25 @@ class Device:
     def __exit__(self, *exc):
         return self._ctx_stack.pop().__exit__(*exc)
 
-    def to_torch(self):
+    @property
+    def ptdevice(self):
+        """``torch.device`` equivalent (ref ``device.py:115-123``).
+
+        Only the host device has a torch runtime in this build; jax devices
+        raise, mirroring the reference's RuntimeError for unsupported
+        conversions.
+        """
         import torch
 
-        return torch.device("cpu")
+        if self._jax_device is None:
+            return torch.device("cpu")
+        raise RuntimeError(
+            f"No torch equivalent for jax device {self._type}:{self._index}"
+        )
+
+    def to_torch(self):
+        """Alias of :attr:`ptdevice`."""
+        return self.ptdevice
 
     def __eq__(self, other) -> bool:
         if isinstance(other, int):
@@ -147,6 +170,12 @@ class Device:
             try:
                 other = Device(other)
             except Exception:
+                return False
+        elif type(other).__module__.startswith("torch") and hasattr(other, "type"):
+            # torch.device comparison (ref ``device.py:162-163``).
+            try:
+                return self.ptdevice == other
+            except RuntimeError:
                 return False
         if not isinstance(other, Device):
             return False

@@ -53,3 +53,51 @@ def test_unknown_platform_raises():
 
     with pytest.raises(ValueError, match="No 'rocm' devices"):
         Device("rocm")
+
+
+class TestTorchInterop:
+    """``Device(torch.device)`` round-trips (ref ``device.py:63-72,115-123,162-163``)."""
+
+    def test_from_torch_cpu(self):
+        import torch
+
+        from dosma_tpu.core.device import Device, cpu_device
+
+        assert Device(torch.device("cpu")) == cpu_device
+        assert Device(torch.device("cpu", 0)) == cpu_device
+
+    def test_from_torch_unsupported_type_raises(self):
+        import pytest
+        import torch
+
+        from dosma_tpu.core.device import Device
+
+        with pytest.raises(ValueError, match="no jax runtime"):
+            Device(torch.device("cuda", 0))
+
+    def test_ptdevice_roundtrip(self):
+        import torch
+
+        from dosma_tpu.core.device import Device, cpu_device
+
+        assert cpu_device.ptdevice == torch.device("cpu")
+        assert Device(cpu_device.ptdevice) == cpu_device
+        assert cpu_device.to_torch() == torch.device("cpu")
+
+    def test_ptdevice_jax_raises(self):
+        import jax
+        import pytest
+
+        from dosma_tpu.core.device import Device
+
+        with pytest.raises(RuntimeError, match="No torch equivalent"):
+            Device(jax.devices()[0]).ptdevice
+
+    def test_eq_torch_device(self):
+        import jax
+        import torch
+
+        from dosma_tpu.core.device import Device, cpu_device
+
+        assert cpu_device == torch.device("cpu")
+        assert Device(jax.devices()[0]) != torch.device("cpu")
