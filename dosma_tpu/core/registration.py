@@ -89,9 +89,65 @@ def _load_stage_params(path_or_name: str) -> RegistrationParams:
     return _parse_elastix_txt(name)
 
 
-def _parse_elastix_txt(name: str) -> RegistrationParams:
+# Elastix parameter keys that are either satisfied by construction in the
+# XLA registrar or genuinely cosmetic (I/O formats, logging) — accepted
+# without warning. Anything NOT here and not explicitly mapped triggers a
+# "silently dropped" warning so users migrating real configs see exactly
+# which knobs did not carry over.
+_ELASTIX_ACCEPTED_KEYS = {
+    # satisfied by construction
+    "Registration",            # MultiResolutionRegistration == our level scan
+    "FixedImagePyramid",       # Smoothing pyramid == ours (Shrinking warned below)
+    "MovingImagePyramid",
+    "Interpolator",            # metric sampling (order warned below)
+    "Resampler",
+    "ResampleInterpolator",
+    "ImageSampler",            # RandomCoordinate == ours (Grid/Full warned below)
+    "NewSamplesEveryIteration",  # "true" == ours ("false" warned below)
+    "HowToCombineTransforms",  # Compose == ours
+    "AutomaticParameterEstimation",  # our param scaling is always automatic
+    "AutomaticScalesEstimation",
+    "AutomaticTransformInitialization",
+    "ASGDParameterEstimationMethod",  # ASGD-internal; our Adam+cosine analog
+    "Optimizer",
+    "UseDirectionCosines",     # "true" == ours (full affines); "false" warned
+    "MovingImageDerivativeScales",
+    "CheckNumberOfSamples",
+    "RequiredRatioOfValidSamples",
+    "ErodeMask",               # "false" == ours ("true" warned below)
+    "ErodeFixedMask",
+    "DefaultPixelValue",       # 0 == ours (nonzero warned below)
+    # cosmetic / I/O
+    "FixedInternalImagePixelType",
+    "MovingInternalImagePixelType",
+    "ResultImagePixelType",
+    "ResultImageFormat",
+    "WriteResultImage",
+    "WriteTransformParametersEachIteration",
+    "ShowExactMetricValue",
+    "RandomSeed",
+}
 
-    # elastix DSL: parse the handful of keys that map onto our engine.
+_ELASTIX_MAPPED_KEYS = {
+    "Transform", "Metric", "NumberOfResolutions", "MaximumNumberOfIterations",
+    "NumberOfHistogramBins", "NumberOfSpatialSamples",
+    "FinalGridSpacingInPhysicalUnits", "FinalGridSpacingInVoxels",
+    "ImagePyramidSchedule", "FixedImagePyramidSchedule", "MovingImagePyramidSchedule",
+    "BSplineInterpolationOrder", "FinalBSplineInterpolationOrder",
+}
+
+
+def _parse_elastix_txt(name: str) -> RegistrationParams:
+    """Parse an elastix parameter file onto a :class:`RegistrationParams`.
+
+    Full-coverage mapping of the elastix DSL
+    (ref shipped files, ``/root/reference/dosma/file_constants.py:12-28``):
+    every key is either mapped onto the engine, accepted because the
+    engine satisfies it by construction, or WARNED about — nothing
+    load-bearing is silently dropped. Per-level schedules (iterations,
+    samples) collapse onto the engine's uniform per-level budget via max,
+    with a warning when levels differ.
+    """
     cfg = {}
     with open(name) as f:
         for line in f:
@@ -104,6 +160,12 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
                 continue
             key, vals = parts[0], parts[1:]
             cfg[key] = vals
+
+    dropped = []
+
+    def _warn(msg):
+        dropped.append(msg)
+
     tf = (cfg.get("Transform", ["AffineTransform"])[0]).lower()
     if "euler" in tf or "rigid" in tf:
         transform = "rigid"
@@ -111,23 +173,99 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
         transform = "translation"
     elif "bspline" in tf:
         transform = "bspline"
+    elif "affine" in tf or "similarity" in tf:
+        transform = "affine"
     else:
+        _warn(f"Transform {cfg['Transform'][0]!r} approximated by 'affine'")
         transform = "affine"
     kwargs = {"transform": transform}
+
     if transform == "bspline" and "FinalGridSpacingInPhysicalUnits" in cfg:
-        kwargs["grid_spacing_mm"] = float(cfg["FinalGridSpacingInPhysicalUnits"][0])
+        spac = [float(v) for v in cfg["FinalGridSpacingInPhysicalUnits"]]
+        if len(set(spac)) > 1:
+            _warn(
+                f"anisotropic FinalGridSpacingInPhysicalUnits {spac} "
+                f"collapsed to mean {np.mean(spac):g} mm"
+            )
+        kwargs["grid_spacing_mm"] = float(np.mean(spac))
     if "NumberOfResolutions" in cfg:
         kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
     if "MaximumNumberOfIterations" in cfg:
-        kwargs["iterations"] = min(int(float(cfg["MaximumNumberOfIterations"][0])), 1000)
+        its = [int(float(v)) for v in cfg["MaximumNumberOfIterations"]]
+        if len(set(its)) > 1:
+            _warn(f"per-level iteration schedule {its} collapsed to max")
+        kwargs["iterations"] = min(max(its), 1000)
     if "NumberOfHistogramBins" in cfg:
         kwargs["num_bins"] = int(float(cfg["NumberOfHistogramBins"][0]))
     if "NumberOfSpatialSamples" in cfg:
-        kwargs["num_samples"] = int(float(cfg["NumberOfSpatialSamples"][0]))
+        ns = [int(float(v)) for v in cfg["NumberOfSpatialSamples"]]
+        if len(set(ns)) > 1:
+            _warn(f"per-level sample schedule {ns} collapsed to max")
+        kwargs["num_samples"] = max(ns)
+
+    # Pyramid shrink schedule: elastix lists per-level x/y/z factors,
+    # coarsest first. Our smoothing pyramid is isotropic — per-level
+    # factors collapse to their mean (sigma = factor/2).
+    sched_key = next(
+        (k for k in ("ImagePyramidSchedule", "FixedImagePyramidSchedule") if k in cfg),
+        None,
+    )
+    if sched_key:
+        vals = [float(v) for v in cfg[sched_key]]
+        if len(vals) % 3 == 0:
+            levels = [tuple(vals[i : i + 3]) for i in range(0, len(vals), 3)]
+            if any(len(set(lv)) > 1 for lv in levels):
+                _warn(f"anisotropic {sched_key} {levels} collapsed to per-level means")
+            kwargs["pyramid_schedule"] = tuple(float(np.mean(lv)) for lv in levels)
+            kwargs["resolutions"] = len(levels)
+        else:
+            _warn(f"{sched_key} with {len(vals)} values is not 3/level; ignored")
+
     metric = (cfg.get("Metric", ["AdvancedMattesMutualInformation"])[0]).lower()
+    if len(cfg.get("Metric", [""])) > 1:
+        _warn(f"multi-metric {cfg['Metric']} uses only the first metric")
     kwargs["metric"] = "mse" if "squareddifference" in metric else (
         "ncc" if "correlation" in metric else "mi"
     )
+
+    # Keys the engine satisfies only for their default/common values.
+    def _is_true(key, default="true"):
+        return cfg.get(key, [default])[0].lower() == "true"
+
+    if "ImageSampler" in cfg and cfg["ImageSampler"][0].lower() not in (
+        "randomcoordinate", "random", "randomsparsemask",
+    ):
+        _warn(
+            f"ImageSampler {cfg['ImageSampler'][0]!r} unsupported; "
+            "using RandomCoordinate"
+        )
+    if not _is_true("NewSamplesEveryIteration"):
+        _warn("NewSamplesEveryIteration=false unsupported; samples are redrawn")
+    if cfg.get("HowToCombineTransforms", ["Compose"])[0].lower() != "compose":
+        _warn("HowToCombineTransforms != Compose unsupported; transforms compose")
+    if _is_true("ErodeMask", "false") or _is_true("ErodeFixedMask", "false"):
+        _warn("ErodeMask=true unsupported; masks are used un-eroded")
+    if not _is_true("UseDirectionCosines"):
+        _warn("UseDirectionCosines=false unsupported; direction cosines always apply")
+    if float(cfg.get("DefaultPixelValue", ["0"])[0]) != 0.0:
+        _warn("nonzero DefaultPixelValue unsupported; out-of-volume samples are 0")
+    for pk in ("FixedImagePyramid", "MovingImagePyramid"):
+        if "shrinking" in cfg.get(pk, [""])[0].lower():
+            _warn(f"{pk}=Shrinking approximated by the smoothing pyramid")
+    for ok in ("BSplineInterpolationOrder", "FinalBSplineInterpolationOrder"):
+        if int(float(cfg.get(ok, ["1"])[0])) > 1:
+            _warn(f"{ok}={cfg[ok][0]} approximated by trilinear (order 1)")
+
+    unknown = sorted(set(cfg) - _ELASTIX_ACCEPTED_KEYS - _ELASTIX_MAPPED_KEYS)
+    if unknown:
+        _warn(f"unmapped elastix keys ignored: {unknown}")
+
+    if dropped:
+        warnings.warn(
+            f"elastix parameter file {os.path.basename(name)}: "
+            + "; ".join(dropped),
+            stacklevel=3,
+        )
     return RegistrationParams(**kwargs)
 
 

@@ -13,7 +13,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["bspline_displacement", "make_control_grid", "bending_energy"]
+__all__ = [
+    "bspline_displacement",
+    "make_control_grid",
+    "bending_energy",
+    "subdivide_control_grid",
+]
 
 
 def _cubic_bspline_weights(t: jnp.ndarray):
@@ -108,6 +113,49 @@ def _bspline_disp_dense(g, idx_pts, spacing_vox):
     A = jnp.einsum("kz,cxyz->ckxy", Wz, g, precision=hi)
     B = jnp.einsum("ky,ckxy->ckx", Wy, A, precision=hi)
     return jnp.einsum("kx,ckx->ck", Wx, B, precision=hi)
+
+
+def _subdivide_axis(c: jnp.ndarray, n_new: int) -> jnp.ndarray:
+    """Halve the control spacing along the LAST axis by exact cubic
+    B-spline knot insertion (Lane–Riesenfeld midpoint rules).
+
+    With the grid anchored so control index 1 sits at image index 0, old
+    control ``i`` lives at image ``(i-1)*s`` and new control ``j`` at
+    ``(j-1)*s/2`` — so new ODD indices coincide with old knots (vertex
+    rule ``(c[i-1] + 6 c[i] + c[i+1]) / 8``) and new EVEN indices are old
+    midpoints (edge rule ``(c[i] + c[i+1]) / 2``). Edge replication
+    matches the clipped border of :func:`_basis_profile`.
+    """
+    pad = [(0, 0)] * (c.ndim - 1) + [(1, 1)]
+    cp = jnp.pad(c, pad, mode="edge")
+    v = (cp[..., :-2] + 6.0 * cp[..., 1:-1] + cp[..., 2:]) / 8.0  # vertex_i
+    e = (cp[..., 1:-1] + cp[..., 2:]) / 2.0  # edge_i = mid(c_i, c_{i+1})
+    n = c.shape[-1]
+    # Interleave [e_0, v_1, e_1, v_2, ..., v_{n-1}, e_{n-1}] (length 2n-1);
+    # index j: even -> e_{j/2}, odd -> v_{(j+1)/2}.
+    pairs = jnp.stack([e[..., : n - 1], v[..., 1:]], axis=-1)
+    out = jnp.concatenate(
+        [pairs.reshape(*c.shape[:-1], 2 * (n - 1)), e[..., -1:]], axis=-1
+    )
+    if n_new > out.shape[-1]:  # only when the coarse grid was all margin
+        extra = n_new - out.shape[-1]
+        out = jnp.concatenate([out] + [out[..., -1:]] * extra, axis=-1)
+    return out[..., :n_new]
+
+
+def subdivide_control_grid(ctrl: jnp.ndarray, new_shape) -> jnp.ndarray:
+    """Refine ``ctrl`` (3, gx, gy, gz) to half the control spacing per axis.
+
+    The returned grid of shape ``(3, *new_shape)`` represents (up to border
+    clipping effects) the SAME displacement field at half the spacing — the
+    coarse→fine initialization step of multi-grid FFD registration
+    (Rueckert's subdivision schedule; role of elastix's
+    ``GridSpacingSchedule``).
+    """
+    out = ctrl
+    for ax, n_new in zip((1, 2, 3), new_shape):
+        out = jnp.moveaxis(_subdivide_axis(jnp.moveaxis(out, ax, -1), int(n_new)), -1, ax)
+    return out
 
 
 def bending_energy(ctrl: jnp.ndarray) -> jnp.ndarray:

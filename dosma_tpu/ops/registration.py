@@ -60,6 +60,10 @@ class RegistrationParams:
     # B-spline (FFD) stage options.
     grid_spacing_mm: float = 32.0
     bending_weight: float = 1e-2
+    # Optional explicit per-level shrink factors, coarsest→finest (elastix
+    # ImagePyramidSchedule). None = the default 2^(L-1-l) schedule; the
+    # length overrides ``resolutions``.
+    pyramid_schedule: Optional[Tuple[float, ...]] = None
 
     @property
     def nparams(self) -> int:
@@ -409,6 +413,22 @@ def _smooth_radius_for_levels(n_levels: int) -> int:
     return max(_SMOOTH_RADIUS, int(np.ceil(3.0 * sigma_max)))
 
 
+def _smooth_radius_for_sigmas(sigmas) -> int:
+    """Kernel radius covering ~3 sigma of an EXPLICIT sigma schedule."""
+    return max(_SMOOTH_RADIUS, int(np.ceil(3.0 * float(np.max(np.asarray(sigmas))))))
+
+
+def _stage_sigmas(cfg: "RegistrationParams") -> np.ndarray:
+    """Per-level smoothing sigmas for a stage config: the elastix
+    ImagePyramidSchedule if given (sigma = factor/2), else the default
+    2^(L-1-l) schedule."""
+    if cfg.pyramid_schedule:
+        return np.array(
+            [f / 2.0 if f > 1 else 0.0 for f in cfg.pyramid_schedule], np.float32
+        )
+    return _pyramid_sigmas(cfg.resolutions)
+
+
 def _pyramid_core(
     fixed_arr, fixed_affine, fixed_mask,
     moving_arr, moving_affine,
@@ -417,6 +437,7 @@ def _pyramid_core(
     iterations: int, num_samples: int, num_bins: int,
     learning_rate, seed,
     moving_mask=None,
+    radius: Optional[int] = None,
 ):
     """Traceable multi-resolution optimization core (one parameter stage).
 
@@ -435,7 +456,8 @@ def _pyramid_core(
     B_fix = fixed_affine  # index -> world
     inv_moving = jnp.linalg.inv(moving_affine)
 
-    radius = _smooth_radius_for_levels(int(sigmas.shape[0]))
+    if radius is None:
+        radius = _smooth_radius_for_levels(int(sigmas.shape[0]))
 
     def level_step(theta, level):
         sigma, level_idx = level
@@ -526,7 +548,9 @@ def _pyramid_core(
 
 _optimize_pyramid = functools.partial(
     jax.jit,
-    static_argnames=("transform", "metric", "iterations", "num_samples", "num_bins"),
+    static_argnames=(
+        "transform", "metric", "iterations", "num_samples", "num_bins", "radius",
+    ),
 )(_pyramid_core)
 
 
@@ -584,7 +608,7 @@ def _optimize_chain_impl(
     Ms = []
     losses_all = []
     for i, st in enumerate(stage_statics):
-        transform, metric, iterations, num_samples, num_bins, lr, use_fm, use_mm = st
+        transform, metric, iterations, num_samples, num_bins, lr, use_fm, use_mm, radius = st
         theta0 = _seed_theta_traced(transform, M, center)
         theta, losses = _pyramid_core(
             fixed_arr, fixed_affine, fixed_mask if use_fm else None,
@@ -593,6 +617,7 @@ def _optimize_chain_impl(
             transform, metric, iterations, num_samples, num_bins,
             lr, seeds[i],
             moving_mask=moving_mask if use_mm else None,
+            radius=radius,
         )
         M = _params_to_matrix(theta, center, transform)
         Ms.append(M)
@@ -614,6 +639,7 @@ def _chain_statics(stage_cfgs, use_fmask, use_mmask):
             cfg.transform, cfg.metric, int(cfg.iterations), int(cfg.num_samples),
             int(cfg.num_bins), float(cfg.learning_rate),
             bool(use_fmask[i]), bool(use_mmask[i]),
+            _smooth_radius_for_sigmas(_stage_sigmas(cfg)),
         )
         for i, cfg in enumerate(stage_cfgs)
     )
@@ -626,7 +652,7 @@ def _chain_host_args(stage_cfgs, fixed_shape, fixed_affine):
     scales = tuple(
         jnp.asarray(_param_scale(cfg.transform, fixed_shape, spacing)) for cfg in stage_cfgs
     )
-    sigmas = tuple(jnp.asarray(_pyramid_sigmas(cfg.resolutions)) for cfg in stage_cfgs)
+    sigmas = tuple(jnp.asarray(_stage_sigmas(cfg)) for cfg in stage_cfgs)
     return center, scales, sigmas
 
 
@@ -872,7 +898,7 @@ def _run_pyramid_stage(
 ):
     """Drive :func:`_optimize_pyramid` for one parameter stage."""
     scale = _param_scale(params.transform, fixed_dev.shape, spacing)
-    sigmas = _pyramid_sigmas(params.resolutions)
+    sigmas = _stage_sigmas(params)
     theta, losses = _optimize_pyramid(
         fixed_dev, jnp.asarray(fixed_affine, jnp.float32), mask_dev,
         moving_dev, jnp.asarray(moving_affine, jnp.float32),
@@ -882,6 +908,7 @@ def _run_pyramid_stage(
         params.iterations, params.num_samples, params.num_bins,
         params.learning_rate, params.seed,
         moving_mask=moving_mask,
+        radius=_smooth_radius_for_sigmas(sigmas),
     )
     return np.asarray(theta), np.asarray(losses)
 
@@ -956,78 +983,166 @@ def _warp_chain_impl(moving_arr, fixed_affine, moving_affine, payloads, kinds, f
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "iterations", "num_samples", "num_bins"),
+    static_argnames=("stage_statics", "metric", "num_bins"),
 )
-def _optimize_bspline_level(
+def _optimize_bspline_chain(
     fixed_arr, fixed_affine, fixed_mask,
-    moving_arr, moving_affine,
-    ctrl0, spacing_vox, level_factor,
-    metric: str,
-    iterations: int, num_samples: int, num_bins: int,
-    learning_rate, bending_weight, seed,
-    moving_mask=None,
+    moving_arr, moving_affine, moving_mask,
+    ctrl0, spacings, bending_weight, seed,
+    stage_statics, metric: str, num_bins: int,
 ):
-    """One pyramid level of FFD optimization. The control grid lives in
-    FULL-resolution fixed index space; level coords convert via
-    ``idx_full = idx_level * f + (f-1)/2``."""
+    """The FULL multi-grid FFD chain as ONE jitted program.
+
+    Multi-grid (Rueckert) schedule: optimize a coarse control grid on a
+    heavily smoothed image pair, then subdivide the grid (exact cubic
+    knot insertion, :func:`~dosma_tpu.ops.bspline.subdivide_control_grid`)
+    and continue at half the control spacing on a less-smoothed pair —
+    the deformable analog of elastix's GridSpacingSchedule +
+    FixedSmoothingImagePyramid. Every stage works on the FULL-resolution
+    grid under a per-stage Gaussian (constant shapes, no decimation), so
+    the whole chain — smoothing, sampling, Adam, subdivision — runs
+    device-resident with ZERO host round-trips (the previous per-level
+    driver pulled each downsampled volume AND the control grid back to
+    host between levels; through a tunneled backend those D2H transfers
+    dominated the stage wall).
+
+    ``stage_statics``: per-stage ``(grid_shape, sigma, radius, iterations,
+    num_samples, lr)``. ``spacings``: (n_stages, 3) control spacing in
+    fixed-index units. Returns ``(ctrl_final, losses_per_stage)``.
+    """
     import optax
 
-    from dosma_tpu.ops.bspline import bending_energy, bspline_displacement
+    from dosma_tpu.ops.bspline import (
+        bending_energy,
+        bspline_displacement,
+        subdivide_control_grid,
+    )
 
     fshape = fixed_arr.shape
+    B_fix = fixed_affine
+    inv_moving = jnp.linalg.inv(moving_affine)
     f_lo, f_hi = jnp.min(fixed_arr), jnp.max(fixed_arr)
     m_lo, m_hi = jnp.min(moving_arr), jnp.max(moving_arr)
-    inv_moving = jnp.linalg.inv(moving_affine)
 
-    def loss_fn(ctrl, key):
-        u = jax.random.uniform(key, (3, num_samples))
-        idx_level = u * (jnp.array(fshape, jnp.float32)[:, None] - 1)
-        idx_full = idx_level * level_factor + (level_factor - 1) / 2.0
-
-        fixed_vals = _trilinear_sample(fixed_arr, idx_level)
-        weights = (
-            _trilinear_sample(fixed_mask, idx_level) if fixed_mask is not None
-            else jnp.ones(num_samples)
-        )
-
-        idx_h = jnp.concatenate([idx_level, jnp.ones((1, num_samples))], axis=0)
-        world = _mm(fixed_affine, idx_h)
-        disp = bspline_displacement(ctrl, idx_full, spacing_vox)
-        world = world.at[:3].add(disp)
-        m_idx = _mm(inv_moving, world)[:3]
-        moving_vals = _trilinear_sample(moving_arr, m_idx)
-        inside = jnp.all(
-            (m_idx >= 0) & (m_idx <= jnp.array(moving_arr.shape, jnp.float32)[:, None] - 1),
-            axis=0,
-        )
-        weights = weights * (0.01 + 0.99 * inside)
-        if moving_mask is not None:
-            weights = weights * _trilinear_sample(moving_mask, m_idx)
-
-        if metric == "mi":
-            data_loss = _soft_mi(fixed_vals, moving_vals, weights, num_bins, f_lo, f_hi, m_lo, m_hi)
-        elif metric == "ncc":
-            data_loss = _ncc(fixed_vals, moving_vals, weights)
+    ctrl = ctrl0
+    losses_all = []
+    n_stages = len(stage_statics)
+    for g, (grid_shape, sigma, radius, iterations, num_samples, lr) in enumerate(
+        stage_statics
+    ):
+        spacing_vox = spacings[g]
+        if sigma > 0:
+            f_s = _gauss_smooth3(fixed_arr, sigma, radius)
+            m_s = _gauss_smooth3(moving_arr, sigma, radius)
+            mask_s = _gauss_smooth3(fixed_mask, sigma, radius) if fixed_mask is not None else None
+            mmask_s = _gauss_smooth3(moving_mask, sigma, radius) if moving_mask is not None else None
         else:
-            data_loss = _mse(fixed_vals, moving_vals, weights)
-        return data_loss + bending_weight * bending_energy(ctrl)
+            f_s, m_s, mask_s, mmask_s = fixed_arr, moving_arr, fixed_mask, moving_mask
 
-    # Same annealing as the matrix stages (see _pyramid_core).
-    opt = optax.adam(
-        optax.cosine_decay_schedule(learning_rate, iterations, alpha=0.1)
+        # Fixed-side quantities don't depend on ctrl: draw EVERY iteration's
+        # sample coordinates up front and gather values/weights/world coords
+        # in one batched pass (same trick as the matrix-stage _pyramid_core).
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), g)
+        u = jax.random.uniform(key, (iterations, 3, num_samples))
+        idx_all = u * (jnp.array(fshape, jnp.float32)[None, :, None] - 1)
+        flat = idx_all.transpose(1, 0, 2).reshape(3, iterations * num_samples)
+        fixed_vals_all = _trilinear_sample(f_s, flat).reshape(iterations, num_samples)
+        w0_all = (
+            _trilinear_sample(mask_s, flat).reshape(iterations, num_samples)
+            if mask_s is not None
+            else jnp.ones((iterations, num_samples))
+        )
+        flat_h = jnp.concatenate([flat, jnp.ones((1, iterations * num_samples))], axis=0)
+        world_all = _mm(B_fix, flat_h).reshape(4, iterations, num_samples).transpose(1, 0, 2)
+
+        def loss_fn(ctrl_g, fixed_vals, w0, world, idx, spacing_vox=spacing_vox,
+                    m_s=m_s, mmask_s=mmask_s, f_lo=f_lo, f_hi=f_hi, m_lo=m_lo, m_hi=m_hi):
+            disp = bspline_displacement(ctrl_g, idx, spacing_vox)
+            world = world.at[:3].add(disp)
+            m_idx = _mm(inv_moving, world)[:3]
+            moving_vals = _trilinear_sample(m_s, m_idx)
+            inside = jnp.all(
+                (m_idx >= 0) & (m_idx <= jnp.array(m_s.shape, jnp.float32)[:, None] - 1),
+                axis=0,
+            )
+            weights = w0 * (0.01 + 0.99 * inside)
+            if mmask_s is not None:
+                weights = weights * _trilinear_sample(mmask_s, m_idx)
+
+            if metric == "mi":
+                data_loss = _soft_mi(
+                    fixed_vals, moving_vals, weights, num_bins, f_lo, f_hi, m_lo, m_hi
+                )
+            elif metric == "ncc":
+                data_loss = _ncc(fixed_vals, moving_vals, weights)
+            else:
+                data_loss = _mse(fixed_vals, moving_vals, weights)
+            return data_loss + bending_weight * bending_energy(ctrl_g)
+
+        opt = optax.adam(optax.cosine_decay_schedule(lr, iterations, alpha=0.1))
+
+        # Polyak tail averaging: the stochastic per-iteration metric makes
+        # the annealed iterates bounce around the optimum at the final-step
+        # scale (~0.1 voxel measured at bench scale); averaging the last
+        # quarter of the iterates cancels that zero-mean noise without
+        # shrinking the steps (and without the slow crawl a deeper anneal
+        # would cost). Matches ASGD theory (Polyak–Juditsky).
+        tail_start = max(0, iterations - max(1, iterations // 4))
+
+        def step(carry, xs, loss_fn=loss_fn, opt=opt, tail_start=tail_start):
+            ctrl_g, opt_state, acc = carry
+            fixed_vals, w0, world, idx, it = xs
+            loss, grads = jax.value_and_grad(loss_fn)(ctrl_g, fixed_vals, w0, world, idx)
+            updates, opt_state = opt.update(grads, opt_state)
+            ctrl_g = optax.apply_updates(ctrl_g, updates)
+            acc = acc + jnp.where(it >= tail_start, 1.0, 0.0) * ctrl_g
+            return (ctrl_g, opt_state, acc), loss
+
+        (ctrl_last, _, acc), losses = jax.lax.scan(
+            step, (ctrl, opt.init(ctrl), jnp.zeros_like(ctrl)),
+            (fixed_vals_all, w0_all, world_all, idx_all,
+             jnp.arange(iterations, dtype=jnp.int32)),
+        )
+        ctrl = acc / float(iterations - tail_start)
+        losses_all.append(losses)
+
+        if g + 1 < n_stages:
+            ctrl = subdivide_control_grid(ctrl, stage_statics[g + 1][0])
+
+    return ctrl, tuple(losses_all)
+
+
+def _bspline_stage_plan(fixed_shape, fixed_affine, params: "RegistrationParams"):
+    """Coarse→fine multi-grid plan: per-stage control grid shape + spacing
+    (index units), smoothing sigma, and learning rate.
+
+    Stage ``g`` of ``n`` uses control spacing ``final * 2^(n-1-g)`` and the
+    matrix-stage pyramid sigma for that level; grids refine by exact
+    subdivision between stages (spacings halve, so grid shapes follow
+    ``floor(D / s) + 4``, matching :func:`make_control_grid` at the final
+    stage).
+    """
+    from dosma_tpu.ops.bspline import make_control_grid
+
+    sched = _stage_sigmas(params)
+    n = len(sched)
+    _, spacing_final = make_control_grid(
+        fixed_shape, fixed_affine, params.grid_spacing_mm
     )
-    opt_state = opt.init(ctrl0)
-
-    def step(carry, it):
-        ctrl, opt_state = carry
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), it)
-        loss, grads = jax.value_and_grad(loss_fn)(ctrl, key)
-        updates, opt_state = opt.update(grads, opt_state)
-        ctrl = optax.apply_updates(ctrl, updates)
-        return (ctrl, opt_state), loss
-
-    (ctrl, _), losses = jax.lax.scan(step, (ctrl0, opt_state), jnp.arange(iterations))
-    return ctrl, losses
+    sigmas = sched
+    shapes, spacings, stage_sigmas, lrs = [], [], [], []
+    for g in range(n):
+        s = spacing_final * (2 ** (n - 1 - g))
+        shape = np.maximum(
+            np.floor(np.asarray(fixed_shape[:3]) / s).astype(int) + 4, 4
+        )
+        shapes.append(tuple(int(x) for x in shape))
+        spacings.append(s.astype(np.float32))
+        stage_sigmas.append(float(sigmas[g]))
+        # Displacements are in mm: scale the step size by the stage's
+        # control spacing so coarse grids take proportionally larger steps.
+        lrs.append(params.learning_rate * float(np.mean(s)))
+    return shapes, spacings, stage_sigmas, lrs
 
 
 def register_pair_bspline(
@@ -1039,60 +1154,49 @@ def register_pair_bspline(
     fixed_mask: Optional[np.ndarray] = None,
     moving_mask: Optional[np.ndarray] = None,
 ):
-    """Multi-resolution B-spline FFD registration.
+    """Multi-grid, multi-resolution B-spline FFD registration.
+
+    The whole coarse→fine chain (per-stage smoothing pyramid, Adam
+    optimization, control-grid subdivision) runs as ONE compiled XLA
+    program (ref: elastix's BSplineTransform stage,
+    ``/root/reference/dosma/core/registration.py:374-449``).
 
     Returns ``(ctrl (3, gx, gy, gz), spacing_vox (3,), info)`` — the control
-    displacements in world mm over the full-resolution fixed index grid.
+    displacements in world mm over the full-resolution fixed index grid at
+    the FINAL (``params.grid_spacing_mm``) control spacing.
     """
-    from dosma_tpu.ops.bspline import make_control_grid
+    fixed_dev = jnp.asarray(fixed_arr, jnp.float32)
+    moving_dev = jnp.asarray(moving_arr, jnp.float32)
 
-    fixed_arr = np.asarray(fixed_arr, np.float32)
-    moving_arr = np.asarray(moving_arr, np.float32)
-
-    grid_shape, spacing_vox = make_control_grid(
-        fixed_arr.shape, fixed_affine, params.grid_spacing_mm
+    shapes, spacings, sigmas, lrs = _bspline_stage_plan(
+        fixed_dev.shape, fixed_affine, params
     )
-    ctrl = np.zeros((3, *grid_shape), np.float32)
-
-    # Deformable stages use a larger physical learning rate (displacements
-    # are in mm, not normalized units).
-    lr = params.learning_rate * float(np.mean(spacing_vox))
-
-    factors = [2 ** (params.resolutions - 1 - lvl) for lvl in range(params.resolutions)]
-    info = {"losses": []}
-    for lvl, factor in enumerate(factors):
-        f_arr = np.asarray(_downsample(jnp.asarray(fixed_arr), factor))
-        m_arr = np.asarray(_downsample(jnp.asarray(moving_arr), factor))
-        f_aff = _scale_affine(fixed_affine, factor)
-        m_aff = _scale_affine(moving_affine, factor)
-        f_mask = None
-        if fixed_mask is not None:
-            f_mask = np.asarray(
-                _downsample(jnp.asarray(np.asarray(fixed_mask, np.float32)), factor)
-            )
-        m_mask = None
-        if moving_mask is not None:
-            m_mask = np.asarray(
-                _downsample(jnp.asarray(np.asarray(moving_mask, np.float32)), factor)
-            )
-
-        ctrl_j, losses = _optimize_bspline_level(
-            jnp.asarray(f_arr), jnp.asarray(f_aff, jnp.float32),
-            jnp.asarray(f_mask) if f_mask is not None else None,
-            jnp.asarray(m_arr), jnp.asarray(m_aff, jnp.float32),
-            jnp.asarray(ctrl), jnp.asarray(spacing_vox, jnp.float32),
-            jnp.asarray(float(factor), jnp.float32),
-            params.metric,
-            params.iterations, params.num_samples, params.num_bins,
-            # Fold the level into the seed so each level draws FRESH sample
-            # coordinates (the affine pyramid folds level_idx the same way).
-            lr, params.bending_weight, params.seed + lvl * max(1, params.iterations),
-            moving_mask=jnp.asarray(m_mask) if m_mask is not None else None,
+    radius = _smooth_radius_for_sigmas(sigmas)
+    stage_statics = tuple(
+        (
+            shapes[g],
+            sigmas[g],
+            radius,
+            int(params.iterations),
+            int(params.num_samples),
+            float(lrs[g]),
         )
-        ctrl = np.asarray(ctrl_j)
-        info["losses"].append(np.asarray(losses))
+        for g in range(len(shapes))
+    )
 
-    return ctrl, np.asarray(spacing_vox), info
+    ctrl0 = jnp.zeros((3, *shapes[0]), jnp.float32)
+    ctrl, losses = _optimize_bspline_chain(
+        fixed_dev, jnp.asarray(fixed_affine, jnp.float32),
+        jnp.asarray(fixed_mask, jnp.float32) if fixed_mask is not None else None,
+        moving_dev, jnp.asarray(moving_affine, jnp.float32),
+        jnp.asarray(moving_mask, jnp.float32) if moving_mask is not None else None,
+        ctrl0, jnp.asarray(np.stack(spacings)), jnp.asarray(params.bending_weight, jnp.float32),
+        jnp.asarray(params.seed, jnp.int32),
+        stage_statics, params.metric, int(params.num_bins),
+    )
+    info = {"losses": [np.asarray(l) for l in losses]}
+    info.update(_stall_diagnostics(info["losses"]))
+    return np.asarray(ctrl), np.asarray(spacings[-1]), info
 
 
 def register_pair_batch(
@@ -1123,7 +1227,9 @@ def register_pair_batch(
     spacing = np.sqrt((np.asarray(fixed_affine)[:3, :3] ** 2).sum(0))
 
     scale = jnp.asarray(_param_scale(params.transform, fixed_dev.shape, spacing))
-    sigmas = jnp.asarray(_pyramid_sigmas(params.resolutions))
+    sigmas_host = _stage_sigmas(params)
+    sigmas = jnp.asarray(sigmas_host)
+    radius = _smooth_radius_for_sigmas(sigmas_host)
     f_aff = jnp.asarray(fixed_affine, jnp.float32)
     m_aff = jnp.asarray(moving_affine, jnp.float32)
     center_dev = jnp.asarray(center)
@@ -1136,6 +1242,7 @@ def register_pair_batch(
             params.transform, params.metric,
             params.iterations, params.num_samples, params.num_bins,
             params.learning_rate, params.seed + seed_offset,
+            radius=radius,
         )
 
     thetas, losses = jax.vmap(_one)(moving_dev, thetas0, jnp.arange(M_count))

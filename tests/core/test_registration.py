@@ -174,6 +174,78 @@ class TestParamFiles:
         assert cfg.num_bins == 64
         assert cfg.metric == "mi"
 
+    def test_elastix_txt_full_dsl(self, tmp_path):
+        """Full elastix-DSL coverage: schedules, sampler, orders, bspline
+        grid spacing — load-bearing keys map; unsupported values warn
+        rather than drop silently."""
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "params-bspline.txt"
+        p.write_text(
+            "// deformable stage\n"
+            '(Transform "BSplineTransform")\n'
+            '(Metric "AdvancedMattesMutualInformation")\n'
+            "(FinalGridSpacingInPhysicalUnits 30 30 30)\n"
+            "(NumberOfResolutions 3)\n"
+            "(MaximumNumberOfIterations 1000 500 250)\n"
+            "(NumberOfHistogramBins 32)\n"
+            "(NumberOfSpatialSamples 2000 2000 4000)\n"
+            "(ImagePyramidSchedule 8 8 8 4 4 4 1 1 1)\n"
+            '(ImageSampler "RandomCoordinate")\n'
+            '(NewSamplesEveryIteration "true")\n'
+            "(FinalBSplineInterpolationOrder 3)\n"
+            "(DefaultPixelValue 0)\n"
+        )
+        with pytest.warns(UserWarning) as rec:
+            cfg = _load_stage_params(str(p))
+        assert cfg.transform == "bspline"
+        assert cfg.grid_spacing_mm == 30.0
+        assert cfg.iterations == 1000  # max of per-level schedule
+        assert cfg.num_samples == 4000
+        assert cfg.pyramid_schedule == (8.0, 4.0, 1.0)
+        assert cfg.resolutions == 3
+        msgs = "; ".join(str(w.message) for w in rec)
+        assert "iteration schedule" in msgs
+        assert "FinalBSplineInterpolationOrder" in msgs
+
+    def test_elastix_txt_unknown_keys_warn(self, tmp_path):
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "params.txt"
+        p.write_text(
+            '(Transform "AffineTransform")\n'
+            "(SP_a 400.0)\n"
+            '(SomeCustomKnob "on")\n'
+        )
+        with pytest.warns(UserWarning, match="unmapped elastix keys"):
+            cfg = _load_stage_params(str(p))
+        assert cfg.transform == "affine"
+
+    def test_reference_shipped_files_parse(self):
+        """Parse the reference's five shipped elastix files verbatim when the
+        reference checkout is present (rig-only; users won't have it)."""
+        ref_dir = "/root/reference/dosma/resources/elastix/params"
+        if not os.path.isdir(ref_dir):
+            pytest.skip("reference checkout not present")
+        from dosma_tpu.core.registration import _load_stage_params
+
+        expected = {
+            "parameters-affine.txt": ("affine", 1, 1000),
+            "parameters-rigid.txt": ("rigid", 3, 1000),
+            "parameters-bspline.txt": ("bspline", 3, 1000),
+            "parameters-rigid-interregister.txt": ("rigid", 3, 400),
+            "parameters-affine-interregister.txt": ("rigid", 3, 400),
+        }
+        for fname, (tf, res, its) in expected.items():
+            cfg = _load_stage_params(os.path.join(ref_dir, fname))
+            assert cfg.transform == tf, fname
+            assert cfg.resolutions == res, fname
+            assert cfg.iterations == its, fname
+            assert cfg.num_bins == 32 and cfg.num_samples == 2000, fname
+            assert cfg.metric == "mi", fname
+            if tf == "bspline":
+                assert cfg.grid_spacing_mm == 30.0
+
     def test_symlink_stubs_warn(self):
         from dosma_tpu.core.registration import symlink_elastix, unlink_elastix
 
