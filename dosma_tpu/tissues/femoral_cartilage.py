@@ -45,6 +45,7 @@ class FemoralCartilage(Tissue):
     STR_ID = "fc"
     FULL_NAME = "femoral cartilage"
     T1_EXPECTED = 1200  # ms
+    _PREFETCH_FULL_MAP = False  # compressed analytics: masked gather on device
 
     # Region bit keys (ref ``femoral_cartilage.py:53-67``).
     _POSTERIOR_KEY = 2**0
@@ -75,36 +76,53 @@ class FemoralCartilage(Tissue):
         self.medial_to_lateral = medial_to_lateral
 
     # ------------------------------------------------------------------
-    def split_regions(self, base_map, thickness_divisor=0.5, num_bins=72, theta=(-270, 90)):
-        """Split mask into 3x2x3 anatomical regions (ref ``:86-194``)."""
+    def _region_tables(
+        self,
+        mask_vol,
+        base_vals=None,
+        nz=None,
+        thickness_divisor=0.5,
+        num_bins=72,
+        theta=(-270, 90),
+    ):
+        """Compressed region geometry shared by :meth:`split_regions` and
+        ``__calc_quant_vals__``.
+
+        All heavy work runs on the compressed mask-voxel index lists
+        (``nz = nonzero(mask)``) — no full-volume temporaries. ``base_vals``
+        are the RAW base-map values gathered at ``nz`` (``None`` when the
+        base map IS the mask, i.e. the eager set_mask split); a voxel is
+        *valid* when ``base_vals > 0`` (NaN excluded), matching the
+        reference's ``mask * nan_to_num(base) > 0`` product form
+        (ref ``femoral_cartilage.py:100-137``).
+        """
         dtheta = 360 / num_bins
         theta_min, theta_max = tuple(theta)
+        height, width, num_slices = mask_vol.shape
 
-        # Valid voxels = mask != 0 AND base_map > 0 (the reference multiplies
-        # the f32 mask by nan_to_num(base_map) and keeps product > 0, ref
-        # ``:100-137``; with a non-negative uint8 mask the boolean form is
-        # identical and skips three full-volume f32 temporaries + the
-        # nan_to_num passes — ~0.3 s/call at 384x384x32).
-        mask_vol = np.asarray(self.__mask__.volume)
-        base = np.asarray(base_map)
-        valid = mask_vol != 0
-        if base is not mask_vol:
+        if nz is None:
+            nz = np.nonzero(mask_vol)
+        my, mx, mz = nz
+        mask_vals = mask_vol[my, mx, mz].astype(np.float64)
+        if base_vals is None:
+            keep = np.ones(len(my), dtype=bool)
+        else:
             with np.errstate(invalid="ignore"):
-                valid &= base > 0  # NaN > 0 is False, matching nan_to_num
-        height, width, num_slices = valid.shape
+                keep = base_vals > 0  # NaN > 0 is False, matching nan_to_num
+        iy, ix, iz = my[keep], mx[keep], mz[keep]
 
-        # STEP 1: sagittal any-projection + circle fit.
-        projected = valid.any(2)
-        nz = np.nonzero(projected)
-        if len(nz[0]) < 3:
+        # STEP 1: sagittal any-projection + circle fit. The projected pixel
+        # set is the unique (row, col) pairs among valid voxels, in the same
+        # row-major order np.nonzero(valid.any(2)) produces.
+        pix = np.unique(iy.astype(np.int64) * width + ix)
+        if len(pix) < 3:
             raise ValueError(
-                f"Mask for {self.FULL_NAME} has too few voxels ({len(nz[0])} projected "
+                f"Mask for {self.FULL_NAME} has too few voxels ({len(pix)} projected "
                 f"points) to fit the condyle circle."
             )
-        xc_fit, yc_fit, _R = circle_fit(nz[1], nz[0])
+        xc_fit, yc_fit, _R = circle_fit(pix % width, pix // width)
 
-        # STEP 2: angular binning (f32 grids: these broadcast to full-volume
-        # temporaries below, and f64 doubled the analytics' memory traffic).
+        # STEP 2: angular binning (2D grids only — f32 to halve traffic).
         yv, xv = np.meshgrid(
             np.arange(height, dtype=np.float32),
             np.arange(width, dtype=np.float32),
@@ -117,11 +135,6 @@ class FemoralCartilage(Tissue):
 
         # STEP 3: per-(bin, slice) radial thresholds — vectorized scatter
         # min/max over valid voxels (replaces ref ``:139-152`` loops).
-        # Valid voxels are extracted ONCE via nonzero; all scatter inputs
-        # are gathered through the (iy, ix, iz) index lists, so no full-
-        # volume int/f64 temporaries are ever materialized (the broadcast
-        # formulation cost ~0.7 s/knee at 384x384x32).
-        iy, ix, iz = np.nonzero(valid)
         bins2d = theta_bins.astype(np.int32)
         keys = bins2d[iy, ix] * num_slices + iz.astype(np.int32)
         rho_valid = rho[iy, ix]
@@ -137,33 +150,40 @@ class FemoralCartilage(Tissue):
             np.float32(thickness_divisor) * (rho_max[has_any] - rho_min[has_any])
             + rho_min[has_any]
         )
-        # (height, width, num_slices) f32 gather from the small table.
-        rhos_threshold_volume = thresholds.reshape(num_bins, num_slices)[bins2d]
-
-        # anterior/central/posterior (θ thresholds -105 / -75) — 2D bits.
-        acp_map = (
-            self._ANTERIOR_KEY * (th < -105)
-            + self._CENTRAL_KEY * np.logical_and(th >= -105, th < -75)
-            + self._POSTERIOR_KEY * (th >= -75)
-        ).astype(np.uint16)
 
         # medial/lateral at center-of-mass slice, honoring scan direction.
         # Slice-wise weighted sum == scipy.ndimage.center_of_mass(mask *
-        # nan_to_num(base_map))[-1] (same formula, f64 accumulation) without
-        # the other two axes; the product weights are gathered only at the
-        # valid voxels instead of materializing the full-volume product.
-        if base is mask_vol:
-            weights = mask_vol[iy, ix, iz].astype(np.float64) ** 2
+        # nan_to_num(base_map))[-1] (same formula, f64 accumulation).
+        if base_vals is None:
+            weights = mask_vals**2
         else:
-            weights = (
-                mask_vol[iy, ix, iz].astype(np.float64)
-                * base[iy, ix, iz].astype(np.float64)
-            )
+            weights = mask_vals[keep] * base_vals[keep]
         slice_sums = np.bincount(iz, weights=weights, minlength=num_slices)
         com_slicewise = float(
             (slice_sums * np.arange(num_slices)).sum() / slice_sums.sum()
         )
         boundary = int(np.ceil(com_slicewise))
+
+        acp_boundary = [
+            int(np.floor((-105 - theta_min) / dtheta)),
+            int(np.floor((-75 - theta_min) / dtheta)),
+        ]
+        return {
+            "nz": nz,
+            "mask_vals": mask_vals,
+            "keep": keep,
+            "rho": rho,
+            "th": th,
+            "theta_bins": theta_bins,
+            "bins2d": bins2d,
+            "keys": keys,
+            "thresholds": thresholds,
+            "num_bins": num_bins,
+            "boundary": boundary,
+            "acp_boundary": acp_boundary,
+        }
+
+    def _ml_key_row(self, boundary, num_slices):
         ml_row = np.empty(num_slices, dtype=np.uint16)
         if self.medial_to_lateral:
             ml_row[:boundary] = self._MEDIAL_KEY
@@ -171,6 +191,38 @@ class FemoralCartilage(Tissue):
         else:
             ml_row[:boundary] = self._LATERAL_KEY
             ml_row[boundary:] = self._MEDIAL_KEY
+        return ml_row
+
+    def split_regions(self, base_map, thickness_divisor=0.5, num_bins=72, theta=(-270, 90)):
+        """Split mask into 3x2x3 anatomical regions (ref ``:86-194``)."""
+        mask_vol = np.asarray(self.__mask__.volume)
+        base = np.asarray(base_map)
+        num_slices = mask_vol.shape[-1]
+        if base is mask_vol:
+            base_vals = None
+            nz = np.nonzero(mask_vol)
+        else:
+            nz = np.nonzero(mask_vol)
+            base_vals = base[nz].astype(np.float64)
+        t = self._region_tables(
+            mask_vol,
+            base_vals=base_vals,
+            nz=nz,
+            thickness_divisor=thickness_divisor,
+            num_bins=num_bins,
+            theta=theta,
+        )
+
+        # Full-volume region bitmask assembly (only needed by callers that
+        # want the dense volume — the analytics path stays compressed).
+        th, rho = t["th"], t["rho"]
+        acp_map = (
+            self._ANTERIOR_KEY * (th < -105)
+            + self._CENTRAL_KEY * np.logical_and(th >= -105, th < -75)
+            + self._POSTERIOR_KEY * (th >= -75)
+        ).astype(np.uint16)
+        ml_row = self._ml_key_row(t["boundary"], num_slices)
+        rhos_threshold_volume = t["thresholds"].reshape(num_bins, num_slices)[t["bins2d"]]
 
         # deep/superficial at the radial threshold (note: both bits set on
         # the threshold surface itself — reference parity). Assembled in
@@ -185,11 +237,31 @@ class FemoralCartilage(Tissue):
         regions_volume += sup_bits
         regions_volume += np.uint16(self._TOTAL_AXIAL_KEY)
 
-        acp_boundary = [
-            int(np.floor((-105 - theta_min) / dtheta)),
-            int(np.floor((-75 - theta_min) / dtheta)),
-        ]
-        return regions_volume, theta_bins, boundary, acp_boundary
+        return regions_volume, t["theta_bins"], t["boundary"], t["acp_boundary"]
+
+    def _region_bits_compressed(self, t):
+        """Region bitmask at the kept (valid) voxels only — same bits the
+        dense ``split_regions`` volume holds at those indices."""
+        my, mx, mz = t["nz"]
+        keep = t["keep"]
+        iy, ix, iz = my[keep], mx[keep], mz[keep]
+        th_sel = t["th"][iy, ix]
+        rho_sel = t["rho"][iy, ix]
+        thr_sel = t["thresholds"][t["keys"]]
+
+        rm = np.where(
+            th_sel < -105,
+            np.uint16(self._ANTERIOR_KEY),
+            np.where(
+                th_sel < -75, np.uint16(self._CENTRAL_KEY), np.uint16(self._POSTERIOR_KEY)
+            ),
+        ).astype(np.uint16)
+        ml_row = self._ml_key_row(t["boundary"], len(t["thresholds"]) // t["num_bins"])
+        rm += ml_row[iz]
+        rm += (rho_sel <= thr_sel).astype(np.uint16) << 5  # _DEEP_KEY
+        rm += (rho_sel >= thr_sel).astype(np.uint16) << 6  # _SUPERFICIAL_KEY
+        rm += np.uint16(self._TOTAL_AXIAL_KEY)
+        return rm
 
     # ------------------------------------------------------------------
     def unroll(self, qv_map: np.ndarray, regions_mask: np.ndarray, theta_bins):
@@ -222,6 +294,10 @@ class FemoralCartilage(Tissue):
         vq_sel = vals[keep]
         keys_sel = theta_bins.astype(np.int64)[iy, ix] * num_slices + iz
         rm_sel = regions_mask[iy, ix, iz]
+        return self._unroll_tables(vq_sel, keys_sel, rm_sel, num_bins, num_slices)
+
+    def _unroll_tables(self, vq_sel, keys_sel, rm_sel, num_bins, num_slices):
+        """Scatter-mean the compressed values into (θ-bin x slice) tables."""
         nkeys = num_bins * num_slices
 
         def scatter_mean(lane):
@@ -245,36 +321,42 @@ class FemoralCartilage(Tissue):
 
     # ------------------------------------------------------------------
     def __calc_quant_vals__(self, quant_map: MedicalVolume, map_type):
-        """18-region (3x2x3) DataFrame + 2D map dicts (ref ``:287-404``)."""
+        """18-region (3x2x3) DataFrame + 2D map dicts (ref ``:287-404``).
+
+        Fully compressed: the qv map is gathered at the mask voxels (on
+        device when the map is device-resident — only the compressed value
+        vector crosses D2H, not the full f32 volume), and region splitting,
+        unrolling, and the 18-region stats all run on the compressed index
+        lists. No full-volume temporaries, no dense region-bitmask volume.
+        """
+        from dosma_tpu.ops.analytics import compressed_values
+
         super().__calc_quant_vals__(quant_map, map_type)
 
-        regions_mask, theta_bins, ml_boundary, acp_boundary = self.split_regions(
-            quant_map.volume
-        )
-        if self.ML_BOUNDARY is None:
-            self.ML_BOUNDARY = ml_boundary
-        if self.ACP_BOUNDARY is None:
-            self.ACP_BOUNDARY = acp_boundary
-
-        total, superficial, deep = self.unroll(
-            np.asarray(quant_map.volume), regions_mask, theta_bins
-        )
-
         mask = np.asarray(self.__mask__.volume)
-        qvol = np.asarray(quant_map.volume)
-        # Hoisted: nan_to_num makes three full-volume passes, and the
-        # masked product is loop-invariant — recomputing them per region
-        # (18x) dominated this method's runtime. The >0 selection is also
-        # loop-invariant, so extract the candidate voxels ONCE and run all
-        # 18 region selections on the compressed arrays (the full-volume
-        # per-region products cost ~1.2 s/knee at 384x384x32).
-        my, mx, mz = np.nonzero(mask)
-        masked_vals = np.asarray(mask[my, mx, mz]) * np.nan_to_num(
-            np.asarray(qvol[my, mx, mz], dtype=np.float64)
+        num_slices = mask.shape[-1]
+        nz = np.nonzero(mask)
+        # RAW values (NaN preserved): validity and nan_to_num semantics are
+        # applied below exactly as in the reference's product form.
+        base_vals = compressed_values(quant_map.volume, nz)
+
+        t = self._region_tables(mask, base_vals=base_vals, nz=nz)
+        if self.ML_BOUNDARY is None:
+            self.ML_BOUNDARY = t["boundary"]
+        if self.ACP_BOUNDARY is None:
+            self.ACP_BOUNDARY = t["acp_boundary"]
+
+        keep = t["keep"]
+        vq_sel = (t["mask_vals"] * np.nan_to_num(base_vals))[keep]
+        rm_sel = self._region_bits_compressed(t)
+
+        my, mx, mz = nz
+        iy, ix, iz = my[keep], mx[keep], mz[keep]
+        num_bins_unroll = int(np.max(t["theta_bins"])) + 1
+        keys_unroll = t["theta_bins"].astype(np.int64)[iy, ix] * num_slices + iz
+        total, superficial, deep = self._unroll_tables(
+            vq_sel, keys_unroll, rm_sel, num_bins_unroll, num_slices
         )
-        keep = masked_vals > 0
-        vq_sel = masked_vals[keep]
-        rm_sel = regions_mask[my, mx, mz][keep]
 
         pd_header = ["Subject", "Location", "Side", "Region", "Mean", "Std", "Median", "# Voxels"]
         pd_list = []

@@ -33,6 +33,7 @@ class TibialCartilage(Tissue):
     STR_ID = "tc"
     FULL_NAME = "tibial cartilage"
     T1_EXPECTED = 1000  # ms
+    _PREFETCH_FULL_MAP = False  # compressed analytics: masked gather on device
 
     _ANTERIOR_KEY = 0
     _POSTERIOR_KEY = 1
@@ -56,20 +57,33 @@ class TibialCartilage(Tissue):
         """Project S/I layers onto the axial plane via nanmean (ref ``:42-62``)."""
         mask = np.asarray(self.__mask__.volume)
         assert self.regions_mask is not None, "region_mask not initialized"
-        region_sup_inf = self.regions_mask[..., 0]
+        nz = np.nonzero(mask)
+        vq_sel = mask[nz].astype(np.float64) * np.asarray(quant_map)[nz]
+        axial_sel = self.regions_mask[..., 0][nz]
+        return self._unroll_axial_tables(vq_sel, axial_sel, nz[1], nz[2], mask.shape[1:])
 
-        def layer(sel):
-            vals = sel * mask * quant_map
-            vals = np.where(vals == 0, np.nan, vals)
-            import warnings
+    def _unroll_axial_tables(self, vq_sel, axial_sel, mx, mz, out_shape):
+        """Scatter-mean the compressed masked values onto the axial plane.
 
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore", RuntimeWarning)
-                return np.nanmean(vals, axis=0)
+        Equivalent to the dense ``nanmean(where(sel*mask*qv == 0, nan, ...),
+        axis=0)`` projection: zero products and NaNs are dropped, empty
+        columns come out NaN."""
+        w, s = int(out_shape[0]), int(out_shape[1])
+        keys = mx.astype(np.int64) * s + mz
+        good = (vq_sel != 0) & ~np.isnan(vq_sel)
 
-        superior = layer(region_sup_inf == self._SUPERIOR_KEY)
-        inferior = layer(region_sup_inf == self._INFERIOR_KEY)
-        total = layer(np.ones_like(mask, dtype=bool))
+        def layer(lane):
+            sel = good if lane is None else (good & lane)
+            sums = np.zeros(w * s)
+            counts = np.zeros(w * s)
+            np.add.at(sums, keys[sel], vq_sel[sel])
+            np.add.at(counts, keys[sel], 1)
+            with np.errstate(invalid="ignore"):
+                return (sums / counts).reshape(w, s)
+
+        superior = layer(axial_sel == self._SUPERIOR_KEY)
+        inferior = layer(axial_sel == self._INFERIOR_KEY)
+        total = layer(None)
         return total, superior, inferior
 
     # ------------------------------------------------------------------
@@ -120,16 +134,26 @@ class TibialCartilage(Tissue):
 
     # ------------------------------------------------------------------
     def __calc_quant_vals__(self, quant_map, map_type):
+        """Per-region stats + axial unroll, fully compressed: the qv map is
+        gathered at the mask voxels (on device for device-resident maps —
+        only the compressed vector crosses D2H) and all region selections
+        run on the compressed index lists."""
         import warnings
+
+        from dosma_tpu.ops.analytics import compressed_values
 
         super().__calc_quant_vals__(quant_map, map_type)
         assert self.regions_mask is not None, "region_mask not initialized"
 
-        qvol = np.asarray(self.__mask__.volume) * np.asarray(quant_map.volume)
-
-        axial_region = self.regions_mask[..., 0]
-        sagittal_region = self.regions_mask[..., 1]
-        coronal_region = self.regions_mask[..., 2]
+        mask = np.asarray(self.__mask__.volume)
+        nz = np.nonzero(mask)
+        vq_sel = mask[nz].astype(np.float64) * compressed_values(quant_map.volume, nz)
+        axial_sel = self.regions_mask[..., 0][nz]
+        sagittal_sel = self.regions_mask[..., 1][nz]
+        coronal_sel = self.regions_mask[..., 2][nz]
+        # NaN != 0 is True: NaN voxels stay selected (and are then ignored
+        # by the nan-aware stats), matching the dense ``vals[vals != 0]``.
+        nonzero_sel = vq_sel != 0
 
         axial_names = ["superior", "inferior", "total"]
         coronal_names = ["medial", "lateral"]
@@ -139,20 +163,19 @@ class TibialCartilage(Tissue):
         pd_list = []
         for axial in [self._SUPERIOR_KEY, self._INFERIOR_KEY, self._TOTAL_AXIAL_KEY]:
             if axial == self._TOTAL_AXIAL_KEY:
-                axial_map = (axial_region == self._SUPERIOR_KEY) | (
-                    axial_region == self._INFERIOR_KEY
+                axial_match = (axial_sel == self._SUPERIOR_KEY) | (
+                    axial_sel == self._INFERIOR_KEY
                 )
             else:
-                axial_map = axial_region == axial
+                axial_match = axial_sel == axial
             for coronal in [self._MEDIAL_KEY, self._LATERAL_KEY]:
                 for sagittal in [self._ANTERIOR_KEY, self._POSTERIOR_KEY, self._CENTRAL_KEY]:
-                    vals = (
-                        qvol
-                        * (coronal_region == coronal)
-                        * (sagittal_region == sagittal)
-                        * axial_map
-                    )
-                    vals = vals[vals != 0]
+                    vals = vq_sel[
+                        nonzero_sel
+                        & axial_match
+                        & (coronal_sel == coronal)
+                        & (sagittal_sel == sagittal)
+                    ]
                     with warnings.catch_warnings():
                         warnings.simplefilter("ignore", RuntimeWarning)
                         pd_list.append(
@@ -167,7 +190,9 @@ class TibialCartilage(Tissue):
                             ]
                         )
 
-        total, superior, inferior = self.unroll_axial(np.asarray(quant_map.volume))
+        total, superior, inferior = self._unroll_axial_tables(
+            vq_sel, axial_sel, nz[1], nz[2], mask.shape[1:]
+        )
 
         df = pd.DataFrame(pd_list, columns=pd_header)
         qv_name = map_type.name

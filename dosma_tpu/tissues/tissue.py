@@ -50,6 +50,10 @@ class Tissue(ABC):
     STR_ID: str = ""
     FULL_NAME: str = ""
     T1_EXPECTED: Optional[float] = None
+    #: Whether this tissue's analytics read the FULL quant map on the host.
+    #: Tissues with compressed (masked-gather) analytics set this False so
+    #: device-resident maps never pay a full-volume D2H.
+    _PREFETCH_FULL_MAP: bool = True
 
     def __init__(self, weights_dir: str = None, medial_to_lateral: bool = None):
         self.pid: Optional[str] = None
@@ -115,12 +119,15 @@ class Tissue(ABC):
     def add_quantitative_value(self, qv_new: QuantitativeValue):
         """Register a fitted quantitative value (T2, T1ρ, ...) with the tissue.
 
-        Regional analytics (:meth:`calc_quant_vals`) reads the map on the
-        host, so a device-resident map starts its D2H copy now — the
-        transfer overlaps the host-side mask/region work that runs first.
+        For tissues whose analytics read the full map on the host, a
+        device-resident map starts its D2H copy now — the transfer overlaps
+        the host-side mask/region work that runs first. Tissues with
+        compressed analytics (``_PREFETCH_FULL_MAP = False``) gather the
+        masked voxels on device instead, so no full-volume transfer is
+        started.
         """
         vm = qv_new.volumetric_map
-        if isinstance(vm, MedicalVolume):
+        if self._PREFETCH_FULL_MAP and isinstance(vm, MedicalVolume):
             vm.copy_to_host_async()
         self.quantitative_values.append(qv_new)
 
