@@ -20,6 +20,7 @@ against ``torch.nn.functional.conv_transpose2d`` in tests).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -210,6 +211,24 @@ def unet2d_predict_mask_packed(params, chunk, mean, std, threshold):
     return jnp.sum(m * weights, axis=-1, dtype=jnp.uint8)  # (B, H, W)
 
 
+@functools.partial(jax.jit, static_argnames=("bits_per_px",))
+def unet2d_predict_mask_subbyte(params, chunk, mean, std, threshold, *, bits_per_px):
+    """:func:`unet2d_predict_mask_packed` packed below one byte per pixel.
+
+    With C classes only ``bits_per_px`` (1/2/4) bits of each pixel's
+    bitfield are live, so ``8 // bits_per_px`` adjacent row pixels pack
+    into one byte — the D2H readback hits its information floor (8× less
+    for a single-class head, 2× for the 4-class IWOAI head).
+    Returns ``(B, H, W * bits_per_px // 8)`` uint8.
+    """
+    m = unet2d_predict_mask_packed(params, chunk, mean, std, threshold)
+    ppb = 8 // bits_per_px
+    b, h, w = m.shape
+    m = m.reshape(b, h, w // ppb, ppb)
+    shifts = (jnp.arange(ppb, dtype=jnp.uint8) * jnp.uint8(bits_per_px)).astype(jnp.uint8)
+    return jnp.sum(m << shifts, axis=-1, dtype=jnp.uint8)
+
+
 class Unet2D:
     """Holds U-Net params + a jitted forward; mirrors the Keras Model surface."""
 
@@ -318,9 +337,16 @@ class Unet2D:
         # batch k instead of serializing H2D → compute → D2H per batch.
         # Bit-packing needs every class to fit one uint8 (C <= 8); wider
         # heads return the plain per-class mask.
-        pack = self.num_classes <= 8
+        c = self.num_classes
+        pack = c <= 8
+        # Sub-byte pixel packing: with c live bits per pixel, 8 // bits
+        # adjacent row pixels share a byte — D2H at the information floor.
+        bits_per_px = 1 if c == 1 else (2 if c == 2 else (4 if c <= 4 else 8))
+        px_per_byte = 8 // bits_per_px
+        subbyte = pack and px_per_byte > 1 and v.shape[2] % px_per_byte == 0
         predict = unet2d_predict_mask_packed if pack else unet2d_predict_mask
         dev_outs = []
+        pads = []
         for start in range(0, n, batch_size):
             chunk = v[start : start + batch_size]
             pad = batch_size - chunk.shape[0]
@@ -330,16 +356,32 @@ class Unet2D:
                 )
             if not device_in:
                 chunk = jnp.asarray(chunk)
-            dev_outs.append((predict(params, chunk, mean, std, thr), pad))
+            if subbyte:
+                out = unet2d_predict_mask_subbyte(
+                    params, chunk, mean, std, thr, bits_per_px=bits_per_px
+                )
+            else:
+                out = predict(params, chunk, mean, std, thr)
+            dev_outs.append(out)
+            pads.append(pad)
+
+        if pack:
+            # ONE device-side concat + ONE D2H of the (sub-)byte-packed mask
+            # instead of a serial per-batch readback: fewer round trips, and
+            # bytes at the packing floor.
+            all_dev = dev_outs[0] if len(dev_outs) == 1 else jnp.concatenate(dev_outs)
+            packed = np.asarray(all_dev[:n])
+            if subbyte:
+                shifts = np.arange(px_per_byte, dtype=np.uint8) * np.uint8(bits_per_px)
+                lanes = (packed[..., None] >> shifts) & np.uint8((1 << bits_per_px) - 1)
+                packed = lanes.reshape(n, v.shape[1], v.shape[2])
+            bits = np.arange(c, dtype=np.uint8)
+            return ((packed[..., None] >> bits) & 1).astype(np.uint8)
 
         outs = []
-        for out, pad in dev_outs:
-            o = np.asarray(out)  # packed: (B, H, W) uint8 — C× less D2H
+        for out, pad in zip(dev_outs, pads):
+            o = np.asarray(out)
             if pad:
                 o = o[:-pad]
             outs.append(o)
-        packed = np.concatenate(outs, axis=0)
-        if not pack:
-            return packed
-        bits = np.arange(self.num_classes, dtype=np.uint8)
-        return ((packed[..., None] >> bits) & 1).astype(np.uint8)
+        return np.concatenate(outs, axis=0)

@@ -11,6 +11,80 @@ def _mesh_devices():
     return jax.devices()
 
 
+class TestShardedScanPipeline:
+    """CI twin of the dryrun's end-to-end sharded QDess flow (2-device mesh;
+    the 8-way version runs in ``__graft_entry__.dryrun_multichip``)."""
+
+    def test_dicom_to_sharded_t2_to_metrics(self, tmp_path):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from dosma_tpu.core.io.dicom.dataset import Tag
+        from dosma_tpu.core.med_volume import MedicalVolume
+        from dosma_tpu.scan_sequences.mri.qdess import QDess
+        from dosma_tpu.tissues.femoral_cartilage import FemoralCartilage
+        from util import write_dicom_series
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+        n_dev, n_sl = 2, 5  # slice count NOT divisible by the mesh
+        write_dicom_series(
+            str(tmp_path / "qdess"), shape=(32, 32, n_sl), n_echos=2,
+            plane="sagittal",
+            extra={Tag(0x0019, 0x10B6): 3132.0, Tag(0x0019, 0x10B7): 1560.0},
+        )
+        scan = QDess.from_dicom(str(tmp_path / "qdess"), group_by="EchoNumbers")
+
+        pad = (-n_sl) % n_dev
+        sh = NamedSharding(mesh, P(None, None, "data"))
+        sharded_echoes = [
+            MedicalVolume(
+                jax.device_put(
+                    jnp.asarray(
+                        np.pad(
+                            np.asarray(v.volume, np.float32),
+                            ((0, 0), (0, 0), (0, pad)), mode="edge",
+                        )
+                    ),
+                    sh,
+                ),
+                v.affine,
+            )
+            for v in scan.volumes
+        ]
+        kw = dict(
+            suppress_fat=False, tr=25.0, te=6.0, alpha=20.0,
+            gl_area=3132.0, tg=1560.0, t1=1200.0,
+        )
+        t2_sharded = QDess(sharded_echoes).generate_t2_map(**kw)
+        t2_arr = t2_sharded.volumetric_map.volume
+        assert len(t2_arr.sharding.device_set) == n_dev
+
+        # Parity with the unsharded host pipeline on the real slices.
+        t2_host = scan.generate_t2_map(**kw)
+        np.testing.assert_allclose(
+            np.asarray(t2_arr)[..., :n_sl],
+            np.asarray(t2_host.volumetric_map.volume, np.float32),
+            rtol=0, atol=0.11,  # decimals=1 rounding can flip one LSB step
+        )
+
+        # Compressed tissue metrics straight off the sharded map.
+        h = w = 32
+        yv, xv = np.mgrid[0:h, 0:w]
+        rad = np.sqrt((yv - h * 0.45) ** 2 + (xv - w * 0.5) ** 2)
+        annulus = ((rad > 6.5) & (rad < 9.5) & (yv > h * 0.45)).astype(np.uint8)
+        mask = np.repeat(annulus[..., None], n_sl + pad, axis=2)
+        mask[..., n_sl:] = 0
+        fc = FemoralCartilage(medial_to_lateral=True)
+        fc.set_mask(
+            MedicalVolume(mask, scan.volumes[0].affine),
+            use_largest_cc=False, split_regions=True,
+        )
+        fc.add_quantitative_value(t2_sharded)
+        fc.calc_quant_vals()
+        df = fc.quant_vals["T2"][1]
+        assert len(df) == 18
+        assert np.isfinite(df["Mean"].to_numpy(dtype=float)).any()
+
+
 class TestShardedFit:
     def test_matches_single_device(self):
         from dosma_tpu.ops.nlls import lm_fit
