@@ -191,16 +191,23 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
     if "NumberOfResolutions" in cfg:
         kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
     if "MaximumNumberOfIterations" in cfg:
-        its = [int(float(v)) for v in cfg["MaximumNumberOfIterations"]]
+        its = [min(int(float(v)), 1000) for v in cfg["MaximumNumberOfIterations"]]
         if len(set(its)) > 1:
-            _warn(f"per-level iteration schedule {its} collapsed to max")
-        kwargs["iterations"] = min(max(its), 1000)
+            if transform == "bspline":
+                # The multi-grid FFD chain honors true per-level budgets.
+                kwargs["iteration_schedule"] = tuple(its)
+            else:
+                _warn(f"per-level iteration schedule {its} collapsed to max")
+        kwargs["iterations"] = max(its)
     if "NumberOfHistogramBins" in cfg:
         kwargs["num_bins"] = int(float(cfg["NumberOfHistogramBins"][0]))
     if "NumberOfSpatialSamples" in cfg:
         ns = [int(float(v)) for v in cfg["NumberOfSpatialSamples"]]
         if len(set(ns)) > 1:
-            _warn(f"per-level sample schedule {ns} collapsed to max")
+            if transform == "bspline":
+                kwargs["sample_schedule"] = tuple(ns)
+            else:
+                _warn(f"per-level sample schedule {ns} collapsed to max")
         kwargs["num_samples"] = max(ns)
 
     # Pyramid shrink schedule: elastix lists per-level x/y/z factors,
@@ -377,7 +384,7 @@ def register(
     else:
         outputs, volumes = _register_sequential_fallback(
             target_mv, target_mask_mv, moving_mvs, moving_mask_mvs, stage_cfgs,
-            use_mask, output_path, sequential, collate, return_volumes,
+            use_mask, output_path, sequential, collate, return_volumes, save_volumes,
         )
 
     if single_moving:
@@ -502,10 +509,17 @@ def _register_matrix_chains(
 
 def _register_sequential_fallback(
     target_mv, target_mask_mv, moving_mvs, moving_mask_mvs, stage_cfgs,
-    use_mask, output_path, sequential, collate, return_volumes,
+    use_mask, output_path, sequential, collate, return_volumes, save_volumes,
 ):
     """Per-stage host-driven loop for chains containing B-spline stages
-    (the fused chain covers matrix stages only)."""
+    (the fused chain covers matrix stages only).
+
+    Transfer discipline mirrors :func:`_register_matrix_chains`: warped
+    images stay device-resident between stages, and the full-grid warp +
+    D2H readback + gzip NIfTI write happen only when ``save_volumes`` (or,
+    for the final image, ``return_volumes``) asks for them — with
+    ``save_volumes=False`` the host sees only the transform files.
+    """
     fixed_arr = np.asarray(target_mv.volume, np.float32)
     fixed_affine = target_mv.affine
 
@@ -543,10 +557,11 @@ def _register_sequential_fallback(
                 cur_moving, cur_affine = warped, fixed_affine
                 if mmask_arr is not None:
                     # The mask lives on the ORIGINAL moving grid; carry
-                    # it through the same chain as the image.
-                    mmask_arr = np.asarray(
-                        warp_volume_chain(mmask_arr, stages, fixed_affine,
-                                          moving_affine, fixed_arr.shape)
+                    # it through the same chain as the image (stays on
+                    # device — the registrar consumes it there).
+                    mmask_arr = warp_volume_chain(
+                        mmask_arr, stages, fixed_affine,
+                        moving_affine, fixed_arr.shape,
                     )
             else:
                 cur_moving, cur_affine = moving_arr, moving_affine
@@ -568,17 +583,24 @@ def _register_sequential_fallback(
             _save_transform_file(tpath, stages[-1], cfg, target_mv, moving_mv)
             transform_paths.append(tpath)
 
-            warped = np.asarray(
-                warp_volume_chain(moving_arr, stages, fixed_affine,
-                                  moving_affine, fixed_arr.shape)
-            )
-            wpath = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
-            warped_mv = MedicalVolume(warped, fixed_affine)
-            NiftiWriter().save(warped_mv, wpath)
-            warped_files.append(wpath)
+            # The full-grid warp feeds (a) the next stage's moving image,
+            # (b) saved result files, (c) returned volumes. Skip it — and
+            # the D2H + gzip behind it — when nothing consumes it.
+            last = s_idx == len(stage_cfgs) - 1
+            if (not last) or save_volumes or return_volumes:
+                warped = warp_volume_chain(moving_arr, stages, fixed_affine,
+                                           moving_affine, fixed_arr.shape)
+            wpath = None
+            if save_volumes:
+                wpath = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
+                NiftiWriter().save(
+                    MedicalVolume(np.asarray(warped), fixed_affine), wpath
+                )
+                warped_files.append(wpath)
             stage_outputs.append(
                 RegistrationOutputSpec(
-                    transform=[tpath], warped_file=wpath, warped_files=[wpath]
+                    transform=[tpath], warped_file=wpath,
+                    warped_files=[wpath] if wpath else [],
                 )
             )
 

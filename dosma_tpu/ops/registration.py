@@ -64,6 +64,29 @@ class RegistrationParams:
     # ImagePyramidSchedule). None = the default 2^(L-1-l) schedule; the
     # length overrides ``resolutions``.
     pyramid_schedule: Optional[Tuple[float, ...]] = None
+    # Optional per-level budgets, coarsest→finest (elastix's per-resolution
+    # MaximumNumberOfIterations / NumberOfSpatialSamples vectors). Shorter
+    # schedules repeat their last value; None = the flat iterations /
+    # num_samples budget at every level. Consumed by the B-spline
+    # multi-grid chain (each stage is its own scan, so budgets may differ);
+    # matrix stages run one uniform lax.scan over levels and collapse a
+    # schedule to its max (warned at parse time).
+    iteration_schedule: Optional[Tuple[int, ...]] = None
+    sample_schedule: Optional[Tuple[int, ...]] = None
+
+    def level_budget(self, n: int) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        """Per-level (iterations, samples), coarsest→finest, length ``n``."""
+
+        def _expand(sched, flat):
+            if not sched:
+                return (int(flat),) * n
+            s = tuple(int(v) for v in sched)
+            return (s + (s[-1],) * n)[:n]
+
+        return (
+            _expand(self.iteration_schedule, self.iterations),
+            _expand(self.sample_schedule, self.num_samples),
+        )
 
     @property
     def nparams(self) -> int:
@@ -1172,13 +1195,14 @@ def register_pair_bspline(
         fixed_dev.shape, fixed_affine, params
     )
     radius = _smooth_radius_for_sigmas(sigmas)
+    stage_iters, stage_samples = params.level_budget(len(shapes))
     stage_statics = tuple(
         (
             shapes[g],
             sigmas[g],
             radius,
-            int(params.iterations),
-            int(params.num_samples),
+            stage_iters[g],
+            stage_samples[g],
             float(lrs[g]),
         )
         for g in range(len(shapes))

@@ -202,10 +202,12 @@ class TestParamFiles:
         assert cfg.grid_spacing_mm == 30.0
         assert cfg.iterations == 1000  # max of per-level schedule
         assert cfg.num_samples == 4000
+        # bspline stages keep the TRUE per-level budgets (coarsest first)
+        assert cfg.iteration_schedule == (1000, 500, 250)
+        assert cfg.sample_schedule == (2000, 2000, 4000)
         assert cfg.pyramid_schedule == (8.0, 4.0, 1.0)
         assert cfg.resolutions == 3
         msgs = "; ".join(str(w.message) for w in rec)
-        assert "iteration schedule" in msgs
         assert "FinalBSplineInterpolationOrder" in msgs
 
     def test_elastix_txt_unknown_keys_warn(self, tmp_path):
@@ -245,6 +247,38 @@ class TestParamFiles:
             assert cfg.metric == "mi", fname
             if tf == "bspline":
                 assert cfg.grid_spacing_mm == 30.0
+
+    def test_bspline_per_level_schedules_survive_parse(self, tmp_path):
+        """Per-resolution iteration/sample vectors map onto the FFD chain's
+        true per-level budgets (elastix MaximumNumberOfIterations /
+        NumberOfSpatialSamples vectors); matrix stages still collapse to
+        max with a warning."""
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "bspl.txt"
+        p.write_text(
+            '(Transform "BSplineTransform")\n'
+            "(NumberOfResolutions 3)\n"
+            "(MaximumNumberOfIterations 150 250 400)\n"
+            "(NumberOfSpatialSamples 1024 2048 4096)\n"
+            '(Metric "AdvancedMattesMutualInformation")\n'
+        )
+        cfg = _load_stage_params(str(p))
+        assert cfg.iteration_schedule == (150, 250, 400)
+        assert cfg.sample_schedule == (1024, 2048, 4096)
+        assert cfg.iterations == 400 and cfg.num_samples == 4096
+        assert cfg.level_budget(3) == ((150, 250, 400), (1024, 2048, 4096))
+        # short schedules repeat the last value; flat budgets expand
+        assert cfg.level_budget(4) == ((150, 250, 400, 400), (1024, 2048, 4096, 4096))
+
+        q = tmp_path / "rigid.txt"
+        q.write_text(
+            '(Transform "EulerTransform")\n'
+            "(MaximumNumberOfIterations 100 200)\n"
+        )
+        with pytest.warns(UserWarning, match="collapsed to max"):
+            cfg2 = _load_stage_params(str(q))
+        assert cfg2.iterations == 200 and cfg2.iteration_schedule is None
 
     def test_symlink_stubs_warn(self):
         from dosma_tpu.core.registration import symlink_elastix, unlink_elastix
