@@ -713,7 +713,10 @@ def _bench_bspline_registration(shape=(192, 192, 48)):
         # Displacement-field error against the EXACT inverse of the known
         # forward warp (fixed-point solve of T(x) + d(T(x)) = x), on an
         # interior eval grid.
-        ii, jj, kk = np.mgrid[24:168:6, 24:168:6, 6:42:3].astype(np.float32)
+        s0, s1, s2 = shape
+        ii, jj, kk = np.mgrid[
+            s0 // 8 : 7 * s0 // 8 : 6, s1 // 8 : 7 * s1 // 8 : 6, s2 // 8 : 7 * s2 // 8 : 3
+        ].astype(np.float32)
         pts = np.stack([ii.ravel(), jj.ravel(), kk.ravel()])
         y = pts.copy()
         for _ in range(50):

@@ -172,10 +172,14 @@ class Device:
             except Exception:
                 return False
         elif type(other).__module__.startswith("torch") and hasattr(other, "type"):
-            # torch.device comparison (ref ``device.py:162-163``).
+            # torch.device comparison (ref ``device.py:162-163``): route
+            # through the constructor so equality agrees with
+            # ``Device(torch.device(...))`` (torch itself treats
+            # device('cpu') != device('cpu', 0), but both normalize to the
+            # same Device here).
             try:
-                return self.ptdevice == other
-            except RuntimeError:
+                other = Device(other)
+            except (RuntimeError, ValueError):
                 return False
         if not isinstance(other, Device):
             return False

@@ -188,6 +188,15 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
                 f"collapsed to mean {np.mean(spac):g} mm"
             )
         kwargs["grid_spacing_mm"] = float(np.mean(spac))
+    if transform == "bspline" and "FinalGridSpacingInVoxels" in cfg:
+        kwargs["grid_spacing_vox"] = tuple(
+            float(v) for v in cfg["FinalGridSpacingInVoxels"]
+        )
+        if "FinalGridSpacingInPhysicalUnits" in cfg:
+            _warn(
+                "both FinalGridSpacingInVoxels and ...InPhysicalUnits present "
+                "(mutually exclusive in elastix); voxel units take precedence"
+            )
     if "NumberOfResolutions" in cfg:
         kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
     if "MaximumNumberOfIterations" in cfg:
@@ -214,9 +223,26 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
     # coarsest first. Our smoothing pyramid is isotropic — per-level
     # factors collapse to their mean (sigma = factor/2).
     sched_key = next(
-        (k for k in ("ImagePyramidSchedule", "FixedImagePyramidSchedule") if k in cfg),
+        (
+            k
+            for k in (
+                "ImagePyramidSchedule",
+                "FixedImagePyramidSchedule",
+                "MovingImagePyramidSchedule",
+            )
+            if k in cfg
+        ),
         None,
     )
+    if (
+        "MovingImagePyramidSchedule" in cfg
+        and sched_key != "MovingImagePyramidSchedule"
+        and cfg["MovingImagePyramidSchedule"] != cfg[sched_key]
+    ):
+        _warn(
+            "separate MovingImagePyramidSchedule unsupported; "
+            "the fixed schedule applies to both images"
+        )
     if sched_key:
         vals = [float(v) for v in cfg[sched_key]]
         if len(vals) % 3 == 0:

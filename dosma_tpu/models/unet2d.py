@@ -370,7 +370,8 @@ class Unet2D:
             if hasattr(out, "copy_to_host_async"):
                 out.copy_to_host_async()
             dev_outs.append(out)
-            pads.append(pad)
+            if not pack:
+                pads.append(pad)
 
         if pack:
             # Per-batch overlapped readbacks of the (sub-)byte-packed

@@ -38,11 +38,22 @@ def gather_voxels(volume, flat_idx):
     NaNs in ``volume`` pass through untouched — host-side NaN semantics
     (``nan_to_num`` / ``> 0`` exclusion) are applied by the caller so they
     stay bit-identical to the numpy path.
+
+    The index vector is padded to the next power of two before the jitted
+    call: every distinct mask size would otherwise be a distinct XLA
+    program (one compile per subject per tissue), so a handful of bucket
+    sizes cover all masks. Pad lanes gather index 0 and are sliced off.
     """
     global _gather
     if _gather is None:
         _gather = _jit_gather()
-    return _gather(volume, flat_idx)
+    n = int(flat_idx.shape[0])
+    bucket = 1 << max(int(n - 1).bit_length(), 10) if n else 1024
+    if bucket != n:
+        import jax.numpy as jnp
+
+        flat_idx = jnp.zeros(bucket, flat_idx.dtype).at[:n].set(flat_idx)
+    return _gather(volume, flat_idx)[:n]
 
 
 def compressed_values(volume, indices) -> np.ndarray:

@@ -32,17 +32,25 @@ def _cubic_bspline_weights(t: jnp.ndarray):
     return b0, b1, b2, b3
 
 
-def make_control_grid(fixed_shape, fixed_affine, grid_spacing_mm: float):
+def make_control_grid(fixed_shape, fixed_affine, grid_spacing_mm: float,
+                      grid_spacing_vox=None):
     """Control-grid geometry covering the fixed image domain (+1 margin).
 
     Returns ``(grid_shape, spacing_vox)``: the control-point counts per
     axis and the control spacing in fixed-image INDEX units (the grid is
     axis-aligned in the fixed index space, so evaluation never needs a
-    world-space origin).
+    world-space origin). ``grid_spacing_vox`` (scalar or per-axis, in
+    voxel units — elastix's FinalGridSpacingInVoxels) overrides the
+    physical-unit spacing when given.
     """
     fixed_affine = np.asarray(fixed_affine)
-    voxel_spacing = np.sqrt((fixed_affine[:3, :3] ** 2).sum(0))
-    spacing_vox = np.maximum(grid_spacing_mm / np.maximum(voxel_spacing, 1e-6), 2.0)
+    if grid_spacing_vox is not None:
+        spacing_vox = np.maximum(
+            np.broadcast_to(np.asarray(grid_spacing_vox, float), (3,)).copy(), 2.0
+        )
+    else:
+        voxel_spacing = np.sqrt((fixed_affine[:3, :3] ** 2).sum(0))
+        spacing_vox = np.maximum(grid_spacing_mm / np.maximum(voxel_spacing, 1e-6), 2.0)
     shape = np.floor(np.asarray(fixed_shape[:3]) / spacing_vox).astype(int) + 4
     shape = np.maximum(shape, 4)
     return tuple(int(s) for s in shape), spacing_vox

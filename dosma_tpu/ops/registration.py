@@ -57,8 +57,11 @@ class RegistrationParams:
     num_samples: int = 2048
     learning_rate: float = 0.01
     seed: int = 0
-    # B-spline (FFD) stage options.
+    # B-spline (FFD) stage options. ``grid_spacing_vox`` (voxel units,
+    # scalar or per-axis — elastix FinalGridSpacingInVoxels) overrides
+    # ``grid_spacing_mm`` when set.
     grid_spacing_mm: float = 32.0
+    grid_spacing_vox: Optional[Tuple[float, ...]] = None
     bending_weight: float = 1e-2
     # Optional explicit per-level shrink factors, coarsest→finest (elastix
     # ImagePyramidSchedule). None = the default 2^(L-1-l) schedule; the
@@ -81,7 +84,13 @@ class RegistrationParams:
             if not sched:
                 return (int(flat),) * n
             s = tuple(int(v) for v in sched)
-            return (s + (s[-1],) * n)[:n]
+            if len(s) >= n:
+                # When the schedule is longer than the level count (e.g. a
+                # pyramid schedule shortened the stage plan), keep the
+                # coarsest n-1 entries plus the FINEST entry — the final
+                # level's budget is the one tuned for full resolution.
+                return s[: n - 1] + (s[-1],)
+            return s + (s[-1],) * (n - len(s))
 
         return (
             _expand(self.iteration_schedule, self.iterations),
@@ -1053,6 +1062,15 @@ def _optimize_bspline_chain(
     for g, (grid_shape, sigma, radius, iterations, num_samples, lr) in enumerate(
         stage_statics
     ):
+        if iterations <= 0:
+            # Zero-iteration stages (elastix allows 0 in per-level
+            # MaximumNumberOfIterations vectors) pass the control grid
+            # through unchanged rather than dividing by zero in the
+            # Polyak tail average below.
+            losses_all.append(jnp.zeros((0,), jnp.float32))
+            if g + 1 < n_stages:
+                ctrl = subdivide_control_grid(ctrl, stage_statics[g + 1][0])
+            continue
         spacing_vox = spacings[g]
         if sigma > 0:
             f_s = _gauss_smooth3(fixed_arr, sigma, radius)
@@ -1150,7 +1168,7 @@ def _bspline_stage_plan(fixed_shape, fixed_affine, params: "RegistrationParams")
     sched = _stage_sigmas(params)
     n = len(sched)
     _, spacing_final = make_control_grid(
-        fixed_shape, fixed_affine, params.grid_spacing_mm
+        fixed_shape, fixed_affine, params.grid_spacing_mm, params.grid_spacing_vox
     )
     sigmas = sched
     shapes, spacings, stage_sigmas, lrs = [], [], [], []

@@ -112,6 +112,16 @@ class Tissue(ABC):
         if self.__mask__ is None:
             raise ValueError(f"Please initialize mask for {self.FULL_NAME}")
         quant_map.reformat(self.__mask__.orientation, inplace=True)
+        # The compressed analytics gather the map at the mask's nonzero
+        # indices — on a mismatched map that would silently produce wrong
+        # region statistics instead of an indexing error, so shapes are
+        # validated here (the dense reference path failed on broadcast:
+        # ref ``tissues/femoral_cartilage.py:86-135``).
+        if tuple(quant_map.shape[:3]) != tuple(self.__mask__.shape[:3]):
+            raise ValueError(
+                f"quant_map shape {tuple(quant_map.shape[:3])} does not match "
+                f"mask shape {tuple(self.__mask__.shape[:3])} for {self.FULL_NAME}"
+            )
 
     def __store_quant_vals__(self, quant_map, quant_df: pd.DataFrame, map_type):
         self.quant_vals[map_type.name] = (quant_map, quant_df)

@@ -101,3 +101,14 @@ class TestTorchInterop:
 
         assert cpu_device == torch.device("cpu")
         assert Device(jax.devices()[0]) != torch.device("cpu")
+
+    def test_eq_torch_indexed_cpu_consistent(self):
+        """torch.device('cpu') != torch.device('cpu', 0) under torch
+        semantics, but both normalize to the host Device — `==` must agree
+        with the constructor path in both directions."""
+        import torch
+
+        from dosma_tpu.core.device import Device, cpu_device
+
+        assert Device(torch.device("cpu", 0)) == cpu_device
+        assert cpu_device == torch.device("cpu", 0)

@@ -362,3 +362,94 @@ def test_register_with_moving_mask(tmp_path):
     t = np.asarray(tdata["matrix"])[:3, 3]
     truth = np.array([3.0, -2.0, 0.0])
     assert np.abs(t - truth).max() < 1.0, t
+
+
+class TestElastixGridSpacingAndSchedules:
+    """Regression tests: keys listed as mapped must actually be consumed."""
+
+    def test_final_grid_spacing_in_voxels_parses_and_applies(self, tmp_path):
+        import warnings as _warnings
+
+        from dosma_tpu.core.registration import _load_stage_params
+        from dosma_tpu.ops.bspline import make_control_grid
+
+        p = tmp_path / "bspl_vox.txt"
+        p.write_text(
+            '(Transform "BSplineTransform")\n'
+            "(FinalGridSpacingInVoxels 8 8 8)\n"
+        )
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # silent drop would warn; none expected
+            cfg = _load_stage_params(str(p))
+        assert cfg.grid_spacing_vox == (8.0, 8.0, 8.0)
+        # The engine must honor voxel units regardless of voxel size.
+        _, sp = make_control_grid(
+            (64, 64, 32), np.diag([0.5, 0.6, 2.0, 1.0]),
+            cfg.grid_spacing_mm, cfg.grid_spacing_vox,
+        )
+        assert np.allclose(sp, 8.0)
+
+    def test_both_grid_spacing_keys_warn(self, tmp_path):
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "bspl_both.txt"
+        p.write_text(
+            '(Transform "BSplineTransform")\n'
+            "(FinalGridSpacingInVoxels 8 8 8)\n"
+            "(FinalGridSpacingInPhysicalUnits 30 30 30)\n"
+        )
+        with pytest.warns(UserWarning, match="voxel units take precedence"):
+            cfg = _load_stage_params(str(p))
+        assert cfg.grid_spacing_vox == (8.0, 8.0, 8.0)
+
+    def test_moving_pyramid_schedule_differing_warns(self, tmp_path):
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "mov_sched.txt"
+        p.write_text(
+            '(Transform "AffineTransform")\n'
+            "(ImagePyramidSchedule 4 4 4 1 1 1)\n"
+            "(MovingImagePyramidSchedule 8 8 8 2 2 2)\n"
+        )
+        with pytest.warns(UserWarning, match="MovingImagePyramidSchedule"):
+            cfg = _load_stage_params(str(p))
+        assert cfg.pyramid_schedule == (4.0, 1.0)
+
+    def test_moving_pyramid_schedule_alone_is_used(self, tmp_path):
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "mov_only.txt"
+        p.write_text(
+            '(Transform "AffineTransform")\n'
+            "(MovingImagePyramidSchedule 4 4 4 1 1 1)\n"
+        )
+        cfg = _load_stage_params(str(p))
+        assert cfg.pyramid_schedule == (4.0, 1.0)
+
+    def test_level_budget_truncation_keeps_finest(self):
+        cfg = RegistrationParams(
+            transform="bspline",
+            iteration_schedule=(800, 400, 200, 100),
+            iterations=800,
+        )
+        iters, _ = cfg.level_budget(3)
+        # Coarsest n-1 entries plus the FINEST budget — not a mid-pyramid one.
+        assert iters == (800, 400, 100)
+        iters4, _ = cfg.level_budget(4)
+        assert iters4 == (800, 400, 200, 100)
+
+    def test_zero_iteration_stage_is_noop(self):
+        """A 0-iteration B-spline stage must pass the control grid through
+        unchanged (regression: Polyak tail average divided by zero and
+        produced an all-NaN grid)."""
+        from dosma_tpu.ops.registration import register_pair_bspline
+
+        rs = np.random.RandomState(0)
+        vol = rs.rand(24, 24, 12).astype(np.float32)
+        aff = np.eye(4)
+        params = RegistrationParams(
+            transform="bspline", iterations=0, resolutions=1, num_samples=64
+        )
+        ctrl, spacing_vox, _ = register_pair_bspline(vol, aff, vol, aff, params)
+        assert np.all(np.isfinite(np.asarray(ctrl)))
+        assert np.allclose(np.asarray(ctrl), 0.0)

@@ -395,3 +395,19 @@ class TestVectorizedAnalyticsParity:
                         np.testing.assert_allclose(row["Mean"], vals.mean())
                         np.testing.assert_allclose(row["Median"], np.median(vals))
                     idx += 1
+
+
+class TestQuantMapValidation:
+    def test_calc_quant_vals_shape_mismatch_raises(self):
+        """The compressed gather path must reject a map whose shape differs
+        from the mask instead of silently indexing with the mask's strides
+        (regression: the dense path raised on broadcast, the compressed
+        rewrite did not)."""
+        fc = FemoralCartilage(medial_to_lateral=True)
+        mask, qmap = _fc_mask_and_map()
+        fc.set_mask(mask)
+        h, w, d = mask.shape
+        bad = MedicalVolume(np.ones((h, w, d + 4), np.float32), mask.affine)
+        fc.add_quantitative_value(T2(bad))
+        with pytest.raises(ValueError, match="does not match"):
+            fc.calc_quant_vals()
