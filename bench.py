@@ -966,6 +966,13 @@ def main():
         ("registration_bspline_pair", lambda: _try(_bench_bspline_registration)),
         ("warp_fullgrid", lambda: _try(_bench_warp)),
     ]
+    # DOSMA_BENCH_ONLY="registration_bspline_pair,config1_monoexp_noisy"
+    # runs a subset (comma-separated step names) for targeted re-measures;
+    # tunnel_health always runs so every capture carries link state.
+    only = os.environ.get("DOSMA_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")} | {"tunnel_health"}
+        steps = [s for s in steps if s[0] in keep]
     for key, fn in steps:
         _mark(key)
         res[key] = fn()

@@ -68,11 +68,11 @@ class Device:
                 )
             jax_device = matching[idx]
         elif type(device).__module__.startswith("torch") and hasattr(device, "type"):
-            # torch.device interop (ref ``device.py:63-72``): cpu maps to the
-            # host device; accelerator torch devices map onto the jax device
-            # of the same ordinal (torch is CPU-only in this build, so e.g.
-            # ``torch.device("cuda", 0)`` has no runtime here — reject it the
-            # way the reference rejects GPU ids without cupy).
+            # torch.device interop (ref ``device.py:63-72``): cpu maps to
+            # the host device; every non-cpu torch device is REJECTED
+            # (torch is CPU-only in this build — there is no torch↔jax
+            # accelerator ordinal mapping — mirroring how the reference
+            # rejects GPU ids without cupy).
             if device.type == "cpu":
                 self._type, self._index, self._jax_device = "cpu", -1, None
                 return

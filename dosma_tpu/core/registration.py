@@ -189,14 +189,26 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
             )
         kwargs["grid_spacing_mm"] = float(np.mean(spac))
     if transform == "bspline" and "FinalGridSpacingInVoxels" in cfg:
-        kwargs["grid_spacing_vox"] = tuple(
-            float(v) for v in cfg["FinalGridSpacingInVoxels"]
-        )
-        if "FinalGridSpacingInPhysicalUnits" in cfg:
+        gsv = [float(v) for v in cfg["FinalGridSpacingInVoxels"]]
+        if not gsv:
+            _warn("FinalGridSpacingInVoxels with no values ignored")
+        elif len(gsv) not in (1, 3):
+            # elastix accepts 1 or n-dim values; anything else is a
+            # malformed line — collapse to the mean rather than crash in
+            # make_control_grid's (3,) broadcast.
             _warn(
-                "both FinalGridSpacingInVoxels and ...InPhysicalUnits present "
-                "(mutually exclusive in elastix); voxel units take precedence"
+                f"FinalGridSpacingInVoxels with {len(gsv)} values "
+                f"(expected 1 or 3) collapsed to mean {np.mean(gsv):g}"
             )
+            gsv = [float(np.mean(gsv))]
+        if gsv:
+            kwargs["grid_spacing_vox"] = tuple(gsv)
+            if "FinalGridSpacingInPhysicalUnits" in cfg:
+                _warn(
+                    "both FinalGridSpacingInVoxels and ...InPhysicalUnits "
+                    "present (mutually exclusive in elastix); voxel units "
+                    "take precedence"
+                )
     if "NumberOfResolutions" in cfg:
         kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
     if "MaximumNumberOfIterations" in cfg:
@@ -245,7 +257,7 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
         )
     if sched_key:
         vals = [float(v) for v in cfg[sched_key]]
-        if len(vals) % 3 == 0:
+        if vals and len(vals) % 3 == 0:
             levels = [tuple(vals[i : i + 3]) for i in range(0, len(vals), 3)]
             if any(len(set(lv)) > 1 for lv in levels):
                 _warn(f"anisotropic {sched_key} {levels} collapsed to per-level means")

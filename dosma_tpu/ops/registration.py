@@ -373,39 +373,6 @@ def _ncc(fixed_vals, moving_vals, weights):
 
 
 # ----------------------------------------------------------------------
-# Pyramid
-# ----------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=("factor",))
-def _downsample(arr: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Average-pool by ``factor`` (pads to a multiple with edge values).
-
-    Jitted (static factor) so each pyramid level is ONE compiled program
-    instead of an eager pad/reduce_window/divide stream — eager single-op
-    compiles cost ~0.4 s each through tunneled backends.
-    """
-    if factor == 1:
-        return arr
-    pads = [(0, (-s) % factor) for s in arr.shape]
-    arr = jnp.pad(arr, pads, mode="edge")
-    return jax.lax.reduce_window(
-        arr, 0.0, jax.lax.add,
-        window_dimensions=(factor,) * 3,
-        window_strides=(factor,) * 3,
-        padding="VALID",
-    ) / float(factor**3)
-
-
-def _scale_affine(affine: np.ndarray, factor: int) -> np.ndarray:
-    """Affine of the factor-downsampled grid: voxel j maps to original
-    index j*factor + (factor-1)/2 (pool-center convention)."""
-    out = np.array(affine, dtype=np.float64)
-    S = np.eye(4)
-    S[0, 0] = S[1, 1] = S[2, 2] = factor
-    S[:3, 3] = (factor - 1) / 2.0
-    return out @ S
-
-
-# ----------------------------------------------------------------------
 # Whole-pyramid optimization (ONE compiled program per stage)
 # ----------------------------------------------------------------------
 _SMOOTH_RADIUS = 8  # minimum taps = 2R+1; widened for deep pyramids (see below)
@@ -1139,7 +1106,9 @@ def _optimize_bspline_chain(
             acc = acc + jnp.where(it >= tail_start, 1.0, 0.0) * ctrl_g
             return (ctrl_g, opt_state, acc), loss
 
-        (ctrl_last, _, acc), losses = jax.lax.scan(
+        # Only the Polyak tail average propagates — the last iterate is
+        # deliberately discarded.
+        (_, _, acc), losses = jax.lax.scan(
             step, (ctrl, opt.init(ctrl), jnp.zeros_like(ctrl)),
             (fixed_vals_all, w0_all, world_all, idx_all,
              jnp.arange(iterations, dtype=jnp.int32)),
@@ -1212,13 +1181,17 @@ def register_pair_bspline(
     shapes, spacings, sigmas, lrs = _bspline_stage_plan(
         fixed_dev.shape, fixed_affine, params
     )
-    radius = _smooth_radius_for_sigmas(sigmas)
     stage_iters, stage_samples = params.level_budget(len(shapes))
     stage_statics = tuple(
         (
             shapes[g],
             sigmas[g],
-            radius,
+            # Exact per-stage kernel radius (sigma is static per stage in
+            # the chain, unlike the matrix pyramid's shared traced
+            # schedule): a fine stage (sigma ~0.5) must not pay the
+            # coarsest stage's tap count for its 3 separable full-volume
+            # convolutions, and needs no _SMOOTH_RADIUS floor.
+            max(1, int(np.ceil(3.0 * float(sigmas[g])))),
             stage_iters[g],
             stage_samples[g],
             float(lrs[g]),

@@ -389,6 +389,36 @@ class TestElastixGridSpacingAndSchedules:
         )
         assert np.allclose(sp, 8.0)
 
+    def test_final_grid_spacing_in_voxels_bad_count_collapses(self, tmp_path):
+        """2-value spacing (malformed) must warn + collapse to the mean, not
+        crash later in make_control_grid's (3,) broadcast."""
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "bspl_2d.txt"
+        p.write_text(
+            '(Transform "BSplineTransform")\n'
+            "(FinalGridSpacingInVoxels 8 12)\n"
+        )
+        with pytest.warns(UserWarning, match="expected 1 or 3"):
+            cfg = _load_stage_params(str(p))
+        assert cfg.grid_spacing_vox == (10.0,)
+
+    def test_empty_pyramid_schedule_warns_not_zero_resolutions(self, tmp_path):
+        """'(ImagePyramidSchedule)' with no values must hit the malformed
+        warning, not silently set resolutions=0 (which crashed register()
+        far from the cause)."""
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "empty_sched.txt"
+        p.write_text(
+            '(Transform "AffineTransform")\n'
+            "(ImagePyramidSchedule)\n"
+        )
+        with pytest.warns(UserWarning, match="not 3/level; ignored"):
+            cfg = _load_stage_params(str(p))
+        assert cfg.resolutions >= 1
+        assert cfg.pyramid_schedule is None
+
     def test_both_grid_spacing_keys_warn(self, tmp_path):
         from dosma_tpu.core.registration import _load_stage_params
 
