@@ -385,3 +385,59 @@ def test_dicom_writer_compressed_series(tmp_path):
         assert ds.file_meta.get("TransferSyntaxUID") == syntax
         back = DicomReader().load(str(out))[0]
         assert back.is_identical(base)
+
+
+class TestDicomRoundTripPropertySweep:
+    """Seeded randomized write→read round-trips: odd in-plane dims, both
+    acquisition planes, full-dynamic-range values (0 and 65535 present),
+    anisotropic spacings, and every losslessly-encodable transfer syntax.
+
+    The reference delegates pixel encoding to pydicom's handler stack and
+    never writes compressed data (``/root/reference/dosma/core/io/dicom_io.py``);
+    this stack is from scratch, so the encode→encapsulate→parse→decode loop
+    is property-checked for bit-exactness rather than only on happy-path
+    shapes.
+    """
+
+    SYNTAXES = [
+        None,  # Explicit VR LE (writer default)
+        "1.2.840.10008.1.2.1.99",  # Deflated Explicit VR LE
+        "1.2.840.10008.1.2.5",     # RLE Lossless
+        "1.2.840.10008.1.2.4.70",  # JPEG Lossless SV1
+        "1.2.840.10008.1.2.4.80",  # JPEG-LS Lossless
+    ]
+
+    @pytest.mark.parametrize("syntax", SYNTAXES)
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_randomized_roundtrip_exact(self, tmp_path, syntax, seed):
+        rs = np.random.RandomState(100 + seed)
+        rows = int(rs.randint(7, 34))
+        cols = int(rs.randint(7, 34))
+        nsl = int(rs.randint(2, 5))
+        plane = ["axial", "sagittal"][rs.randint(2)]
+        spacing = tuple(float(s) for s in rs.uniform(0.2, 3.0, 3))
+
+        src = tmp_path / f"src{seed}"
+        write_dicom_series(
+            str(src), shape=(rows, cols, nsl), n_echos=1,
+            spacing=spacing, plane=plane, seed=200 + seed,
+        )
+        base = DicomReader().load(str(src))[0]
+
+        # Full uint16 dynamic range, extremes guaranteed present.
+        vals = rs.randint(0, 65536, size=base.shape).astype(np.uint16)
+        vals.flat[0], vals.flat[-1] = 0, 65535
+        vol = base._partial_clone(volume=vals)
+
+        out = tmp_path / f"out{seed}_{(syntax or 'default').split('.')[-1]}"
+        DicomWriter(transfer_syntax=syntax).save(vol, str(out))
+        back = DicomReader().load(str(out))[0]
+
+        np.testing.assert_array_equal(np.asarray(back), vals)
+        np.testing.assert_allclose(back.affine, vol.affine, atol=1e-6)
+        if syntax is not None:
+            from dosma_tpu.core.io.dicom import read_dicom
+
+            first = sorted(os.listdir(out))[0]
+            ds = read_dicom(str(out / first))
+            assert ds.file_meta.get("TransferSyntaxUID") == syntax

@@ -143,3 +143,49 @@ def test_lying_dims_raise_cleanly(tmp_path):
     open(bad2, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="Invalid NIfTI dims"):
         read_nifti(bad2)
+
+
+class TestNiftiRoundTripPropertySweep:
+    """Seeded randomized round-trips: every storable dtype, randomized
+    oblique affines (rotations + anisotropic scales + flips), odd shapes,
+    extreme values. The NIfTI-1 codec is from scratch (nibabel absent from
+    this env; ref delegates to nibabel at
+    ``/root/reference/dosma/core/io/nifti_io.py``), so dtype x affine
+    handling is property-checked for exactness rather than only on
+    axis-aligned float32 volumes."""
+
+    DTYPES = [np.uint8, np.int16, np.uint16, np.int32, np.float32, np.float64]
+
+    @pytest.mark.parametrize("dtype", DTYPES)
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_randomized_roundtrip(self, tmp_path, dtype, seed):
+        rs = np.random.RandomState(300 + seed)
+        shape = tuple(int(rs.randint(3, 14)) for _ in range(3))
+
+        # Random rotation basis with random anisotropic scales — an
+        # oblique, non-axis-aligned affine; odd seeds flip one axis so
+        # negative-determinant (mirrored) affines are exercised too.
+        q, _ = np.linalg.qr(rs.randn(3, 3))
+        if (np.linalg.det(q) < 0) != bool(seed % 2):
+            q[:, 0] *= -1
+        scales = rs.uniform(0.2, 4.0, 3)
+        aff = np.eye(4)
+        aff[:3, :3] = q * scales
+        aff[:3, 3] = rs.uniform(-100, 100, 3)
+
+        if np.issubdtype(dtype, np.floating):
+            arr = (rs.randn(*shape) * 1e3).astype(dtype)
+            arr.flat[0] = 0.0
+        else:
+            info = np.iinfo(dtype)
+            arr = rs.randint(info.min, int(info.max) + 1, size=shape).astype(dtype)
+            arr.flat[0], arr.flat[-1] = info.min, info.max
+
+        mv = MedicalVolume(arr, aff)
+        path = str(tmp_path / f"v_{np.dtype(dtype).name}_{seed}.nii.gz")
+        NiftiWriter().save(mv, path)
+        back = NiftiReader().load(path)
+
+        assert back.A.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(back.A, arr)
+        np.testing.assert_allclose(back.affine, aff, atol=1e-4)
