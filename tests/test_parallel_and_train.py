@@ -11,9 +11,13 @@ def _mesh_devices():
     return jax.devices()
 
 
-class TestShardedScanPipeline:
+class TestShardedScanPipelineCITwin:
     """CI twin of the dryrun's end-to-end sharded QDess flow (2-device mesh;
-    the 8-way version runs in ``__graft_entry__.dryrun_multichip``)."""
+    the 8-way version runs in ``__graft_entry__.dryrun_multichip``).
+
+    (Named distinctly from TestShardedScanPipeline below — a duplicate
+    class name makes the second definition shadow the first and silently
+    skip its tests.)"""
 
     def test_dicom_to_sharded_t2_to_metrics(self, tmp_path):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -22,7 +26,7 @@ class TestShardedScanPipeline:
         from dosma_tpu.core.med_volume import MedicalVolume
         from dosma_tpu.scan_sequences.mri.qdess import QDess
         from dosma_tpu.tissues.femoral_cartilage import FemoralCartilage
-        from util import write_dicom_series
+        from tests.util import write_dicom_series
 
         mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
         n_dev, n_sl = 2, 5  # slice count NOT divisible by the mesh
