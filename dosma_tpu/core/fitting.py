@@ -21,6 +21,7 @@ Facade behaviors preserved (citations into the reference):
 
 from __future__ import annotations
 
+import functools
 import inspect
 import warnings
 from numbers import Number
@@ -77,11 +78,16 @@ def _func_nparams(func: Callable) -> Tuple[int, list]:
     return len(func_args) - 1, func_args[1:]
 
 
+@functools.lru_cache(maxsize=64)
 def _as_jax_model(func: Callable, nparams: int) -> Optional[Callable]:
     """Wrap a scipy-style ``f(x, *params)`` as the batched-broadcast model
     the LM kernel expects: ``model(x_col (T,1), params tuple of (N,)) → (T,N)``.
     Any model written with scalar numpy-style broadcasting qualifies.
-    Returns None when the function is not jax-traceable."""
+    Returns None when the function is not jax-traceable.
+
+    Cached per (func, nparams): the LM kernel jit keys its static
+    ``model_fn`` by object identity, so a fresh closure per ``curve_fit``
+    call would recompile the kernel on every fit of the same model."""
     import jax
     import jax.numpy as jnp
 
@@ -507,6 +513,9 @@ class MonoExponentialFit(_Fit):
 
         self.bounds = bounds
         self.tc0 = tc0
+        # Validate up front so an invalid string raises identically on the
+        # device and host paths (_fit_device resolves strings itself).
+        _validate_r2_threshold(r2_threshold)
         self.r2_threshold = r2_threshold
         self.decimal_precision = decimal_precision
         self.num_workers = num_workers
@@ -704,6 +713,20 @@ def curve_fit(
     nparams, param_args = _func_nparams(func)
     p0_mat = _build_p0_matrix(p0, param_args, N)
 
+    if kwargs:
+        # scipy-only options (parameter ``bounds``, ``sigma`` weights,
+        # ``jac``, ...) have no batched-device analog; the reference always
+        # forwards them to scipy.optimize.curve_fit, so silently fitting
+        # WITHOUT them on the device engines would change results. Route to
+        # the exact per-sequence scipy loop instead.
+        warnings.warn(
+            f"curve_fit options {sorted(kwargs)} are only supported by the "
+            f"scipy engine; falling back to per-sequence scipy fitting."
+        )
+        return _scipy_curve_fit_loop(
+            func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams, **kwargs
+        )
+
     model = _as_jax_model(func, nparams)
     if model is None:
         warnings.warn(
@@ -814,6 +837,13 @@ def polyfit(
     if y_bounds is not None and ((y < y_bounds[0]).any() or (y > y_bounds[1]).any()):
         warnings.warn("Out of bounds values found. Failure in fit will result in np.nan")
 
+    # Per-sequence validity (ref ``fitting.py:1095-1098``): any out-of-bounds
+    # sample OR an all-zero sequence yields NaN params and r2=0 — an all-zero
+    # background voxel must NOT fit (0, 0) with r2 = 1 - 0/eps = 1.
+    invalid = (y == 0).all(axis=0)
+    if y_bounds is not None:
+        invalid = invalid | ((y < y_bounds[0]) | (y > y_bounds[1])).any(axis=0)
+
     if full or cov or w is not None:
         out = np.polyfit(x, y, deg, rcond=rcond, full=full, w=w, cov=cov)
         if full:
@@ -827,11 +857,18 @@ def polyfit(
         ss_res = np.sum((yhat - y) ** 2, axis=0)
         ss_tot = np.sum((y - y.mean(axis=0, keepdims=True)) ** 2, axis=0)
         r_squared = 1 - ss_res / (ss_tot + eps)
+        popts = popts.T.copy()
+        popts[invalid] = np.nan
+        r_squared = np.where(invalid, 0.0, r_squared)
         if full:
-            return popts.T, r_squared, residuals, rank, singular_values, rcond_
+            return popts, r_squared, residuals, rank, singular_values, rcond_
         if cov:
-            return popts.T, r_squared, V
-        return popts.T, r_squared
+            return popts, r_squared, V
+        return popts, r_squared
 
     popts, r_squared = batched_polyfit(x, y, deg)
-    return np.asarray(popts).T, np.asarray(r_squared)
+    popts = np.array(popts).T
+    r_squared = np.array(r_squared)
+    popts[invalid] = np.nan
+    r_squared[invalid] = 0.0
+    return popts, r_squared

@@ -123,8 +123,11 @@ class QDess(ScanSequence):
         def header(key, override):
             if override is not None:
                 return float(override)
-            value = self.ref_dicom[key] if isinstance(key, Tag) else getattr(self.ref_dicom, key)
-            return float(value.value if isinstance(key, Tag) else value)
+            # get_metadata honors set_metadata overrides BEFORE falling back
+            # to the reference DICOM — the guard above accepts values stored
+            # via set_metadata, so resolution must see them too.
+            value = self.get_metadata(key, default=False)
+            return float(value)
 
         tr_ms = header("RepetitionTime", tr)
         te_ms = header("EchoTime", te)

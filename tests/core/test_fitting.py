@@ -89,6 +89,20 @@ class TestCurveFit:
         assert popt.shape == (Y.shape[1], 2)
         assert np.all(np.isfinite(popt))
 
+    def test_scipy_only_kwargs_route_to_scipy(self):
+        """``sigma``/``jac``/parameter-``bounds`` have no device analog; the
+        facade must fall back to the exact scipy loop instead of silently
+        fitting without them (ref forwards all kwargs to scipy,
+        ``fitting.py:1020-1042``)."""
+        ys, x, b = generate_monoexp_data((3, 3, 2))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        with pytest.warns(UserWarning, match="scipy engine"):
+            popt, r2 = curve_fit(
+                monoexponential, x, Y, p0=(1.0, -1 / 30), sigma=np.ones_like(x)
+            )
+        assert popt.shape == (Y.shape[1], 2)
+        assert np.allclose(popt[:, 1], b.reshape(-1), atol=1e-3)
+
     def test_biexponential_fit(self):
         rs = np.random.RandomState(5)
         N = 50
@@ -118,6 +132,29 @@ class TestPolyfit:
         popt, r2 = polyfit(x, Y, 1)
         assert np.allclose(popt[0], [2, 1], atol=1e-5)
         assert r2[0] > 0.99999
+
+    def test_all_zero_and_oob_sequences_nan(self):
+        """All-zero background voxels must NOT report (0, 0) with r2=1
+        (``1 - 0/eps``); out-of-bounds sequences get NaN/r2=0 like the
+        curve_fit path (ref ``fitting.py:1095-1098``)."""
+        rs = np.random.RandomState(1)
+        x = np.linspace(1, 4, 4)
+        Y = rs.rand(4, 10) + 0.1
+        Y[:, 2] = 0.0
+        Y[0, 7] = 50.0
+        # batched (device) path
+        popt, r2 = polyfit(x, Y, 1)
+        assert np.all(np.isnan(popt[2])) and r2[2] == 0
+        valid = np.ones(10, bool)
+        valid[2] = False
+        assert np.all(np.isfinite(popt[valid]))
+        # np.polyfit path (w= forces it)
+        with pytest.warns(UserWarning):
+            popt_np, r2_np = polyfit(
+                x, Y, 1, w=np.ones_like(x), y_bounds=(0.0, 10.0)
+            )
+        assert np.all(np.isnan(popt_np[2])) and r2_np[2] == 0
+        assert np.all(np.isnan(popt_np[7])) and r2_np[7] == 0
 
 
 class TestCurveFitter:
@@ -216,6 +253,10 @@ class TestMonoExponentialFit:
             MonoExponentialFit(tc0="bad")
         with pytest.raises(ValueError):
             MonoExponentialFit(bounds=(0, 1, 2))
+        # invalid r2_threshold string must raise at construction on both the
+        # device and host paths (device path resolves strings lazily)
+        with pytest.raises(ValueError):
+            MonoExponentialFit(r2_threshold="bogus")
 
     def test_x_y_length_mismatch(self):
         ys, x, _ = generate_monoexp_data((4, 4, 2))

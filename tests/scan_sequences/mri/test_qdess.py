@@ -95,6 +95,19 @@ class TestQDess:
         )
         assert np.asarray(t2.volumetric_map.A).shape == ys[0].shape
 
+    def test_set_metadata_override_honored(self):
+        """``scan.set_metadata`` values must win over the reference DICOM in
+        ``generate_t2_map``'s parameter resolution (ref ``qdess.py:176-189``
+        reads via ``get_metadata``, which checks overrides first)."""
+        ys, _ = generate_mock_data()
+        scan = QDess(ys)
+        scan.set_metadata("RepetitionTime", 30.0)
+        t2 = scan.generate_t2_map(t1=1200.0, nan_bounds=None, nan_to_num=None, decimals=None)
+        e1, e2 = np.asarray(ys[0].A), np.asarray(ys[1].A)
+        out = np.asarray(t2.volumetric_map.A)
+        assert np.allclose(out, reference_t2_formula(e1, e2, tr=30.0), rtol=1e-3, atol=1e-3)
+        assert not np.allclose(out, reference_t2_formula(e1, e2, tr=25.0), rtol=1e-3, atol=1e-3)
+
     def test_save_load_roundtrip(self, tmp_path):
         ys, _ = generate_mock_data()
         scan = QDess(ys)
