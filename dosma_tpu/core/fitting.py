@@ -78,16 +78,29 @@ def _func_nparams(func: Callable) -> Tuple[int, list]:
     return len(func_args) - 1, func_args[1:]
 
 
-@functools.lru_cache(maxsize=64)
 def _as_jax_model(func: Callable, nparams: int) -> Optional[Callable]:
     """Wrap a scipy-style ``f(x, *params)`` as the batched-broadcast model
     the LM kernel expects: ``model(x_col (T,1), params tuple of (N,)) → (T,N)``.
     Any model written with scalar numpy-style broadcasting qualifies.
     Returns None when the function is not jax-traceable.
 
-    Cached per (func, nparams): the LM kernel jit keys its static
-    ``model_fn`` by object identity, so a fresh closure per ``curve_fit``
-    call would recompile the kernel on every fit of the same model."""
+    Cached per (func, nparams) when ``func`` is hashable: the LM kernel jit
+    keys its static ``model_fn`` by object identity, so a fresh closure per
+    ``curve_fit`` call would recompile the kernel on every fit of the same
+    model. Unhashable callables (e.g. class instances defining ``__eq__``)
+    are still accepted — they just skip the cache."""
+    try:
+        return _as_jax_model_cached(func, nparams)
+    except TypeError:  # unhashable func
+        return _as_jax_model_impl(func, nparams)
+
+
+@functools.lru_cache(maxsize=64)
+def _as_jax_model_cached(func: Callable, nparams: int) -> Optional[Callable]:
+    return _as_jax_model_impl(func, nparams)
+
+
+def _as_jax_model_impl(func: Callable, nparams: int) -> Optional[Callable]:
     import jax
     import jax.numpy as jnp
 

@@ -166,6 +166,14 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
     def _warn(msg):
         dropped.append(msg)
 
+    # A bare "(Key)" line parses to an empty value list; every consumer
+    # below indexes [0] / max / mean, so drop such keys up front (with a
+    # warning when the key is one we would have mapped).
+    for key in [k for k, v in cfg.items() if not v]:
+        if key in _ELASTIX_MAPPED_KEYS:
+            _warn(f"{key} with no values ignored")
+        del cfg[key]
+
     tf = (cfg.get("Transform", ["AffineTransform"])[0]).lower()
     if "euler" in tf or "rigid" in tf:
         transform = "rigid"
@@ -190,9 +198,7 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
         kwargs["grid_spacing_mm"] = float(np.mean(spac))
     if transform == "bspline" and "FinalGridSpacingInVoxels" in cfg:
         gsv = [float(v) for v in cfg["FinalGridSpacingInVoxels"]]
-        if not gsv:
-            _warn("FinalGridSpacingInVoxels with no values ignored")
-        elif len(gsv) not in (1, 3):
+        if len(gsv) not in (1, 3):
             # elastix accepts 1 or n-dim values; anything else is a
             # malformed line — collapse to the mean rather than crash in
             # make_control_grid's (3,) broadcast.
@@ -201,14 +207,13 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
                 f"(expected 1 or 3) collapsed to mean {np.mean(gsv):g}"
             )
             gsv = [float(np.mean(gsv))]
-        if gsv:
-            kwargs["grid_spacing_vox"] = tuple(gsv)
-            if "FinalGridSpacingInPhysicalUnits" in cfg:
-                _warn(
-                    "both FinalGridSpacingInVoxels and ...InPhysicalUnits "
-                    "present (mutually exclusive in elastix); voxel units "
-                    "take precedence"
-                )
+        kwargs["grid_spacing_vox"] = tuple(gsv)
+        if "FinalGridSpacingInPhysicalUnits" in cfg:
+            _warn(
+                "both FinalGridSpacingInVoxels and ...InPhysicalUnits "
+                "present (mutually exclusive in elastix); voxel units "
+                "take precedence"
+            )
     if "NumberOfResolutions" in cfg:
         kwargs["resolutions"] = int(float(cfg["NumberOfResolutions"][0]))
     if "MaximumNumberOfIterations" in cfg:

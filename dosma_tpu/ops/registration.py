@@ -1142,11 +1142,13 @@ def _bspline_stage_plan(fixed_shape, fixed_affine, params: "RegistrationParams")
     sigmas = sched
     shapes, spacings, stage_sigmas, lrs = [], [], [], []
     for g in range(n):
-        s = spacing_final * (2 ** (n - 1 - g))
-        shape = np.maximum(
-            np.floor(np.asarray(fixed_shape[:3]) / s).astype(int) + 4, 4
+        # Same grid-shape convention as the final stage by construction:
+        # make_control_grid owns the floor(D/s)+4 / min-4 margin formula.
+        shape, s = make_control_grid(
+            fixed_shape, fixed_affine, None,
+            grid_spacing_vox=spacing_final * (2 ** (n - 1 - g)),
         )
-        shapes.append(tuple(int(x) for x in shape))
+        shapes.append(shape)
         spacings.append(s.astype(np.float32))
         stage_sigmas.append(float(sigmas[g]))
         # Displacements are in mm: scale the step size by the stage's

@@ -172,6 +172,7 @@ class FemoralCartilage(Tissue):
             "nz": nz,
             "mask_vals": mask_vals,
             "keep": keep,
+            "idx": (iy, ix, iz),
             "rho": rho,
             "th": th,
             "theta_bins": theta_bins,
@@ -179,6 +180,7 @@ class FemoralCartilage(Tissue):
             "keys": keys,
             "thresholds": thresholds,
             "num_bins": num_bins,
+            "num_slices": num_slices,
             "boundary": boundary,
             "acp_boundary": acp_boundary,
         }
@@ -242,9 +244,7 @@ class FemoralCartilage(Tissue):
     def _region_bits_compressed(self, t):
         """Region bitmask at the kept (valid) voxels only — same bits the
         dense ``split_regions`` volume holds at those indices."""
-        my, mx, mz = t["nz"]
-        keep = t["keep"]
-        iy, ix, iz = my[keep], mx[keep], mz[keep]
+        iy, ix, iz = t["idx"]
         th_sel = t["th"][iy, ix]
         rho_sel = t["rho"][iy, ix]
         thr_sel = t["thresholds"][t["keys"]]
@@ -256,7 +256,7 @@ class FemoralCartilage(Tissue):
                 th_sel < -75, np.uint16(self._CENTRAL_KEY), np.uint16(self._POSTERIOR_KEY)
             ),
         ).astype(np.uint16)
-        ml_row = self._ml_key_row(t["boundary"], len(t["thresholds"]) // t["num_bins"])
+        ml_row = self._ml_key_row(t["boundary"], t["num_slices"])
         rm += ml_row[iz]
         rm += (rho_sel <= thr_sel).astype(np.uint16) << 5  # _DEEP_KEY
         rm += (rho_sel >= thr_sel).astype(np.uint16) << 6  # _SUPERFICIAL_KEY
@@ -350,12 +350,10 @@ class FemoralCartilage(Tissue):
         vq_sel = (t["mask_vals"] * np.nan_to_num(base_vals))[keep]
         rm_sel = self._region_bits_compressed(t)
 
-        my, mx, mz = nz
-        iy, ix, iz = my[keep], mx[keep], mz[keep]
+        # t["keys"] is already bin * num_slices + slice over the kept voxels.
         num_bins_unroll = int(np.max(t["theta_bins"])) + 1
-        keys_unroll = t["theta_bins"].astype(np.int64)[iy, ix] * num_slices + iz
         total, superficial, deep = self._unroll_tables(
-            vq_sel, keys_unroll, rm_sel, num_bins_unroll, num_slices
+            vq_sel, t["keys"], rm_sel, num_bins_unroll, num_slices
         )
 
         pd_header = ["Subject", "Location", "Side", "Region", "Mean", "Std", "Median", "# Voxels"]

@@ -57,8 +57,16 @@ class TibialCartilage(Tissue):
         """Project S/I layers onto the axial plane via nanmean (ref ``:42-62``)."""
         mask = np.asarray(self.__mask__.volume)
         assert self.regions_mask is not None, "region_mask not initialized"
+        quant_map = np.asarray(quant_map)
+        if quant_map.shape != mask.shape:
+            # The dense formulation (sel * mask * quant_map) raised on
+            # mismatched grids; the compressed gather must too, not silently
+            # index a wrong-strided volume.
+            raise ValueError(
+                f"quant_map shape {quant_map.shape} does not match mask shape {mask.shape}"
+            )
         nz = np.nonzero(mask)
-        vq_sel = mask[nz].astype(np.float64) * np.asarray(quant_map)[nz]
+        vq_sel = mask[nz].astype(np.float64) * quant_map[nz]
         axial_sel = self.regions_mask[..., 0][nz]
         return self._unroll_axial_tables(vq_sel, axial_sel, nz[1], nz[2], mask.shape[1:])
 

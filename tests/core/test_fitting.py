@@ -89,6 +89,27 @@ class TestCurveFit:
         assert popt.shape == (Y.shape[1], 2)
         assert np.all(np.isfinite(popt))
 
+    def test_unhashable_callable_model(self):
+        """Callable class instances defining ``__eq__`` (hence unhashable)
+        must still fit — the model-wrapper cache keys on the function and
+        must skip, not crash on, unhashable callables."""
+
+        class Model:
+            def __eq__(self, other):  # kills default __hash__
+                return self is other
+
+            __hash__ = None
+
+            def __call__(self, x, a, b):
+                import jax.numpy as jnp
+
+                return a * jnp.exp(b * x)
+
+        ys, x, b = generate_monoexp_data((3, 3, 2))
+        Y = np.stack([np.asarray(y.A).reshape(-1) for y in ys], axis=0)
+        popt, r2 = curve_fit(Model(), x, Y, p0=(1.0, -1 / 30))
+        assert np.allclose(popt[:, 1], b.reshape(-1), atol=1e-3)
+
     def test_scipy_only_kwargs_route_to_scipy(self):
         """``sigma``/``jac``/parameter-``bounds`` have no device analog; the
         facade must fall back to the exact scipy loop instead of silently

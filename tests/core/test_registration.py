@@ -280,6 +280,25 @@ class TestParamFiles:
             cfg2 = _load_stage_params(str(q))
         assert cfg2.iterations == 200 and cfg2.iteration_schedule is None
 
+    def test_value_less_keys_warn_not_crash(self, tmp_path):
+        """A bare ``(Key)`` line (no values) must be dropped with a warning,
+        not crash ``max()``/``[0]`` indexing downstream."""
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "bare.txt"
+        p.write_text(
+            '(Transform "EulerTransform")\n'
+            "(MaximumNumberOfIterations)\n"
+            "(NumberOfSpatialSamples)\n"
+            "(NumberOfResolutions)\n"
+            "(NumberOfHistogramBins)\n"
+        )
+        with pytest.warns(UserWarning, match="no values"):
+            cfg = _load_stage_params(str(p))
+        assert cfg.transform == "rigid"
+        # engine defaults survive
+        assert cfg.iterations > 0 and cfg.num_samples > 0
+
     def test_symlink_stubs_warn(self):
         from dosma_tpu.core.registration import symlink_elastix, unlink_elastix
 
@@ -404,9 +423,8 @@ class TestElastixGridSpacingAndSchedules:
         assert cfg.grid_spacing_vox == (10.0,)
 
     def test_empty_pyramid_schedule_warns_not_zero_resolutions(self, tmp_path):
-        """'(ImagePyramidSchedule)' with no values must hit the malformed
-        warning, not silently set resolutions=0 (which crashed register()
-        far from the cause)."""
+        """'(ImagePyramidSchedule)' with no values must warn, not silently
+        set resolutions=0 (which crashed register() far from the cause)."""
         from dosma_tpu.core.registration import _load_stage_params
 
         p = tmp_path / "empty_sched.txt"
@@ -414,7 +432,7 @@ class TestElastixGridSpacingAndSchedules:
             '(Transform "AffineTransform")\n'
             "(ImagePyramidSchedule)\n"
         )
-        with pytest.warns(UserWarning, match="not 3/level; ignored"):
+        with pytest.warns(UserWarning, match="no values"):
             cfg = _load_stage_params(str(p))
         assert cfg.resolutions >= 1
         assert cfg.pyramid_schedule is None

@@ -149,6 +149,17 @@ class TestTibialCartilage:
         assert len(df) == 18  # 3 x 2 x 3
         tc.save_data(str(tmp_path))
 
+    def test_unroll_axial_shape_mismatch_raises(self):
+        """The compressed gather must raise on a wrong-shaped quant map like
+        the dense ``sel * mask * quant_map`` broadcast did — not silently
+        index a wrong-strided volume."""
+        tc = TibialCartilage(medial_to_lateral=True)
+        mask, _ = _fc_mask_and_map(seed=2)
+        tc.set_mask(mask)
+        wrong = np.zeros(tuple(s + 1 for s in mask.shape))
+        with pytest.raises(ValueError, match="shape"):
+            tc.unroll_axial(wrong)
+
 
 class TestPatellarCartilage:
     def test_regions_and_metrics(self, tmp_path):
