@@ -297,6 +297,64 @@ def _bench_qdess_e2e(shape=(384, 384, 80)):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _bench_qdess_metrics_only(shape=(384, 384, 80)):
+    """Config 2b: qDESS -> per-region metrics DataFrame with the T2 map
+    KEPT IN HBM (VERDICT r4 item 3). Only the masked voxels' compressed
+    gather crosses D2H — ``to_metrics`` never reads the full map back."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from util import write_dicom_series
+
+    from dosma_tpu.core.io.dicom.dataset import Tag
+    from dosma_tpu.core.med_volume import MedicalVolume
+    from dosma_tpu.scan_sequences.mri.qdess import QDess
+    from dosma_tpu.tissues.femoral_cartilage import FemoralCartilage
+
+    d = tempfile.mkdtemp(prefix="dosma_bench_qdess_m_")
+    try:
+        write_dicom_series(
+            os.path.join(d, "src"), shape=shape, n_echos=2, plane="sagittal",
+            extra={Tag(0x0019, 0x10B6): 3132.0, Tag(0x0019, 0x10B7): 1560.0},
+        )
+        import jax
+
+        on_tpu = jax.default_backend() != "cpu"
+        # Cartilage-like mask (~2% of voxels) standing in for a
+        # segmentation output; built once, outside the timed region, the
+        # way a cached mask would be.
+        rs = np.random.RandomState(9)
+        mask_arr = np.zeros(shape, np.int32)
+        mask_arr[150:250, 150:250, :] = (rs.rand(100, 100, shape[2]) < 0.3).astype(np.int32)
+        t1_expected = FemoralCartilage().T1_EXPECTED
+
+        def run():
+            t0 = time.perf_counter()
+            scan = QDess.from_dicom(
+                os.path.join(d, "src"), group_by="EchoNumbers",
+                to_device=True if on_tpu else None,
+            )
+            mask_mv = MedicalVolume(mask_arr, scan.volumes[0].affine)
+            t2 = scan.generate_t2_map(suppress_fat=False, t1=t1_expected)
+            df = t2.to_metrics(mask=mask_mv, bounds=(0, 100))
+            dt = time.perf_counter() - t0
+            still_on_device = not isinstance(t2.volumetric_map.volume, np.ndarray)
+            return dt, df, still_on_device
+
+        run()  # warmup/compile
+        dt, df, on_dev = _best_of(run)
+        return {
+            "shape": list(shape),
+            "e2e_seconds": round(dt, 3),
+            "map_readback_seconds": 0.0 if (on_dev or not on_tpu) else None,
+            "map_stays_on_device": bool(on_dev) if on_tpu else None,
+            "n_regions": int(len(df)),
+            "masked_voxels": int(df[df["Category"] == "total"]["# Voxels"].iloc[0]),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ----------------------------------------------------------------------
 # Config 3: CubeQuant e2e — interregister to target + voxelwise T1rho fit
 # ----------------------------------------------------------------------
@@ -959,6 +1017,7 @@ def main():
         ("unet_seg_slices_per_sec_384x384_b64", lambda: _try(_bench_unet, B=64)),
         ("biexp_pallas_fit", lambda: _try(_bench_biexp)),
         ("config2_qdess_e2e", lambda: _try(_bench_qdess_e2e)),
+        ("config2b_qdess_metrics_only", lambda: _try(_bench_qdess_metrics_only)),
         ("config3_cubequant_e2e", lambda: _try(_bench_cubequant_e2e)),
         ("config4_iwoai_fullvol_seg", lambda: _try(_bench_iwoai_fullvol)),
         ("config5_bilateral_pipeline", lambda: _try(_bench_bilateral_pipeline)),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import inspect
+import os
 import warnings
 from numbers import Number
 from typing import Callable, Mapping, Optional, Sequence, Tuple, Union
@@ -737,7 +738,9 @@ def curve_fit(
             f"scipy engine; falling back to per-sequence scipy fitting."
         )
         return _scipy_curve_fit_loop(
-            func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams, **kwargs
+            func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams,
+            num_workers=num_workers, chunksize=chunksize, show_pbar=show_pbar,
+            **kwargs,
         )
 
     model = _as_jax_model(func, nparams)
@@ -747,7 +750,9 @@ def curve_fit(
             f"falling back to per-sequence scipy fitting."
         )
         return _scipy_curve_fit_loop(
-            func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams, **kwargs
+            func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams,
+            num_workers=num_workers, chunksize=chunksize, show_pbar=show_pbar,
+            **kwargs,
         )
 
     if y_bounds is not None and ((y < y_bounds[0]).any() or (y > y_bounds[1]).any()):
@@ -795,28 +800,79 @@ def curve_fit(
     return np.asarray(popt), np.asarray(r2)
 
 
-def _scipy_curve_fit_loop(func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams, **kwargs):
-    """Per-sequence scipy fallback for non-traceable model functions
-    (exactly the reference hot loop, ``fitting.py:1026-1073``)."""
-    import scipy.optimize as sop
+class _ScipyVoxelFitter:
+    """One-sequence scipy fit, packaged as a picklable callable so a
+    ``multiprocessing.Pool`` can fan it out (the reference's parallel
+    fallback, ``fitting.py:852-868``). Returns ``(popt, r2)`` with NaN
+    popt on skip/failure — identical semantics to the serial loop."""
 
-    N = y.shape[-1]
-    popts = np.full((N, nparams), np.nan)
-    r2s = np.zeros(N)
-    for i in range(N):
-        yi = y[:, i]
-        oob = y_bounds is not None and ((yi < y_bounds[0]).any() or (yi > y_bounds[1]).any())
+    def __init__(self, func, x, y_bounds, p0_mat, maxfev, ftol, eps, nparams, kwargs):
+        self.func = func
+        self.x = x
+        self.y_bounds = y_bounds
+        self.p0_mat = p0_mat
+        self.maxfev = maxfev
+        self.ftol = ftol
+        self.eps = eps
+        self.nparams = nparams
+        self.kwargs = kwargs
+
+    def __call__(self, item):
+        import scipy.optimize as sop
+
+        i, yi = item
+        yb = self.y_bounds
+        oob = yb is not None and ((yi < yb[0]).any() or (yi > yb[1]).any())
         if oob or (yi == 0).all():
-            continue
+            return np.full(self.nparams, np.nan), 0.0
         try:
-            popt, _ = sop.curve_fit(func, x, yi, p0=p0_mat[i], maxfev=maxfev, ftol=ftol, **kwargs)
-            residuals = yi - func(x, *popt)
+            popt, _ = sop.curve_fit(
+                self.func, self.x, yi, p0=self.p0_mat[i],
+                maxfev=self.maxfev, ftol=self.ftol, **self.kwargs,
+            )
+            residuals = yi - self.func(self.x, *popt)
             ss_res = np.sum(residuals**2)
             ss_tot = np.sum((yi - np.mean(yi)) ** 2)
-            popts[i] = popt
-            r2s[i] = 1 - (ss_res / (ss_tot + eps))
+            return popt, 1 - (ss_res / (ss_tot + self.eps))
         except RuntimeError:
-            pass
+            return np.full(self.nparams, np.nan), 0.0
+
+
+def _scipy_curve_fit_loop(func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, nparams,
+                          num_workers=0, chunksize=None, show_pbar=False, **kwargs):
+    """Per-sequence scipy fallback for non-traceable model functions
+    (exactly the reference hot loop, ``fitting.py:1026-1073``). With
+    ``num_workers`` > 0, sequences fan out over a process pool (the
+    reference's ``mp.Pool`` path, ``fitting.py:861-867``); functions the
+    pickler rejects (lambdas, closures) degrade to a thread pool with a
+    warning rather than erroring."""
+    N = y.shape[-1]
+    fitter = _ScipyVoxelFitter(func, x, y_bounds, p0_mat, maxfev, ftol, eps, nparams, kwargs)
+    items = [(i, y[:, i]) for i in range(N)]
+
+    num_workers = min(int(num_workers or 0), N)
+    if num_workers:
+        import multiprocessing as mp
+        import pickle
+
+        try:
+            pickle.dumps(fitter)
+            pool_cls = mp.get_context("fork").Pool if hasattr(os, "fork") else mp.Pool
+        except Exception:
+            from multiprocessing.pool import ThreadPool as pool_cls
+
+            warnings.warn(
+                f"Model function {getattr(func, '__name__', func)!r} is not "
+                f"picklable; using threads instead of processes for "
+                f"num_workers={num_workers}."
+            )
+        with pool_cls(num_workers) as pool:
+            data = pool.map(fitter, items, chunksize=chunksize)
+    else:
+        data = [fitter(item) for item in items]
+
+    popts = np.stack([d[0] for d in data], axis=0)
+    r2s = np.asarray([d[1] for d in data], dtype=np.float64)
     return popts, r2s
 
 

@@ -117,8 +117,27 @@ class QuantitativeValue:
         One DataFrame row per mask label (plus a ``total`` row); columns are
         Category / Mean / Std / Median / # Voxels plus any caller-supplied
         reduction in ``fns``.
+
+        Device-resident maps run METRICS-ONLY: with a mask, each region's
+        voxels gather on device (:func:`dosma_tpu.ops.analytics.compressed_values`)
+        and only the compressed vectors cross D2H — the full map never
+        does (it is ~48 MB of f32 per qDESS knee over a ~1-2% mask; the r4
+        driver measured the full readback at 1.33 s of a 2.89 s e2e).
+        Validity (finite + ``bounds``) depends only on the voxel VALUE, so
+        filtering the compressed vectors host-side is bit-identical to the
+        reference's zero-out of the host mask. Unmasked device maps reduce
+        on device (one nan-aware program, scalar D2H) unless caller ``fns``
+        need the raw values.
         """
-        volume = np.asarray(self.volumetric_map.volume)
+        vol_in = self.volumetric_map.volume
+        device_map = not isinstance(vol_in, np.ndarray) and hasattr(vol_in, "devices")
+
+        if device_map and mask is not None:
+            return self._to_metrics_device(mask, labels, bounds, closed, fns)
+        if device_map and mask is None and not fns:
+            return self._to_metrics_device_unmasked(bounds, closed)
+
+        volume = np.asarray(vol_in)
         valid = np.isfinite(volume) & self._bounds_mask(volume, bounds, closed)
 
         if mask is None:
@@ -150,6 +169,66 @@ class QuantitativeValue:
             for fname, fn in (fns or {}).items():
                 rows[fname].append(fn(values))
         return pd.DataFrame(rows)
+
+    def _to_metrics_device(self, mask, labels, bounds, closed, fns) -> pd.DataFrame:
+        """Masked metrics for a device-resident map: per-region device
+        gathers, host reducers over the compressed vectors (bit-identical
+        to the numpy path — validity is a per-value predicate)."""
+        from dosma_tpu.ops.analytics import compressed_values
+
+        vol = self.volumetric_map.volume
+        mask_arr = np.asarray(mask.reformat(self.volumetric_map.orientation).volume)
+        if labels is None:
+            labels = {int(v): f"label_{int(v)}" for v in np.unique(mask_arr) if v > 0}
+        regions = {**labels, _LABEL_ALL_MASKED: "total"}
+
+        # ONE gather of every masked voxel (mask > 0), partitioned per
+        # label host-side — labels share the compressed vector instead of
+        # issuing one device program each.
+        iy, ix, iz = np.nonzero(mask_arr)
+        all_vals = compressed_values(vol, (iy, ix, iz))  # float64 host
+        region_labels = mask_arr[iy, ix, iz]
+        valid = np.isfinite(all_vals) & self._bounds_mask(all_vals, bounds, closed)
+
+        rows = {"Category": [], "Mean": [], "Std": [], "Median": [], "# Voxels": []}
+        for fname in fns or {}:
+            rows[fname] = []
+        f32 = np.float32  # reducer inputs match the host path's map dtype
+        for label, name in regions.items():
+            sel = valid if label == _LABEL_ALL_MASKED else (valid & (region_labels == label))
+            values = all_vals[sel].astype(f32, copy=False)
+            rows["Category"].append(name)
+            rows["# Voxels"].append(values.size)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                for col, reducer in (("Mean", np.nanmean), ("Std", np.nanstd), ("Median", np.nanmedian)):
+                    rows[col].append(reducer(values) if values.size else np.nan)
+            for fname, fn in (fns or {}).items():
+                rows[fname].append(fn(values))
+        return pd.DataFrame(rows)
+
+    def _to_metrics_device_unmasked(self, bounds, closed) -> pd.DataFrame:
+        """Whole-volume metrics reduced ON device; only 4 scalars cross."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(self.volumetric_map.volume, jnp.float32)
+        valid = jnp.isfinite(x)
+        if bounds:
+            lb, ub = bounds
+            assert lb <= ub, f"lower:{lb}, upper: {ub}"
+            assert closed in ("right", "left", "both", "neither"), closed
+            above = x >= lb if closed in ("left", "both") else x > lb
+            below = x <= ub if closed in ("right", "both") else x < ub
+            valid = valid & above & below
+        xm = jnp.where(valid, x, jnp.nan)
+        n = int(jnp.sum(valid))
+        mean = float(jnp.nanmean(xm)) if n else np.nan
+        std = float(jnp.nanstd(xm)) if n else np.nan
+        med = float(jnp.nanmedian(xm)) if n else np.nan
+        return pd.DataFrame(
+            {"Category": ["total"], "Mean": [mean], "Std": [std],
+             "Median": [med], "# Voxels": [n]}
+        )
 
     @staticmethod
     def _bounds_mask(volume: np.ndarray, bounds, closed: str) -> np.ndarray:

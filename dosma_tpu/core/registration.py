@@ -302,9 +302,24 @@ def _parse_elastix_txt(name: str) -> RegistrationParams:
     for pk in ("FixedImagePyramid", "MovingImagePyramid"):
         if "shrinking" in cfg.get(pk, [""])[0].lower():
             _warn(f"{pk}=Shrinking approximated by the smoothing pyramid")
-    for ok in ("BSplineInterpolationOrder", "FinalBSplineInterpolationOrder"):
-        if int(float(cfg.get(ok, ["1"])[0])) > 1:
-            _warn(f"{ok}={cfg[ok][0]} approximated by trilinear (order 1)")
+    # Image interpolation orders. Metric sampling supports 1 (trilinear)
+    # and 3 (cubic B-spline, prefiltered per pyramid level); the final
+    # resample supports 0/1/3. Unsupported spline orders (2, 4, 5) round
+    # to the nearest supported order with a warning.
+    def _order(key, default, supported):
+        o = int(float(cfg.get(key, [str(default)])[0]))
+        if o in supported:
+            return o
+        near = min(supported, key=lambda s: (abs(s - o), -s))
+        _warn(f"{key}={o} unsupported; using order {near}")
+        return near
+
+    if "BSplineInterpolationOrder" in cfg:
+        kwargs["interp_order"] = _order("BSplineInterpolationOrder", 1, (1, 3))
+    if "FinalBSplineInterpolationOrder" in cfg:
+        kwargs["final_interp_order"] = _order(
+            "FinalBSplineInterpolationOrder", 3, (0, 1, 3)
+        )
 
     unknown = sorted(set(cfg) - _ELASTIX_ACCEPTED_KEYS - _ELASTIX_MAPPED_KEYS)
     if unknown:
@@ -330,6 +345,9 @@ def _save_transform_file(path: str, stage, stage_cfg: RegistrationParams,
         "fixed_affine": np.asarray(fixed.affine).tolist(),
         "fixed_shape": list(fixed.shape[:3]),
         "moving_affine": np.asarray(moving.affine).tolist(),
+        # transformix semantics: the resample order travels with the
+        # transform file (FinalBSplineInterpolationOrder).
+        "final_interp_order": int(stage_cfg.final_interp_order),
     }
     if stage[0] == "matrix":
         data["matrix"] = np.asarray(stage[1]).tolist()
@@ -528,6 +546,7 @@ def _register_matrix_chains(
                     stage_warped = warp_volume(
                         moving_mv.volume, Ms[s_idx], fixed_affine,
                         moving_mv.affine, fixed_shape,
+                        order=int(cfg.final_interp_order),
                     )
                 wf = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
                 NiftiWriter().save(
@@ -632,7 +651,8 @@ def _register_sequential_fallback(
             last = s_idx == len(stage_cfgs) - 1
             if (not last) or save_volumes or return_volumes:
                 warped = warp_volume_chain(moving_arr, stages, fixed_affine,
-                                           moving_affine, fixed_arr.shape)
+                                           moving_affine, fixed_arr.shape,
+                                           order=int(cfg.final_interp_order))
             wpath = None
             if save_volumes:
                 wpath = os.path.join(reg_dir, f"result.{s_idx}.nii.gz")
@@ -669,11 +689,16 @@ def _apply_warp_single(
     fixed_affine = np.asarray(tdata[0]["fixed_affine"])
     fixed_shape = tuple(tdata[0]["fixed_shape"])
     stages = [_stage_from_tdata(t) for t in tdata]
+    # The LAST stage's transform file governs the resample order
+    # (transformix uses the final transform parameter file's
+    # FinalBSplineInterpolationOrder). Files predating the key warp
+    # trilinear, their write-time behavior.
+    order = int(tdata[-1].get("final_interp_order", 1))
 
     warped = np.asarray(
         warp_volume_chain(
             np.asarray(moving_mv.volume, np.float32), stages, fixed_affine,
-            moving_mv.affine, fixed_shape,
+            moving_mv.affine, fixed_shape, order=order,
         )
     )
     out_mv = MedicalVolume(warped, fixed_affine)
@@ -749,12 +774,14 @@ def apply_warp(
 
             fixed_affine = np.asarray(tdata[0]["fixed_affine"])
             fixed_shape = tuple(tdata[0]["fixed_shape"])
+            order = int(tdata[-1].get("final_interp_order", 1))
             M = compose_transforms([np.asarray(t["matrix"]) for t in tdata])
             stack = jnp.stack([jnp.asarray(m.volume, jnp.float32) for m in moving_mvs])
             warped = np.asarray(  # host-backed, matching the per-volume path
                 jax.vmap(
                     lambda arr: warp_volume(
-                        arr, M, fixed_affine, moving_mvs[0].affine, fixed_shape
+                        arr, M, fixed_affine, moving_mvs[0].affine, fixed_shape,
+                        order=order,
                     )
                 )(stack)
             )

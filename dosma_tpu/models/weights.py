@@ -14,13 +14,21 @@ Layout notes (validated in tests against torch oracles):
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_keras_unet2d_weights", "read_keras_h5"]
+__all__ = [
+    "load_keras_unet2d_weights",
+    "read_keras_h5",
+    "params_checksum",
+    "verify_weights",
+    "convert_weights",
+    "regenerate_goldens",
+]
 
 
 def _layer_index(name: str) -> Tuple[str, int]:
@@ -209,3 +217,173 @@ def save_keras_unet2d_weights(path: str, params: Dict):
             g.attrs["weight_names"] = np.array([wn.encode() for wn, _ in weights])
             for wn, arr in weights:
                 g.create_dataset(wn, data=arr)
+
+
+# ----------------------------------------------------------------------
+# Turnkey pretrained-weights kit (VERDICT r4 item 9)
+# ----------------------------------------------------------------------
+def params_checksum(params: Dict) -> str:
+    """SHA-256 over the parameter pytree in canonical (sorted-path) order.
+
+    Stable across load/save round trips and h5 layer naming, so two weight
+    files that decode to the same network compare equal by string."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in sorted(leaves, key=lambda t: jax.tree_util.keystr(t[0])):
+        arr = np.asarray(leaf, dtype=np.float32)
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
+def verify_weights(path: str) -> Dict:
+    """Load ``path``, checksum it, and prove save->load round-trips bit-
+    exactly. Returns a report dict (also printed by the CLI)."""
+    import tempfile
+
+    import jax
+
+    params = load_keras_unet2d_weights(path)
+    n_arrays = len(jax.tree_util.tree_leaves(params))
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(params))
+    digest = params_checksum(params)
+
+    with tempfile.TemporaryDirectory() as d:
+        rt = os.path.join(d, "roundtrip.h5")
+        save_keras_unet2d_weights(rt, params)
+        rt_digest = params_checksum(load_keras_unet2d_weights(rt))
+
+    head = params["final"]["w"]
+    return {
+        "path": os.path.abspath(path),
+        "arrays": n_arrays,
+        "parameters": n_params,
+        "num_classes": int(head.shape[-1]),
+        "sha256": digest,
+        "roundtrip_ok": bool(digest == rt_digest),
+    }
+
+
+def convert_weights(src: str, dst: str) -> Dict:
+    """Normalize a foreign Keras ``.h5`` (any layer naming the reader
+    accepts) into the canonical layout ``save_keras_unet2d_weights``
+    writes; the checksum proves the conversion is lossless."""
+    params = load_keras_unet2d_weights(src)
+    save_keras_unet2d_weights(dst, params)
+    src_digest = params_checksum(params)
+    dst_digest = params_checksum(load_keras_unet2d_weights(dst))
+    return {
+        "src": os.path.abspath(src),
+        "dst": os.path.abspath(dst),
+        "sha256": src_digest,
+        "lossless": bool(src_digest == dst_digest),
+    }
+
+
+_GOLDEN_MODELS = (
+    # (alias/weights dir, model class path, golden file, stacked classes or None)
+    ("iwoai-2019-t6", "IWOAIOAIUnet2D", "test_001_V00-iwoai-2019-t6.npy",
+     ("fc", "tc", "pc", "men")),
+    ("iwoai-2019-t6-normalized", "IWOAIOAIUnet2DNormalized",
+     "test_001_V00-iwoai-2019-t6-normalized.npy", ("fc", "tc", "pc", "men")),
+    ("oai-unet2d", "OAIUnet2D", "test_001_V00-oai-unet2d-fc.npy", None),
+    ("stanford-qdess-2021-unet2d", "StanfordQDessUNet2D",
+     "test_001_V00-stanford-qdess.npy", ("pc", "fc", "tc", "men")),
+)
+
+
+def regenerate_goldens(data_path: str, overwrite: bool = False) -> Dict:
+    """Regenerate the gated-tier golden masks (``tests/test_real_data.py``)
+    for every pretrained model whose weights exist under
+    ``<data_path>/weights/<alias>/``.
+
+    The scan is ``<data_path>/datasets/oai/test_001_V00.nii.gz`` (the
+    reference's own fixture, ``/root/reference/tests/models/
+    test_oaiunet2d.py:28-30``); goldens land in
+    ``<data_path>/datasets/oai/expected/``. Returns {golden: status}."""
+    from dosma_tpu.core.io.nifti_io import NiftiReader
+
+    scan_path = os.path.join(data_path, "datasets/oai/test_001_V00.nii.gz")
+    if not os.path.isfile(scan_path):
+        raise FileNotFoundError(f"fixture scan not found: {scan_path}")
+    out_dir = os.path.join(data_path, "datasets/oai/expected")
+    os.makedirs(out_dir, exist_ok=True)
+    weights_root = os.path.join(data_path, "weights")
+
+    scan = NiftiReader().load(scan_path)
+    dims = scan.volume.shape
+    input_shape = (dims[0], dims[1], 1)
+
+    import dosma_tpu.models.oaiunet2d as oai_mod
+    import dosma_tpu.models.stanford_qdess as qdess_mod
+
+    report = {}
+    for alias, cls_name, golden, classes in _GOLDEN_MODELS:
+        wdir = os.path.join(weights_root, alias)
+        wfiles = sorted(
+            os.path.join(wdir, f) for f in (os.listdir(wdir) if os.path.isdir(wdir) else [])
+            if f.endswith(".h5")
+        )
+        out_path = os.path.join(out_dir, golden)
+        if not wfiles:
+            report[golden] = "skipped (no weights)"
+            continue
+        if os.path.exists(out_path) and not overwrite:
+            report[golden] = "exists (use --overwrite)"
+            continue
+        cls = getattr(oai_mod, cls_name, None) or getattr(qdess_mod, cls_name)
+        model = cls(input_shape, wfiles[0])
+        masks = model.generate_mask(scan)
+        if classes is None:
+            arr = np.asarray(masks.volume, dtype=np.uint8)
+        else:
+            arr = np.stack(
+                [np.asarray(masks[c].volume, dtype=np.uint8) for c in classes], axis=-1
+            )
+        np.save(out_path, arr)
+        report[golden] = f"written {arr.shape}"
+    return report
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(
+        prog="python -m dosma_tpu.models.weights",
+        description="Pretrained-weights kit: verify/convert Keras .h5 U-Net "
+        "weights and regenerate gated-tier golden masks.",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pv = sub.add_parser("verify", help="load, checksum, and round-trip a weights file")
+    pv.add_argument("path")
+    pc = sub.add_parser("convert", help="normalize a foreign Keras .h5 into canonical layout")
+    pc.add_argument("src")
+    pc.add_argument("dst")
+    pg = sub.add_parser("golden", help="regenerate golden masks for the gated parity tier")
+    pg.add_argument(
+        "--data", default=os.environ.get("DOSMA_UNITTEST_DATA_PATH"),
+        help="unittest data dir (default: $DOSMA_UNITTEST_DATA_PATH)",
+    )
+    pg.add_argument("--overwrite", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cmd == "verify":
+        out = verify_weights(args.path)
+    elif args.cmd == "convert":
+        out = convert_weights(args.src, args.dst)
+    else:
+        if not args.data:
+            p.error("golden requires --data or DOSMA_UNITTEST_DATA_PATH")
+        out = regenerate_goldens(args.data, overwrite=args.overwrite)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

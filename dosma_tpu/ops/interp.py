@@ -1,0 +1,248 @@
+"""Order-3 (cubic) B-spline image interpolation on TPU.
+
+Elastix resamples its final warped images with a cubic B-spline
+interpolator (``FinalBSplineInterpolationOrder 3`` in every shipped
+parameter file, ``/root/reference/dosma/resources/elastix/params/
+parameters-affine.txt:14-16``) and optionally samples the metric with one
+(``BSplineInterpolationOrder``). This module supplies that interpolator
+TPU-natively:
+
+- :func:`cubic_prefilter` — the classic Unser recursive (IIR) B-spline
+  coefficient transform, run as a ``lax.scan`` along each axis with the
+  other two axes vectorized (one causal + one anticausal sweep per axis,
+  mirror boundary conditions).
+- :func:`cubic_sample` — interpolation at fractional coordinates over the
+  4x4x4 coefficient neighborhood. Like the trilinear row sampler in
+  :mod:`dosma_tpu.ops.registration`, the innermost (minor) axis is
+  evaluated as a dense VPU reduction against a cubic kernel weight
+  profile over whole gathered rows — 16 row gathers instead of 64 scalar
+  corner gathers.
+
+The spline is INTERPOLATING: it reproduces the input exactly at integer
+coordinates, and matches ``scipy.ndimage.map_coordinates(order=3,
+mode="mirror")`` in the interior (tests assert this).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "cubic_prefilter",
+    "cubic_coeffs",
+    "cubic_sample",
+    "cubic_sample_coeffs",
+    "cubic_map_coordinates",
+    "nearest_sample",
+]
+
+# The single pole of the cubic B-spline direct filter (Unser 1993).
+_POLE = float(np.sqrt(3.0) - 2.0)  # ~ -0.26795
+# Truncation horizon for the causal-init geometric series: |z|^K < 1e-8.
+_INIT_HORIZON = 16
+
+
+def _filter_last_axis(a: jnp.ndarray) -> jnp.ndarray:
+    """Cubic B-spline coefficient transform along the LAST axis.
+
+    Mirror (reflect-about-sample) boundary conditions, matching
+    ``scipy.ndimage.spline_filter1d(mode="mirror")``. Leading axes are
+    batched: each scan step is one elementwise op over them.
+    """
+    z = _POLE
+    n = a.shape[-1]
+    if n == 1:
+        return a
+    gain = (1.0 - z) * (1.0 - 1.0 / z)  # = 6.0 for the cubic spline
+    a = a * gain
+
+    # Causal init: c+[0] = sum_{k>=0} z^k s~(k) over the mirror-extended
+    # signal s~ (period 2n-2), truncated at the horizon (|z|^16 < 1e-9).
+    # The fold is MODULAR so short axes (horizon > one mirror period)
+    # index the correct reflected samples.
+    k = np.arange(1, _INIT_HORIZON)
+    period = max(2 * (n - 1), 1)
+    km = k % period
+    idx = np.minimum(km, period - km)
+    w = (z ** k).astype(a.dtype)
+    c0 = a[..., 0] + jnp.einsum(
+        "k,...k->...", jnp.asarray(w), a[..., idx],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # Causal sweep: c[k] = a[k] + z c[k-1]  (time-major for lax.scan).
+    at = jnp.moveaxis(a, -1, 0)
+
+    def fwd(carry, x):
+        c = x + z * carry
+        return c, c
+
+    _, cp_tail = jax.lax.scan(fwd, c0, at[1:])
+    cp = jnp.concatenate([c0[None], cp_tail], axis=0)
+
+    # Anticausal init (Unser's mirror formula) + backward sweep:
+    # d[n-1] = z/(z^2-1) (c[n-1] + z c[n-2]);  d[k] = z (d[k+1] - c[k]).
+    d_last = (z / (z * z - 1.0)) * (cp[n - 1] + z * cp[n - 2])
+
+    def bwd(carry, c):
+        d = z * (carry - c)
+        return d, d
+
+    _, d_head = jax.lax.scan(bwd, d_last, cp[: n - 1], reverse=True)
+    d = jnp.concatenate([d_head, d_last[None]], axis=0)
+    return jnp.moveaxis(d, 0, -1)
+
+
+def cubic_prefilter(vol: jnp.ndarray) -> jnp.ndarray:
+    """B-spline coefficients of ``vol`` (any rank), filtered along every axis."""
+    vol = jnp.asarray(vol, jnp.float32)
+    for ax in range(vol.ndim):
+        vol = _filter_last_axis(jnp.moveaxis(vol, ax, -1))
+        vol = jnp.moveaxis(vol, -1, ax)
+    return vol
+
+
+def _cubic_kernel(t: jnp.ndarray) -> jnp.ndarray:
+    """The cubic B-spline kernel B3(t), support |t| < 2."""
+    at = jnp.abs(t)
+    near = (4.0 - 6.0 * at**2 + 3.0 * at**3) / 6.0
+    far = (2.0 - at) ** 3 / 6.0
+    return jnp.where(at < 1.0, near, jnp.where(at < 2.0, far, 0.0))
+
+
+def _cubic_weights4(t: jnp.ndarray):
+    """The four B3 weights for fractional offset t in [0, 1) at taps
+    floor-1 .. floor+2 (sums to 1 exactly)."""
+    w0 = _cubic_kernel(t + 1.0)
+    w1 = _cubic_kernel(t)
+    w2 = _cubic_kernel(t - 1.0)
+    w3 = _cubic_kernel(t - 2.0)
+    return w0, w1, w2, w3
+
+
+_ROW_MINOR_MAX = 128  # same dispatch envelope as the trilinear row sampler
+_ROW_CHUNK = 1 << 19  # points per lax.map slab (16 rows/pt → 4x smaller slabs)
+_ROW_MAX_ELEMS = 128 * 1024 * 1024
+
+
+def cubic_coeffs(vol: jnp.ndarray) -> jnp.ndarray:
+    """Prefilter + mirror-pad by 2: the sampler's preferred operand.
+
+    Padding up front makes every 4x4x4 neighborhood of an in-domain point
+    interior (no per-corner boundary branches in the gather) and — padded
+    ONCE per volume — keeps the full-volume pad copy out of per-iteration
+    optimization loops.
+    """
+    return jnp.pad(cubic_prefilter(vol), 2, mode="reflect")
+
+
+def cubic_sample(coeffs: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample the (unpadded) coefficient volume (D0,D1,D2) at fractional
+    index coords (3, N) with the cubic B-spline kernel.
+
+    The 4x4x4 neighborhood uses MIRROR indexing at the borders (matching
+    the prefilter's boundary condition, so border interpolation stays
+    exact); points strictly outside ``[0, D-1]`` per axis return 0 — the
+    resampler's DefaultPixelValue semantics.
+    """
+    cp = jnp.pad(coeffs, 2, mode="reflect")
+    return cubic_sample_coeffs(cp, coords)
+
+
+def cubic_sample_coeffs(cp: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample PADDED coefficients (from :func:`cubic_coeffs`) at coords (3, N)."""
+    dom = jnp.array(
+        [cp.shape[0] - 4, cp.shape[1] - 4, cp.shape[2] - 4], coords.dtype
+    )
+    inside = jnp.all((coords >= 0.0) & (coords <= dom[:, None] - 1.0), axis=0)
+    c = jnp.clip(coords, 0.0, dom[:, None] - 1.0)
+
+    if cp.shape[2] <= _ROW_MINOR_MAX + 4:
+        n = coords.shape[1]
+        if n * cp.shape[2] <= _ROW_MAX_ELEMS:
+            out = _cubic_sample_rows(cp, c)
+        else:
+            chunk = _ROW_CHUNK
+            nc = -(-n // chunk)
+            cpad = jnp.pad(c, ((0, 0), (0, nc * chunk - n)))
+            slabs = cpad.reshape(3, nc, chunk).transpose(1, 0, 2)
+            out = jax.lax.map(lambda s: _cubic_sample_rows(cp, s), slabs)
+            out = out.reshape(-1)[:n]
+    else:
+        out = _cubic_sample_scalar(cp, c)
+    return jnp.where(inside, out, 0.0)
+
+
+def _cubic_sample_rows(cp: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather cubic sampling on the mirror-padded coefficients ``cp``:
+    gather the 16 (i,j) corner k-rows per point and reduce each against a
+    dense B3 weight profile over the minor axis (a VPU reduction with no
+    inner gather — the cubic analog of ``_trilinear_sample_rows``)."""
+    d0p, d1p, d2p = cp.shape
+    rows = cp.reshape(d0p * d1p, d2p)
+    # +2 for the pad offset; the 4 taps per axis sit at base .. base+3.
+    fi = jnp.floor(c).astype(jnp.int32)
+    base0 = fi[0] + 1  # (floor - 1) + 2
+    base1 = fi[1] + 1
+    kc = c[2] + 2.0
+    iota = jnp.arange(d2p, dtype=cp.dtype)
+    kw = _cubic_kernel(iota[None, :] - kc[:, None])  # (N, d2p)
+    w0 = _cubic_weights4(c[0] - jnp.floor(c[0]))
+    w1 = _cubic_weights4(c[1] - jnp.floor(c[1]))
+    out = jnp.zeros(c.shape[1], cp.dtype)
+    for a in range(4):
+        ia = base0 + a
+        for b in range(4):
+            ib = base1 + b
+            ridx = ia * d1p + ib
+            r = jnp.take(rows, ridx, axis=0)  # (N, d2p)
+            out = out + (w0[a] * w1[b]) * jnp.sum(r * kw, axis=1)
+    return out
+
+
+def _cubic_sample_scalar(cp: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """64 linearized scalar corner gathers — fallback for volumes whose
+    minor axis is too wide for the row profile."""
+    d0p, d1p, d2p = cp.shape
+    flat = cp.reshape(-1)
+    fi = jnp.floor(c).astype(jnp.int32)
+    fr = c - jnp.floor(c)
+    w0 = _cubic_weights4(fr[0])
+    w1 = _cubic_weights4(fr[1])
+    w2 = _cubic_weights4(fr[2])
+    out = jnp.zeros(c.shape[1], cp.dtype)
+    for a in range(4):
+        ia = fi[0] + 1 + a
+        for b in range(4):
+            ib = fi[1] + 1 + b
+            rbase = (ia * d1p + ib) * d2p
+            for d in range(4):
+                idx = rbase + fi[2] + 1 + d
+                out = out + (w0[a] * w1[b] * w2[d]) * jnp.take(flat, idx)
+    return out
+
+
+@jax.jit
+def cubic_map_coordinates(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Convenience: prefilter + sample in one jitted program."""
+    return cubic_sample_coeffs(
+        cubic_coeffs(vol), jnp.asarray(coords, jnp.float32)
+    )
+
+
+def nearest_sample(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Order-0 (nearest-neighbor) sampling, 0 outside ``[0, D-1]`` — the
+    resampler order elastix uses for label/mask images
+    (``FinalBSplineInterpolationOrder 0``)."""
+    d0, d1, d2 = vol.shape
+    dom = jnp.array(vol.shape, coords.dtype)
+    inside = jnp.all((coords >= -0.5) & (coords <= dom[:, None] - 0.5), axis=0)
+    i = jnp.clip(
+        jnp.round(coords).astype(jnp.int32), 0, jnp.array(vol.shape)[:, None] - 1
+    )
+    idx = (i[0] * d1 + i[1]) * d2 + i[2]
+    return jnp.where(inside, jnp.take(vol.reshape(-1), idx), 0.0)

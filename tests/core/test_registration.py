@@ -6,6 +6,7 @@ registrar is in-process.
 """
 
 import os
+import warnings
 
 import numpy as np
 import pytest
@@ -196,7 +197,8 @@ class TestParamFiles:
             "(FinalBSplineInterpolationOrder 3)\n"
             "(DefaultPixelValue 0)\n"
         )
-        with pytest.warns(UserWarning) as rec:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
             cfg = _load_stage_params(str(p))
         assert cfg.transform == "bspline"
         assert cfg.grid_spacing_mm == 30.0
@@ -207,8 +209,37 @@ class TestParamFiles:
         assert cfg.sample_schedule == (2000, 2000, 4000)
         assert cfg.pyramid_schedule == (8.0, 4.0, 1.0)
         assert cfg.resolutions == 3
-        msgs = "; ".join(str(w.message) for w in rec)
-        assert "FinalBSplineInterpolationOrder" in msgs
+        # Order-3 final resampling is now IMPLEMENTED (cubic B-spline
+        # sampler, ops/interp.py) — the key maps cleanly, no warning.
+        assert cfg.final_interp_order == 3
+        assert not rec, [str(w.message) for w in rec]
+
+    def test_elastix_txt_interp_orders(self, tmp_path):
+        """(Final)BSplineInterpolationOrder mapping: supported orders pass
+        through silently; unsupported spline orders round with a warning."""
+        from dosma_tpu.core.registration import _load_stage_params
+
+        p = tmp_path / "orders.txt"
+        p.write_text(
+            '(Transform "EulerTransform")\n'
+            "(BSplineInterpolationOrder 3)\n"
+            "(FinalBSplineInterpolationOrder 0)\n"
+        )
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            cfg = _load_stage_params(str(p))
+        assert cfg.interp_order == 3
+        assert cfg.final_interp_order == 0
+        assert not rec
+
+        p2 = tmp_path / "orders2.txt"
+        p2.write_text(
+            '(Transform "EulerTransform")\n'
+            "(FinalBSplineInterpolationOrder 5)\n"
+        )
+        with pytest.warns(UserWarning, match="FinalBSplineInterpolationOrder=5"):
+            cfg = _load_stage_params(str(p2))
+        assert cfg.final_interp_order == 3
 
     def test_elastix_txt_unknown_keys_warn(self, tmp_path):
         from dosma_tpu.core.registration import _load_stage_params

@@ -181,3 +181,103 @@ class TestForeignKerasH5:
                     g.create_dataset(wn, data=arr)
         params = load_keras_unet2d_weights(path)
         assert float(params["down"][0]["conv1"]["w"][0, 0, 0, 0]) == 100.0
+
+
+class TestWeightsKit:
+    """Turnkey kit (VERDICT r4 item 9): verify/convert CLI over synthetic
+    weight files; the golden-regen path is exercised by the gated tier."""
+
+    def _fresh_h5(self, tmp_path, name="w.h5", num_classes=4):
+        import jax
+
+        from dosma_tpu.models.unet2d import init_unet2d_params
+        from dosma_tpu.models.weights import save_keras_unet2d_weights
+
+        path = str(tmp_path / name)
+        save_keras_unet2d_weights(
+            path, init_unet2d_params(jax.random.PRNGKey(3), num_classes=num_classes)
+        )
+        return path
+
+    def test_verify_roundtrip_and_checksum(self, tmp_path):
+        from dosma_tpu.models.weights import verify_weights
+
+        path = self._fresh_h5(tmp_path)
+        rep = verify_weights(path)
+        assert rep["roundtrip_ok"]
+        assert rep["num_classes"] == 4
+        assert len(rep["sha256"]) == 64
+        # Same weights -> same digest; different weights -> different.
+        assert verify_weights(path)["sha256"] == rep["sha256"]
+        other = self._fresh_h5(tmp_path, "w1.h5", num_classes=1)
+        assert verify_weights(other)["sha256"] != rep["sha256"]
+
+    def test_convert_foreign_lossless(self, tmp_path):
+        from dosma_tpu.models.weights import convert_weights, params_checksum
+        from dosma_tpu.models.weights import load_keras_unet2d_weights
+
+        src = str(tmp_path / "foreign.h5")
+        _write_foreign_h5(src, _model_order_specs(), shuffle_seed=9)
+        dst = str(tmp_path / "canonical.h5")
+        rep = convert_weights(src, dst)
+        assert rep["lossless"]
+        assert params_checksum(load_keras_unet2d_weights(dst)) == rep["sha256"]
+
+    def test_cli_verify(self, tmp_path, capsys):
+        import json
+
+        from dosma_tpu.models.weights import main
+
+        path = self._fresh_h5(tmp_path)
+        assert main(["verify", path]) == 0
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["roundtrip_ok"] and rep["parameters"] > 10_000_000
+
+    def test_golden_regen_synthetic(self, tmp_path):
+        """End-to-end golden regen on a synthetic data dir: fixture scan +
+        synthetic weights in two alias dirs -> goldens written with the
+        gated tier's exact shapes/dtype."""
+        import jax
+
+        from dosma_tpu.core.io.nifti_io import NiftiWriter
+        from dosma_tpu.core.med_volume import MedicalVolume
+        from dosma_tpu.core.orientation import SAGITTAL, to_affine
+        from dosma_tpu.models.unet2d import init_unet2d_params
+        from dosma_tpu.models.weights import regenerate_goldens, save_keras_unet2d_weights
+
+        data = tmp_path / "unittest-data"
+        (data / "datasets/oai").mkdir(parents=True)
+        rs = np.random.RandomState(0)
+        vol = MedicalVolume(
+            rs.rand(96, 96, 4).astype(np.float32) * 100,
+            to_affine(SAGITTAL, (0.3, 0.3, 0.7)),
+        )
+        NiftiWriter().save(vol, str(data / "datasets/oai/test_001_V00.nii.gz"))
+
+        wdir = data / "weights/iwoai-2019-t6-normalized"
+        wdir.mkdir(parents=True)
+        save_keras_unet2d_weights(
+            str(wdir / "iwoai-2019-unet2d-normalized_fc-tc-pc-men_weights.h5"),
+            init_unet2d_params(jax.random.PRNGKey(0), num_classes=4),
+        )
+        wdir1 = data / "weights/oai-unet2d"
+        wdir1.mkdir(parents=True)
+        save_keras_unet2d_weights(
+            str(wdir1 / "oai-unet2d_fc_weights.h5"),
+            init_unet2d_params(jax.random.PRNGKey(1), num_classes=1),
+        )
+
+        report = regenerate_goldens(str(data))
+        assert report["test_001_V00-iwoai-2019-t6-normalized.npy"].startswith("written")
+        assert report["test_001_V00-oai-unet2d-fc.npy"].startswith("written")
+        assert report["test_001_V00-iwoai-2019-t6.npy"] == "skipped (no weights)"
+
+        g4 = np.load(data / "datasets/oai/expected/test_001_V00-iwoai-2019-t6-normalized.npy")
+        g1 = np.load(data / "datasets/oai/expected/test_001_V00-oai-unet2d-fc.npy")
+        assert g4.shape == (96, 96, 4, 4) and g4.dtype == np.uint8
+        assert g1.shape == (96, 96, 4) and g1.dtype == np.uint8
+        assert set(np.unique(g4)) <= {0, 1} and set(np.unique(g1)) <= {0, 1}
+
+        # Idempotence guard: refuses to clobber without --overwrite.
+        report2 = regenerate_goldens(str(data))
+        assert report2["test_001_V00-oai-unet2d-fc.npy"].startswith("exists")

@@ -87,8 +87,10 @@ class TestPretrainedMaskParity:
         scan = _oai_scan()
         dims = scan.volume.shape
         model = _model(OAIUnet2D, "oai-unet2d", (dims[0], dims[1], 1))
-        masks = model.generate_mask(scan)
-        assert np.all(np.asarray(masks["fc"].volume) == expected)
+        # OAIUnet2D has a single-class head: generate_mask returns ONE
+        # MedicalVolume (the fc mask), not a category dict.
+        mask = model.generate_mask(scan)
+        assert np.all(np.asarray(mask.volume) == expected)
 
     def test_stanford_qdess(self):
         from dosma_tpu.models.stanford_qdess import StanfordQDessUNet2D
