@@ -274,3 +274,44 @@ def read_files_bytes(files: List[str]) -> List[bytes]:
     if lib.dosma_read_files(c_paths, n, buf_ptrs, sizes) != 0:
         raise IOError("native file read failed")
     return [bufs[i].raw[: int(sizes[i])] for i in range(n)]
+
+
+def j2k_decode(data: bytes):
+    """Decode a lossless JPEG 2000 codestream via C++ (twin of
+    :func:`dosma_tpu.core.io.dicom.j2k.j2k_decode`).
+
+    Returns (H, W) or (H, W, C); dtype follows the component depth.
+    Raises ``NotImplementedError`` for out-of-profile codestreams (9/7
+    lossy, quantized, special code-block styles) so the caller can fall
+    through, and ``ValueError`` on corrupt streams.
+    """
+    import numpy as np
+
+    lib = _load_codecs()
+    meta = (ctypes.c_int * 4)()
+    fn = lib.dosma_j2k_decode
+    fn.restype = ctypes.c_int
+    rc = fn(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        None, ctypes.c_longlong(0), meta, 1,
+    )
+    if rc == -2:
+        raise NotImplementedError("native J2K: out-of-profile codestream")
+    if rc != 0:
+        raise ValueError(f"native J2K header parse failed (code {rc})")
+    h, w, ncomp, maxdepth = meta[0], meta[1], meta[2], meta[3]
+    out = np.empty((h, w, ncomp), np.int32)
+    rc = fn(
+        ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_longlong(out.size), meta, 0,
+    )
+    if rc == -2:
+        raise NotImplementedError("native J2K: out-of-profile codestream")
+    if rc != 0:
+        raise ValueError(f"native J2K decode failed (code {rc})")
+    if maxdepth <= 8:
+        out = out.astype(np.uint8)
+    elif out.min() >= 0:
+        out = out.astype(np.uint16)
+    return out[..., 0] if ncomp == 1 else out

@@ -679,13 +679,11 @@ def decode_frames(
             if bits_allocated == 16 and img.dtype == np.uint8:
                 img = img.astype(np.uint16)
         elif transfer_syntax in (JPEG_2000_LOSSLESS, JPEG_2000):
-            from dosma_tpu.core.io.dicom.jpeg_2000 import (
-                jpeg_2000_decode,
-                pil_j2k_available,
-            )
+            # Lossless (.90) decodes with the from-scratch in-repo codec —
+            # no Pillow gate; only out-of-profile codestreams (9/7 lossy)
+            # reach the Pillow fallback inside jpeg_2000_decode.
+            from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_decode
 
-            if not pil_j2k_available():
-                raise unsupported_syntax_error(transfer_syntax)
             img = jpeg_2000_decode(frame)
             if bits_allocated == 8 and img.dtype != np.uint8:
                 img = img.astype(np.uint8)

@@ -1,22 +1,23 @@
-"""JPEG 2000 codec for DICOM pixel data, backed by Pillow/OpenJPEG.
+"""JPEG 2000 codec dispatch for DICOM pixel data.
 
 Covers the last two compressed transfer syntaxes:
 
 - **JPEG 2000 Lossless** ``1.2.840.10008.1.2.4.90`` (reversible 5/3 DWT)
-- **JPEG 2000** ``1.2.840.10008.1.2.4.91`` (irreversible 9/7 DWT)
+  — decoded by the FROM-SCRATCH in-repo codec
+  (:mod:`dosma_tpu.core.io.dicom.j2k`: MQ coder, EBCOT tier-1/2, tag
+  trees, inverse 5/3 DWT), like every other codec in this package.
+- **JPEG 2000** ``1.2.840.10008.1.2.4.91`` (irreversible 9/7 DWT, lossy)
+  — delegated to Pillow/OpenJPEG, the reference's own design point for
+  J2K (pydicom handler dispatch,
+  ``/root/reference/dosma/core/io/dicom_io.py:264-270``).
 
-Architecture note: the reference does not implement JPEG 2000 either — it
-delegates to whichever pixel handler pydicom finds installed (gdcm /
-openjpeg / Pillow, ``/root/reference/dosma/core/io/dicom_io.py:264-270``).
-This module is the same design point: Pillow (with its OpenJPEG bindings)
-is part of this stack's baked-in dependencies, so J2K rides it; when
-Pillow lacks OpenJPEG, the codec dispatch surfaces the actionable
-transcode error instead.
+Encoding (compressed export) rides Pillow in both forms; when Pillow
+lacks OpenJPEG the encode path surfaces an actionable transcode error.
 
 DICOM PS3.5 A.4.4 encapsulates the raw JPEG 2000 CODESTREAM (SOC marker
-``FF4F``), not a JP2 container — Pillow reads raw codestreams directly
-and writes them when the target filename carries a ``.j2k`` suffix, so
-encoding goes through a temp file.
+``FF4F``), not a JP2 container — Pillow writes raw codestreams when the
+target filename carries a ``.j2k`` suffix, so encoding goes through a
+temp file.
 """
 
 from __future__ import annotations
@@ -49,7 +50,30 @@ def _require_pil():
 
 
 def jpeg_2000_decode(data: bytes) -> np.ndarray:
-    """Decode a JPEG 2000 codestream (or JP2 container) to an ndarray."""
+    """Decode a JPEG 2000 codestream (or JP2 container) to an ndarray.
+
+    The LOSSLESS profile (reversible 5/3, transfer syntax .90 — the only
+    J2K form the reference pipelines produce) decodes with the from-
+    scratch in-repo codec (:mod:`dosma_tpu.core.io.dicom.j2k`); lossy 9/7
+    codestreams (syntax .91) and exotic coding options fall through to
+    Pillow/OpenJPEG when present.
+    """
+    from dosma_tpu.core.io import _native
+    from dosma_tpu.core.io.dicom.j2k import Unsupported, j2k_decode
+
+    try:
+        if _native.codecs_available():
+            return _native.j2k_decode(data)
+        return j2k_decode(data)
+    except Unsupported:
+        pass  # 9/7 lossy / out-of-profile options -> Pillow below
+    except NotImplementedError:
+        # Native says out-of-profile: give the Python twin a chance (it
+        # may support the feature) before Pillow.
+        try:
+            return j2k_decode(data)
+        except Unsupported:
+            pass
     _require_pil()
     from PIL import Image
 

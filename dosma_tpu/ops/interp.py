@@ -158,7 +158,16 @@ def cubic_sample_coeffs(cp: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     dom = jnp.array(
         [cp.shape[0] - 4, cp.shape[1] - 4, cp.shape[2] - 4], coords.dtype
     )
-    inside = jnp.all((coords >= 0.0) & (coords <= dom[:, None] - 1.0), axis=0)
+    # The in-domain test carries a 1e-3-voxel tolerance: warp matrices run
+    # index->world->index in float32, so a point exactly ON the last voxel
+    # plane can land at D-1 + O(1e-6) — without the tolerance the hard
+    # DefaultPixelValue cliff zeroes an entire boundary slice (observed on
+    # the cones interregister phantom: the k = D-1 plane of an
+    # integer-shift warp came back all-zero).
+    tol = 1e-3
+    inside = jnp.all(
+        (coords >= -tol) & (coords <= dom[:, None] - 1.0 + tol), axis=0
+    )
     c = jnp.clip(coords, 0.0, dom[:, None] - 1.0)
 
     if cp.shape[2] <= _ROW_MINOR_MAX + 4:

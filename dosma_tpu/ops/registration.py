@@ -538,6 +538,16 @@ def _pyramid_core(
         key = jax.random.fold_in(jax.random.PRNGKey(seed), level_idx)
         u = jax.random.uniform(key, (iterations, 3, num_samples))
         idx_all = u * (jnp.array(fshape, jnp.float32)[None, :, None] - 1)
+        # Sort each iteration's samples by fixed linear index (DEVNOTES r4
+        # "sorted/segmented sample gather" lever): the metric is
+        # permutation-invariant over samples, and the moving-side gather —
+        # the loop's dominant cost — then walks quasi-monotone addresses
+        # (the moving index map is an affine image of the fixed order), so
+        # row fetches hit warm tiles instead of striding the volume
+        # randomly. One argsort per level, zero per-iteration cost.
+        lin = (idx_all[:, 0] * fshape[1] + idx_all[:, 1]) * fshape[2] + idx_all[:, 2]
+        order = jnp.argsort(lin, axis=1)
+        idx_all = jnp.take_along_axis(idx_all, order[:, None, :], axis=2)
         flat = idx_all.transpose(1, 0, 2).reshape(3, iterations * num_samples)
         fixed_vals_all = _trilinear_sample(f_s, flat).reshape(iterations, num_samples)
         w0_all = (

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -1339,4 +1340,692 @@ long long dosma_jpeg_lossless_encode(const uint16_t *src, int rows, int cols,
   return o;
 }
 
-}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG 2000 Part-1 LOSSLESS decoder (ITU-T T.800) — native twin of
+// dosma_tpu/core/io/dicom/j2k.py (the behavioral reference; tests assert
+// bit-parity between the two). Scope: reversible 5/3, no quantization,
+// default code-block styles; returns -2 for out-of-profile codestreams so
+// the Python dispatch can fall through.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" — the j2k helpers are C++ (classes, vectors, namespaces)
+
+namespace j2k {
+
+struct MQ {
+  const uint8_t *data; long long n, bp;
+  uint32_t c, a; int ct;
+  uint8_t idx[19], mps[19];
+  static const uint16_t QE[47]; static const uint8_t NMPS[47], NLPS[47], SW[47];
+  void init(const uint8_t *d, long long len) {
+    data = d; n = len;
+    for (int i = 0; i < 19; i++) { idx[i] = 0; mps[i] = 0; }
+    idx[0] = 4; idx[17] = 3; idx[18] = 46;
+    bp = 0;
+    uint8_t b0 = n > 0 ? data[0] : 0xFF;
+    c = (uint32_t)b0 << 16;
+    bytein();
+    c <<= 7; ct -= 7; a = 0x8000;
+  }
+  void bytein() {
+    uint8_t b = bp < n ? data[bp] : 0xFF;
+    if (b == 0xFF) {
+      uint8_t b1 = bp + 1 < n ? data[bp + 1] : 0xFF;
+      if (b1 > 0x8F) { c += 0xFF00; ct = 8; }
+      else { bp++; c += (uint32_t)b1 << 9; ct = 7; }
+    } else {
+      bp++;
+      uint8_t b1 = bp < n ? data[bp] : 0xFF;
+      c += (uint32_t)b1 << 8; ct = 8;
+    }
+  }
+  int decode(int cx) {
+    int i = idx[cx];
+    uint32_t qe = QE[i];
+    int d;
+    a -= qe;
+    if (((c >> 16) & 0xFFFF) < qe) {
+      if (a < qe) { d = mps[cx]; idx[cx] = NMPS[i]; }
+      else { d = 1 - mps[cx]; if (SW[i]) mps[cx] = 1 - mps[cx]; idx[cx] = NLPS[i]; }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return mps[cx];
+      if (a < qe) { d = 1 - mps[cx]; if (SW[i]) mps[cx] = 1 - mps[cx]; idx[cx] = NLPS[i]; }
+      else { d = mps[cx]; idx[cx] = NMPS[i]; }
+    }
+    do {
+      if (ct == 0) bytein();
+      a <<= 1; c <<= 1; ct--;
+    } while (!(a & 0x8000));
+    return d;
+  }
+};
+const uint16_t MQ::QE[47] = {
+  0x5601,0x3401,0x1801,0x0AC1,0x0521,0x0221,0x5601,0x5401,0x4801,0x3801,
+  0x3001,0x2401,0x1C01,0x1601,0x5601,0x5401,0x5101,0x4801,0x3801,0x3401,
+  0x3001,0x2801,0x2401,0x2201,0x1C01,0x1801,0x1601,0x1401,0x1201,0x1101,
+  0x0AC1,0x09C1,0x08A1,0x0521,0x0441,0x02A1,0x0221,0x0141,0x0111,0x0085,
+  0x0049,0x0025,0x0015,0x0009,0x0005,0x0001,0x5601};
+const uint8_t MQ::NMPS[47] = {1,2,3,4,5,38,7,8,9,10,11,12,13,29,15,16,17,18,19,20,
+  21,22,23,24,25,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,44,45,45,46};
+const uint8_t MQ::NLPS[47] = {1,6,9,12,29,33,6,14,14,14,17,18,20,21,14,14,15,16,17,18,
+  19,19,20,21,22,23,24,25,26,27,28,29,30,31,32,33,34,35,36,37,38,39,40,41,42,43,46};
+const uint8_t MQ::SW[47] = {1,0,0,0,0,0,1,0,0,0,0,0,0,0,1,0,0,0,0,0,
+  0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0};
+
+struct BitReader {
+  const uint8_t *data; long long pos; int bitbuf, nbits; uint8_t last;
+  void init(const uint8_t *d, long long p) { data = d; pos = p; bitbuf = 0; nbits = 0; last = 0; }
+  int bit() {
+    if (nbits == 0) {
+      uint8_t b = data[pos++];
+      if (last == 0xFF) { bitbuf = b & 0x7F; nbits = 7; }
+      else { bitbuf = b; nbits = 8; }
+      last = b;
+    }
+    nbits--;
+    return (bitbuf >> nbits) & 1;
+  }
+  uint32_t bits(int k) { uint32_t v = 0; while (k--) v = (v << 1) | bit(); return v; }
+  void align() { nbits = 0; if (last == 0xFF) pos++; last = 0; }
+};
+
+struct TagTree {
+  int nlev;
+  std::vector<std::vector<int32_t>> value, low;
+  std::vector<std::vector<uint8_t>> known;
+  std::vector<std::pair<int,int>> dims;
+  void init(int w, int h) {
+    dims.clear(); value.clear(); low.clear(); known.clear();
+    for (;;) {
+      dims.push_back({w, h});
+      if (w <= 1 && h <= 1) break;
+      w = (w + 1) / 2; h = (h + 1) / 2;
+    }
+    nlev = (int)dims.size();
+    for (auto &d : dims) {
+      value.emplace_back((size_t)d.first * d.second, 0);
+      low.emplace_back((size_t)d.first * d.second, 0);
+      known.emplace_back((size_t)d.first * d.second, 0);
+    }
+  }
+  bool decode(BitReader &br, int x, int y, int threshold) {
+    int lowv = 0;
+    for (int lev = nlev - 1; lev >= 0; lev--) {
+      int xx = x >> lev, yy = y >> lev;
+      size_t k = (size_t)yy * dims[lev].first + xx;
+      if (low[lev][k] < lowv) low[lev][k] = lowv;
+      while (!known[lev][k] && low[lev][k] < threshold) {
+        if (br.bit()) { value[lev][k] = low[lev][k]; known[lev][k] = 1; }
+        else low[lev][k]++;
+      }
+      if (known[lev][k]) lowv = value[lev][k];
+      else return false;
+    }
+    return value[0][(size_t)y * dims[0].first + x] < threshold;
+  }
+  int get(BitReader &br, int x, int y) {
+    int t = 1;
+    while (!decode(br, x, y, t)) t++;
+    return value[0][(size_t)y * dims[0].first + x];
+  }
+};
+
+// Zero-coding context (band: 0=LL/LH, 1=HL, 2=HH)
+static inline int zc_ctx(int h, int v, int d, int band) {
+  if (band == 1) { int t = h; h = v; v = t; }
+  if (band != 2) {
+    if (h == 2) return 8;
+    if (h == 1) return v >= 1 ? 7 : (d >= 1 ? 6 : 5);
+    if (v == 2) return 4;
+    if (v == 1) return 3;
+    return d >= 2 ? 2 : (d == 1 ? 1 : 0);
+  }
+  if (d >= 3) return 8;
+  if (d == 2) return h + v >= 1 ? 7 : 6;
+  if (d == 1) { int s = h + v; return s >= 2 ? 5 : (s == 1 ? 4 : 3); }
+  int s = h + v;
+  return s >= 2 ? 2 : (s == 1 ? 1 : 0);
+}
+
+struct Block {
+  int w, h, band;
+  MQ mq;
+  std::vector<uint8_t> sig, vis;   // (h+2)x(w+2) halo
+  std::vector<int8_t> sgn;
+  std::vector<uint8_t> refined;    // h x w
+  std::vector<int64_t> mag;        // h x w
+  int64_t weight;
+  int W2;
+  void init(int w_, int h_, int band_, const uint8_t *d, long long n) {
+    w = w_; h = h_; band = band_; W2 = w + 2;
+    mq.init(d, n);
+    sig.assign((size_t)(h + 2) * W2, 0);
+    vis.assign((size_t)(h + 2) * W2, 0);
+    sgn.assign((size_t)(h + 2) * W2, 0);
+    refined.assign((size_t)h * w, 0);
+    mag.assign((size_t)h * w, 0);
+    weight = 1;
+  }
+  inline void hvd(int py, int px, int &hh, int &vv, int &dd) const {
+    const uint8_t *s = sig.data();
+    size_t r = (size_t)py * W2 + px;
+    hh = s[r - 1] + s[r + 1];
+    vv = s[r - W2] + s[r + W2];
+    dd = s[r - W2 - 1] + s[r - W2 + 1] + s[r + W2 - 1] + s[r + W2 + 1];
+  }
+  inline int decode_sign(int py, int px) {
+    size_t r = (size_t)py * W2 + px;
+    int hc = sig[r - 1] * sgn[r - 1] + sig[r + 1] * sgn[r + 1];
+    int vc = sig[r - W2] * sgn[r - W2] + sig[r + W2] * sgn[r + W2];
+    hc = hc > 1 ? 1 : (hc < -1 ? -1 : hc);
+    vc = vc > 1 ? 1 : (vc < -1 ? -1 : vc);
+    static const int CTX[3][3] = {{13, 12, 11}, {10, 9, 10}, {11, 12, 13}};
+    static const int XOR[3][3] = {{1, 1, 1}, {1, 0, 0}, {1, 0, 0}};
+    // index by (hc+1 reversed): build with hc=-1..1 rows
+    int ctx, xo;
+    if (hc == 1) { ctx = vc == 1 ? 13 : (vc == 0 ? 12 : 11); xo = 0; }
+    else if (hc == 0) { ctx = vc == 0 ? 9 : 10; xo = vc == -1 ? 1 : 0; }
+    else { ctx = vc == 1 ? 11 : (vc == 0 ? 12 : 13); xo = 1; }
+    (void)CTX; (void)XOR;
+    return mq.decode(ctx) ^ xo;  // 1 = negative
+  }
+  inline void set_sig(int y, int x, int neg) {
+    size_t r = (size_t)(y + 1) * W2 + (x + 1);
+    sig[r] = 1; sgn[r] = neg ? -1 : 1;
+    mag[(size_t)y * w + x] = weight;
+  }
+  void spp() {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; x++) {
+        int px = x + 1;
+        int ymax = y0 + 4 < h ? y0 + 4 : h;
+        for (int y = y0; y < ymax; y++) {
+          int py = y + 1;
+          size_t r = (size_t)py * W2 + px;
+          if (sig[r]) continue;
+          int hh, vv, dd; hvd(py, px, hh, vv, dd);
+          if (hh + vv + dd == 0) continue;
+          vis[r] = 1;
+          if (mq.decode(zc_ctx(hh, vv, dd, band))) set_sig(y, x, decode_sign(py, px));
+        }
+      }
+  }
+  void mrp() {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; x++) {
+        int px = x + 1;
+        int ymax = y0 + 4 < h ? y0 + 4 : h;
+        for (int y = y0; y < ymax; y++) {
+          int py = y + 1;
+          size_t r = (size_t)py * W2 + px;
+          if (!sig[r] || vis[r]) continue;
+          size_t k = (size_t)y * w + x;
+          int ctx;
+          if (refined[k]) ctx = 16;
+          else { int hh, vv, dd; hvd(py, px, hh, vv, dd); ctx = hh + vv + dd ? 15 : 14; }
+          if (mq.decode(ctx)) mag[k] += weight;
+          refined[k] = 1;
+        }
+      }
+  }
+  void cup() {
+    for (int y0 = 0; y0 < h; y0 += 4) {
+      bool full = y0 + 4 <= h;
+      for (int x = 0; x < w; x++) {
+        int px = x + 1;
+        int y = y0;
+        if (full) {
+          bool rl = true;
+          for (int yy = y0; yy < y0 + 4; yy++) {
+            size_t r = (size_t)(yy + 1) * W2 + px;
+            if (sig[r] || vis[r]) { rl = false; break; }
+            int hh, vv, dd; hvd(yy + 1, px, hh, vv, dd);
+            if (hh + vv + dd) { rl = false; break; }
+          }
+          if (rl) {
+            if (!mq.decode(17)) continue;
+            int rpos = (mq.decode(18) << 1) | mq.decode(18);
+            y = y0 + rpos;
+            set_sig(y, x, decode_sign(y + 1, px));
+            y++;
+          }
+        }
+        int ymax = y0 + 4 < h ? y0 + 4 : h;
+        for (int yy = y; yy < ymax; yy++) {
+          size_t r = (size_t)(yy + 1) * W2 + px;
+          if (sig[r] || vis[r]) continue;
+          int hh, vv, dd; hvd(yy + 1, px, hh, vv, dd);
+          if (mq.decode(zc_ctx(hh, vv, dd, band))) set_sig(yy, x, decode_sign(yy + 1, px));
+        }
+      }
+    }
+    std::fill(vis.begin(), vis.end(), 0);
+  }
+  void run(int total_passes) {
+    int nplanes = total_passes <= 1 ? 1 : 2 + (total_passes - 2) / 3;
+    for (int p = 0; p < total_passes; p++) {
+      int plane, kind;
+      if (p == 0) { plane = 0; kind = 2; }
+      else { plane = 1 + (p - 1) / 3; kind = (p - 1) % 3; }
+      weight = 1LL << (nplanes - 1 - plane);
+      if (kind == 0) spp();
+      else if (kind == 1) mrp();
+      else cup();
+    }
+  }
+};
+
+struct CbState {
+  bool included = false;
+  int lblock = 3, passes = 0;
+  std::vector<uint8_t> seg;  // concatenated codeword segments
+};
+
+struct Cod {
+  int prog = 0, layers = 1, mct = 0, levels = 5, cbw = 64, cbh = 64;
+  int cbstyle = 0, transform = 1;
+  bool sop = false, eph = false, has_precincts = false;
+  uint8_t prec[40];
+  int prec_n = 0;
+};
+
+static int parse_cod(const uint8_t *b, int len, Cod &cod) {
+  if (len < 10) return -1;
+  int scod = b[0];
+  cod.sop = scod & 2; cod.eph = scod & 4;
+  cod.prog = b[1];
+  cod.layers = (b[2] << 8) | b[3];
+  cod.mct = b[4];
+  cod.levels = b[5];
+  cod.cbw = 1 << ((b[6] & 0xF) + 2);
+  cod.cbh = 1 << ((b[7] & 0xF) + 2);
+  cod.cbstyle = b[8];
+  cod.transform = b[9];
+  cod.has_precincts = scod & 1;
+  cod.prec_n = 0;
+  if (cod.has_precincts) {
+    for (int i = 10; i < len && cod.prec_n < 40; i++) cod.prec[cod.prec_n++] = b[i];
+  }
+  return 0;
+}
+
+static inline long long ceil_div(long long a, long long b) {
+  return a >= 0 ? (a + b - 1) / b : -((-a) / b);
+}
+
+// band rect (T.800 B.5)
+static void band_rect(long long tcx0, long long tcy0, long long tcx1, long long tcy1,
+                      int lev, int xob, int yob,
+                      long long &bx0, long long &by0, long long &bx1, long long &by1) {
+  if (lev == 0) { bx0 = tcx0; by0 = tcy0; bx1 = tcx1; by1 = tcy1; return; }
+  long long d = 1LL << lev, hf = 1LL << (lev - 1);
+  bx0 = ceil_div(tcx0 - hf * xob, d);
+  by0 = ceil_div(tcy0 - hf * yob, d);
+  bx1 = ceil_div(tcx1 - hf * xob, d);
+  by1 = ceil_div(tcy1 - hf * yob, d);
+}
+
+// 1-D reversible 5/3 synthesis over absolute span [i0, i1), stride access.
+static void sr_1d_53(int64_t *buf, long long i0, long long i1, long long stride) {
+  long long n = i1 - i0;
+  if (n <= 0) return;
+  if (n == 1) {
+    if (i0 & 1) buf[0] /= 2;
+    return;
+  }
+  std::vector<int64_t> ext(n + 4);
+  for (long long j = 0; j < n; j++) ext[j + 2] = buf[j * stride];
+  long long period = 2 * n - 2;
+  const long long rels[4] = {-2, -1, n, n + 1};
+  const long long slot[4] = {0, 1, n + 2, n + 3};
+  for (int k = 0; k < 4; k++) {
+    long long m = ((rels[k] % period) + period) % period;
+    if (m > period - m) m = period - m;
+    ext[slot[k]] = buf[m * stride];
+  }
+  std::vector<int64_t> out(n + 4);
+  long long a0 = i0 - 2;
+  // even absolute indices first
+  for (long long j = 1; j <= n + 2; j++)
+    if (((a0 + j) & 1) == 0) out[j] = ext[j] - ((ext[j - 1] + ext[j + 1] + 2) >> 2);
+  for (long long j = 2; j <= n + 1; j++)
+    if (((a0 + j) & 1) == 1) out[j] = ext[j] + ((out[j - 1] + out[j + 1]) >> 1);
+  for (long long j = 0; j < n; j++) buf[j * stride] = out[j + 2];
+}
+
+}  // namespace j2k
+
+// Decode a raw J2K codestream. dst receives h*w*ncomp int32 samples
+// (component-interleaved, DC shift applied). out_meta = {h, w, ncomp, maxdepth}.
+// probe=1: parse main header only, fill out_meta. Returns 0 ok, -1 bad
+// stream, -2 unsupported feature, -3 buffer too small.
+extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
+                     long long cap, int *out_meta, int probe) {
+  using namespace j2k;
+  if (n < 4 || data[0] != 0xFF || data[1] != 0x4F) return -1;
+  long long pos = 2;
+  bool have_siz = false, have_cod = false, have_qcd = false;
+  long long xs = 0, ys = 0, xo = 0, yo = 0, xts = 0, yts = 0, xto = 0, yto = 0;
+  int ncomp = 0;
+  int depth[16]; bool is_signed[16];
+  Cod cod;
+  int qcd_exp[64]; int qcd_n = 0;
+  std::vector<std::vector<std::pair<long long, long long>>> tile_parts;  // per tile: (start, end)
+  std::vector<int> tile_has_cod; std::vector<Cod> tile_cods;
+
+  while (pos + 2 <= n) {
+    int marker = (data[pos] << 8) | data[pos + 1];
+    pos += 2;
+    if (marker == 0xFFD9) break;
+    if (pos + 2 > n) return -1;
+    int ln = (data[pos] << 8) | data[pos + 1];
+    const uint8_t *body = data + pos + 2;
+    int blen = ln - 2;
+    if (pos + ln > n) return -1;
+    if (marker == 0xFF51) {  // SIZ
+      if (blen < 36) return -1;
+      const uint8_t *b = body;
+      auto rd32 = [&](int off) {
+        return ((long long)b[off] << 24) | (b[off+1] << 16) | (b[off+2] << 8) | b[off+3];
+      };
+      xs = rd32(2); ys = rd32(6); xo = rd32(10); yo = rd32(14);
+      xts = rd32(18); yts = rd32(22); xto = rd32(26); yto = rd32(30);
+      ncomp = (b[34] << 8) | b[35];
+      if (ncomp < 1 || ncomp > 16) return -2;
+      for (int c = 0; c < ncomp; c++) {
+        uint8_t ssiz = b[36 + 3 * c];
+        depth[c] = 1 + (ssiz & 0x7F);
+        is_signed[c] = ssiz & 0x80;
+        if (b[37 + 3 * c] != 1 || b[38 + 3 * c] != 1) return -2;  // subsampled
+      }
+      have_siz = true;
+      long long ntx = ceil_div(xs - xto, xts), nty = ceil_div(ys - yto, yts);
+      tile_parts.resize((size_t)(ntx * nty));
+      tile_cods.resize((size_t)(ntx * nty));
+      tile_has_cod.assign((size_t)(ntx * nty), 0);
+    } else if (marker == 0xFF52) {  // COD
+      if (parse_cod(body, blen, cod)) return -1;
+      have_cod = true;
+    } else if (marker == 0xFF5C) {  // QCD
+      if (blen < 1) return -1;
+      int style = body[0] & 0x1F;
+      if (style != 0) return -2;  // quantized -> lossy
+      qcd_n = 0;
+      for (int i = 1; i < blen && qcd_n < 64; i++) qcd_exp[qcd_n++] = body[i] >> 3;
+      have_qcd = true;
+    } else if (marker == 0xFF90) {  // SOT
+      if (!have_siz || blen < 8) return -1;
+      int isot = (body[0] << 8) | body[1];
+      long long psot = ((long long)body[2] << 24) | (body[3] << 16) | (body[4] << 8) | body[5];
+      long long tp_start = pos - 2;
+      long long tp_end = psot ? tp_start + psot : n;
+      if (tp_end > n || (size_t)isot >= tile_parts.size()) return -1;
+      long long q = pos + ln;
+      for (;;) {
+        if (q + 2 > n) return -1;
+        int m2 = (data[q] << 8) | data[q + 1];
+        if (m2 == 0xFF93) { q += 2; break; }
+        if (q + 4 > n) return -1;
+        int l2 = (data[q + 2] << 8) | data[q + 3];
+        if (m2 == 0xFF52) {
+          if (parse_cod(data + q + 4, l2 - 2, tile_cods[isot])) return -1;
+          tile_has_cod[isot] = 1;
+        }
+        q += 2 + l2;
+      }
+      tile_parts[isot].push_back({q, tp_end});
+      pos = tp_end;
+      continue;
+    }
+    pos += ln;
+  }
+  if (!have_siz || !have_cod || !have_qcd) return -1;
+  if (cod.transform != 1) return -2;           // 9/7 lossy
+  if (cod.cbstyle & 0x3F) return -2;            // any special mode incl. vcausal
+  if (cod.has_precincts) {
+    for (int i = 0; i < cod.prec_n; i++)
+      if ((cod.prec[i] & 0xF) < 15 || (cod.prec[i] >> 4) < 15) return -2;
+  }
+  if (!(cod.prog == 0 || cod.prog == 1 || cod.prog == 2 || cod.prog == 4)) return -2;
+
+  long long H = ys - yo, W = xs - xo;
+  int maxdepth = 0;
+  for (int c = 0; c < ncomp; c++) maxdepth = depth[c] > maxdepth ? depth[c] : maxdepth;
+  if (out_meta) { out_meta[0] = (int)H; out_meta[1] = (int)W; out_meta[2] = ncomp; out_meta[3] = maxdepth; }
+  if (probe) return 0;
+  if (cap < H * W * ncomp) return -3;
+
+  long long ntx = ceil_div(xs - xto, xts);
+  long long nty = ceil_div(ys - yto, yts);
+
+  for (long long t = 0; t < ntx * nty; t++) {
+    if (tile_parts[(size_t)t].empty()) continue;
+    const Cod &tc = tile_has_cod[(size_t)t] ? tile_cods[(size_t)t] : cod;
+    if (tc.transform != 1 || (tc.cbstyle & 0x3F)) return -2;
+    // concatenate tile-part payloads
+    std::vector<uint8_t> tdata;
+    for (auto &pr : tile_parts[(size_t)t])
+      tdata.insert(tdata.end(), data + pr.first, data + pr.second);
+
+    long long txi = t % ntx, tyi = t / ntx;
+    long long tx0 = std::max(xto + txi * xts, xo), ty0 = std::max(yto + tyi * yts, yo);
+    long long tx1 = std::min(xto + (txi + 1) * xts, xs), ty1 = std::min(yto + (tyi + 1) * yts, ys);
+    int levels = tc.levels;
+    int nres = levels + 1;
+
+    // per (comp, res, band): grids, trees, states, coeff buffers
+    struct BandInfo {
+      long long bx0, by0, bx1, by1; int ncbx, ncby; int bandtype; int lev;
+      TagTree incl, zbp;
+      std::vector<CbState> cbs;
+      std::vector<int64_t> coeff;
+    };
+    // bands per res: res0 -> 1 (LL), else 3
+    std::vector<std::vector<BandInfo>> bands((size_t)ncomp * nres);
+    auto bidx = [&](int c, int r) { return (size_t)c * nres + r; };
+    for (int c = 0; c < ncomp; c++)
+      for (int r = 0; r < nres; r++) {
+        int nb = r == 0 ? 1 : 3;
+        auto &vec = bands[bidx(c, r)];
+        vec.resize(nb);
+        for (int bi = 0; bi < nb; bi++) {
+          BandInfo &B = vec[bi];
+          int lev = r == 0 ? levels : levels - r + 1;
+          int xob = 0, yob = 0, bt = 0;
+          if (r > 0) {
+            if (bi == 0) { xob = 1; yob = 0; bt = 1; }        // HL
+            else if (bi == 1) { xob = 0; yob = 1; bt = 0; }   // LH
+            else { xob = 1; yob = 1; bt = 2; }                // HH
+          }
+          B.lev = lev; B.bandtype = bt;
+          band_rect(tx0, ty0, tx1, ty1, lev, xob, yob, B.bx0, B.by0, B.bx1, B.by1);
+          long long bw = B.bx1 - B.bx0, bh = B.by1 - B.by0;
+          if (bw > 0 && bh > 0) {
+            B.ncbx = (int)((B.bx1 + tc.cbw - 1) / tc.cbw - B.bx0 / tc.cbw);
+            B.ncby = (int)((B.by1 + tc.cbh - 1) / tc.cbh - B.by0 / tc.cbh);
+          } else { B.ncbx = B.ncby = 0; }
+          if (B.ncbx && B.ncby) {
+            B.incl.init(B.ncbx, B.ncby);
+            B.zbp.init(B.ncbx, B.ncby);
+            B.cbs.resize((size_t)B.ncbx * B.ncby);
+          }
+          B.coeff.assign((size_t)std::max(bw, 0LL) * std::max(bh, 0LL), 0);
+        }
+      }
+
+    // tier-2 packet walk
+    long long p = 0;
+    auto read_packet = [&](int c, int r, int layer) -> int {
+      if (tc.sop && p + 2 <= (long long)tdata.size() &&
+          tdata[p] == 0xFF && tdata[p + 1] == 0x91) p += 6;
+      if (p >= (long long)tdata.size()) return -1;
+      j2k::BitReader br; br.init(tdata.data(), p);
+      if (!br.bit()) {
+        br.align(); p = br.pos;
+        if (tc.eph && p + 2 <= (long long)tdata.size() &&
+            tdata[p] == 0xFF && tdata[p + 1] == 0x92) p += 2;
+        return 0;
+      }
+      struct Sched { BandInfo *B; int cy, cx, np; long long nbytes; };
+      std::vector<Sched> sched;
+      for (auto &B : bands[bidx(c, r)]) {
+        if (!B.ncbx || !B.ncby) continue;
+        for (int cy = 0; cy < B.ncby; cy++)
+          for (int cx = 0; cx < B.ncbx; cx++) {
+            CbState &st = B.cbs[(size_t)cy * B.ncbx + cx];
+            bool inc;
+            if (!st.included) inc = B.incl.decode(br, cx, cy, layer + 1);
+            else inc = br.bit();
+            if (!inc) continue;
+            if (!st.included) {
+              B.zbp.get(br, cx, cy);
+              st.included = true;
+            }
+            int np_;
+            if (!br.bit()) np_ = 1;
+            else if (!br.bit()) np_ = 2;
+            else {
+              uint32_t v = br.bits(2);
+              if (v < 3) np_ = 3 + v;
+              else {
+                v = br.bits(5);
+                if (v < 31) np_ = 6 + v;
+                else np_ = 37 + br.bits(7);
+              }
+            }
+            while (br.bit()) st.lblock++;
+            int nbits = st.lblock;
+            for (int q = np_; q > 1; q >>= 1) nbits++;
+            long long nbytes = br.bits(nbits);
+            sched.push_back({&B, cy, cx, np_, nbytes});
+          }
+      }
+      br.align(); p = br.pos;
+      if (tc.eph && p + 2 <= (long long)tdata.size() &&
+          tdata[p] == 0xFF && tdata[p + 1] == 0x92) p += 2;
+      for (auto &s : sched) {
+        if (p + s.nbytes > (long long)tdata.size()) return -1;
+        CbState &st = s.B->cbs[(size_t)s.cy * s.B->ncbx + s.cx];
+        st.seg.insert(st.seg.end(), tdata.data() + p, tdata.data() + p + s.nbytes);
+        st.passes += s.np;
+        p += s.nbytes;
+      }
+      return 0;
+    };
+    // with one precinct per res, all supported orders iterate (layer, r, c)
+    if (tc.prog == 0 || tc.prog == 1) {
+      for (int l = 0; l < tc.layers; l++)
+        for (int r = 0; r < nres; r++)
+          for (int c = 0; c < ncomp; c++)
+            if (read_packet(c, r, l)) return -1;
+    } else if (tc.prog == 2) {
+      for (int r = 0; r < nres; r++)
+        for (int c = 0; c < ncomp; c++)
+          for (int l = 0; l < tc.layers; l++)
+            if (read_packet(c, r, l)) return -1;
+    } else {
+      for (int c = 0; c < ncomp; c++)
+        for (int r = 0; r < nres; r++)
+          for (int l = 0; l < tc.layers; l++)
+            if (read_packet(c, r, l)) return -1;
+    }
+
+    // tier-1
+    for (int c = 0; c < ncomp; c++)
+      for (int r = 0; r < nres; r++)
+        for (auto &B : bands[bidx(c, r)]) {
+          long long bw = B.bx1 - B.bx0;
+          for (int cy = 0; cy < B.ncby; cy++)
+            for (int cx = 0; cx < B.ncbx; cx++) {
+              CbState &st = B.cbs[(size_t)cy * B.ncbx + cx];
+              if (!st.included || !st.passes) continue;
+              long long gx0 = (B.bx0 / tc.cbw + cx) * (long long)tc.cbw;
+              long long gy0 = (B.by0 / tc.cbh + cy) * (long long)tc.cbh;
+              long long x0 = std::max(gx0, B.bx0), x1 = std::min(gx0 + tc.cbw, B.bx1);
+              long long y0 = std::max(gy0, B.by0), y1 = std::min(gy0 + tc.cbh, B.by1);
+              Block blk;
+              blk.init((int)(x1 - x0), (int)(y1 - y0), B.bandtype,
+                       st.seg.data(), (long long)st.seg.size());
+              blk.run(st.passes);
+              for (long long yy = 0; yy < y1 - y0; yy++)
+                for (long long xx = 0; xx < x1 - x0; xx++) {
+                  size_t kk = (size_t)yy * blk.w + xx;
+                  int64_t v = blk.mag[kk];
+                  if (v) {
+                    size_t rr = (size_t)(yy + 1) * blk.W2 + (xx + 1);
+                    if (blk.sgn[rr] < 0) v = -v;
+                  }
+                  B.coeff[(size_t)(y0 - B.by0 + yy) * bw + (x0 - B.bx0 + xx)] = v;
+                }
+            }
+        }
+
+    // inverse DWT per component
+    for (int c = 0; c < ncomp; c++) {
+      std::vector<int64_t> ll = bands[bidx(c, 0)][0].coeff;
+      long long llx0 = bands[bidx(c, 0)][0].bx0, lly0 = bands[bidx(c, 0)][0].by0;
+      long long llx1 = bands[bidx(c, 0)][0].bx1, lly1 = bands[bidx(c, 0)][0].by1;
+      for (int r = 1; r < nres; r++) {
+        int lev = levels - r + 1;
+        BandInfo &HL = bands[bidx(c, r)][0];
+        BandInfo &LH = bands[bidx(c, r)][1];
+        BandInfo &HH = bands[bidx(c, r)][2];
+        long long d = 1LL << (lev - 1);
+        long long rx0 = ceil_div(tx0, d), ry0 = ceil_div(ty0, d);
+        long long rx1 = ceil_div(tx1, d), ry1 = ceil_div(ty1, d);
+        long long RW = rx1 - rx0, RH = ry1 - ry0;
+        std::vector<int64_t> a((size_t)RW * RH, 0);
+        // interleave: (y, x) absolute; LL at even/even
+        for (long long y = ry0; y < ry1; y++)
+          for (long long x = rx0; x < rx1; x++) {
+            int64_t v;
+            bool ye = (y & 1) == 0, xe = (x & 1) == 0;
+            long long hy = y >> 1, hx = x >> 1;
+            if (ye && xe) v = ll[(size_t)(hy - lly0) * (llx1 - llx0) + (hx - llx0)];
+            else if (ye) v = HL.coeff[(size_t)(hy - HL.by0) * (HL.bx1 - HL.bx0) + (hx - HL.bx0)];
+            else if (xe) v = LH.coeff[(size_t)(hy - LH.by0) * (LH.bx1 - LH.bx0) + (hx - LH.bx0)];
+            else v = HH.coeff[(size_t)(hy - HH.by0) * (HH.bx1 - HH.bx0) + (hx - HH.bx0)];
+            a[(size_t)(y - ry0) * RW + (x - rx0)] = v;
+          }
+        // horizontal then vertical 1D synthesis
+        for (long long y = 0; y < RH; y++) sr_1d_53(a.data() + (size_t)y * RW, rx0, rx1, 1);
+        for (long long x = 0; x < RW; x++) sr_1d_53(a.data() + (size_t)x, ry0, ry1, RW);
+        ll.swap(a);
+        llx0 = rx0; lly0 = ry0; llx1 = rx1; lly1 = ry1;
+      }
+      // write into dst (interleaved components) with DC shift
+      long long tw = tx1 - tx0, th = ty1 - ty0;
+      (void)tw;
+      for (long long y = 0; y < th; y++)
+        for (long long x = 0; x < tx1 - tx0; x++) {
+          int64_t v = ll[(size_t)y * (llx1 - llx0) + x];
+          // store pre-MCT for now; MCT applied after all comps if needed
+          dst[(((size_t)(ty0 - yo + y) * W) + (tx0 - xo + x)) * ncomp + c] = (int32_t)v;
+        }
+    }
+    // inverse RCT (reversible MCT)
+    if (tc.mct == 1) {
+      if (ncomp < 3) return -1;
+      for (long long y = ty0 - yo; y < ty1 - yo; y++)
+        for (long long x = tx0 - xo; x < tx1 - xo; x++) {
+          int32_t *px = dst + ((size_t)y * W + x) * ncomp;
+          int64_t Y = px[0], Cb = px[1], Cr = px[2];
+          int64_t G = Y - ((Cb + Cr) >> 2);
+          px[0] = (int32_t)(Cr + G);
+          px[1] = (int32_t)G;
+          px[2] = (int32_t)(Cb + G);
+        }
+    }
+  }
+
+  // DC level shift
+  for (int c = 0; c < ncomp; c++) {
+    if (is_signed[c]) continue;
+    int32_t off = 1 << (depth[c] - 1);
+    for (long long i = 0; i < H * W; i++) dst[i * ncomp + c] += off;
+  }
+  return 0;
+}

@@ -1365,3 +1365,165 @@ class TestMultiFrameWriter:
         for h in back.headers(flatten=True):
             assert "SliceLocation" not in h
             assert "AcquisitionTime" not in h
+
+
+class TestJ2KFromScratch:
+    """From-scratch JPEG 2000 lossless decoder (VERDICT r4 item 7):
+    bit-exact against Pillow/OpenJPEG ENCODES across content classes,
+    shapes, depths, tiling, and the reversible component transform. The
+    DICOM read path for syntax .90 no longer touches Pillow at all."""
+
+    @pytest.fixture(autouse=True)
+    def _needs_openjpeg_encoder(self):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import pil_j2k_available
+
+        if not pil_j2k_available():
+            pytest.skip("Pillow lacks OpenJPEG (needed to ENCODE fixtures)")
+
+    def _roundtrip(self, img):
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_encode
+
+        enc = jpeg_2000_encode(img, lossless=True)
+        out = j2k_decode(enc)
+        np.testing.assert_array_equal(np.asarray(out, np.int64), img.astype(np.int64))
+
+    @pytest.mark.parametrize(
+        "shape", [(48, 56), (33, 47), (7, 5), (1, 64), (64, 1), (5, 257), (130, 3)]
+    )
+    def test_random_u8_shapes(self, shape):
+        self._roundtrip((np.random.RandomState(0).rand(*shape) * 255).astype(np.uint8))
+
+    @pytest.mark.parametrize("shape", [(64, 64), (300, 280), (33, 47)])
+    def test_random_u16_multiblock(self, shape):
+        self._roundtrip(
+            (np.random.RandomState(1).rand(*shape) * 60000).astype(np.uint16)
+        )
+
+    def test_structured_content(self):
+        yy, xx = np.mgrid[0:80, 0:100]
+        self._roundtrip((yy * 2 + xx).astype(np.uint8))       # RL-mode heavy
+        self._roundtrip(np.full((40, 40), 7, np.uint8))       # near-empty packets
+        self._roundtrip(np.zeros((40, 40), np.uint8))         # all-zero blocks
+        self._roundtrip(
+            ((np.sin(yy / 7.0) * np.cos(xx / 9.0) * 0.5 + 0.5) * 3000).astype(np.uint16)
+        )
+
+    def test_multi_tile(self, tmp_path):
+        from PIL import Image
+
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode
+
+        img = (np.random.RandomState(2).rand(150, 170) * 255).astype(np.uint8)
+        path = str(tmp_path / "t.j2k")
+        Image.frombytes("L", (170, 150), img.tobytes()).save(
+            path, irreversible=False, tile_size=(64, 64)
+        )
+        out = j2k_decode(open(path, "rb").read())
+        np.testing.assert_array_equal(out, img)
+
+    def test_rgb_reversible_component_transform(self, tmp_path):
+        from PIL import Image
+
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode
+
+        rgb = (np.random.RandomState(3).rand(60, 70, 3) * 255).astype(np.uint8)
+        path = str(tmp_path / "c.j2k")
+        Image.fromarray(rgb, "RGB").save(path, irreversible=False)
+        out = j2k_decode(open(path, "rb").read())
+        np.testing.assert_array_equal(out, rgb)
+
+    def test_lossy_raises_unsupported(self):
+        from dosma_tpu.core.io.dicom.j2k import Unsupported, j2k_decode
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_encode
+
+        img = (np.random.RandomState(4).rand(32, 32) * 255).astype(np.uint8)
+        enc = jpeg_2000_encode(img, lossless=False)
+        with pytest.raises(Unsupported):
+            j2k_decode(enc)
+
+    def test_dicom_decode_path_is_pillow_free(self, monkeypatch, tmp_path):
+        """Syntax .90 decode must not import PIL: poison the import and
+        read an encapsulated file end-to-end."""
+        import builtins
+        import sys
+
+        frame = (np.random.RandomState(5).rand(32, 48) * 3000).astype(np.uint16)
+        ds = _mr_dataset(frame)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_2000_LOSSLESS)
+        raw = buf.getvalue()
+
+        for mod in [m for m in list(sys.modules) if m == "PIL" or m.startswith("PIL.")]:
+            monkeypatch.delitem(sys.modules, mod)
+        real_import = builtins.__import__
+
+        def poisoned(name, *a, **k):
+            if name == "PIL" or name.startswith("PIL."):
+                raise ImportError("PIL poisoned for this test")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", poisoned)
+        back = read_dicom_bytes(raw)
+        np.testing.assert_array_equal(back.pixel_array, frame)
+
+
+class TestJ2KNativeTwin:
+    """C++ twin of the J2K decoder: bit parity with the Python reference
+    on every content class (the JPEG-LS twin-test pattern)."""
+
+    @pytest.fixture(autouse=True)
+    def _needs_both(self):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.jpeg_2000 import pil_j2k_available
+
+        if not _native.codecs_available():
+            pytest.skip("native codec library not built")
+        if not pil_j2k_available():
+            pytest.skip("Pillow lacks OpenJPEG (needed to ENCODE fixtures)")
+
+    def _parity(self, enc):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode
+
+        py = j2k_decode(enc)
+        nat = _native.j2k_decode(enc)
+        assert nat.dtype == py.dtype, (nat.dtype, py.dtype)
+        np.testing.assert_array_equal(nat, py)
+
+    @pytest.mark.parametrize("shape", [(48, 56), (33, 47), (1, 64), (130, 3)])
+    def test_parity_u8(self, shape):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_encode
+
+        img = (np.random.RandomState(0).rand(*shape) * 255).astype(np.uint8)
+        self._parity(jpeg_2000_encode(img, lossless=True))
+
+    def test_parity_u16_multiblock(self):
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_encode
+
+        img = (np.random.RandomState(1).rand(300, 280) * 60000).astype(np.uint16)
+        self._parity(jpeg_2000_encode(img, lossless=True))
+
+    def test_parity_tiled_and_rgb(self, tmp_path):
+        from PIL import Image
+
+        img = (np.random.RandomState(2).rand(150, 170) * 255).astype(np.uint8)
+        p1 = str(tmp_path / "t.j2k")
+        Image.frombytes("L", (170, 150), img.tobytes()).save(
+            p1, irreversible=False, tile_size=(64, 64)
+        )
+        self._parity(open(p1, "rb").read())
+
+        rgb = (np.random.RandomState(3).rand(60, 70, 3) * 255).astype(np.uint8)
+        p2 = str(tmp_path / "c.j2k")
+        Image.fromarray(rgb, "RGB").save(p2, irreversible=False)
+        self._parity(open(p2, "rb").read())
+
+    def test_native_lossy_not_implemented(self):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.jpeg_2000 import jpeg_2000_encode
+
+        img = (np.random.RandomState(4).rand(32, 32) * 255).astype(np.uint8)
+        enc = jpeg_2000_encode(img, lossless=False)
+        with pytest.raises(NotImplementedError):
+            _native.j2k_decode(enc)

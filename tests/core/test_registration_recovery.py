@@ -462,6 +462,34 @@ class TestPartialOverlapMasked:
             assert after > before + 0.05
 
 
+class TestCubicMetricSampling:
+    """elastix BSplineInterpolationOrder=3 metric sampling: the optimizer
+    samples the prefiltered cubic coefficients instead of trilinear. Must
+    recover as well as (or better than) order 1 on the standard rigid
+    case — it is the shipped elastix files' configuration when a user
+    sets BSplineInterpolationOrder 3 explicitly."""
+
+    def test_rigid_rotation_interp3(self, phantom):
+        A = _affine()
+        cw = _center_world(A)
+        ang = np.deg2rad(8.0)
+        R = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]]
+        )
+        M_true = np.eye(4)
+        M_true[:3, :3] = R
+        M_true[:3, 3] = cw - R @ cw + np.array([1.0, -1.0, 2.0])
+        moving = np.asarray(warp_volume(phantom, M_true, A, A, SHAPE))
+
+        params = RegistrationParams(
+            transform="rigid", metric="mi", resolutions=3, iterations=250,
+            num_samples=2048, interp_order=3,
+        )
+        M, _, _ = register_pair(phantom, A, moving, A, params)
+        err = _corner_error_vox(M, M_true, A)
+        assert err < 0.5, f"interp_order=3 recovery error {err:.2f} voxels"
+
+
 class TestStallDiagnostics:
     """Documented failure mode: a featureless moving image cannot drive the
     metric — ``info['stalled']`` flags it (VERDICT r1 item 5)."""

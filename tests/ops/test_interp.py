@@ -224,3 +224,34 @@ class TestMattesParzenMI:
         g = np.asarray(jax.grad(loss)(f + 0.01))
         assert np.all(np.isfinite(g))
         assert np.abs(g).max() > 0
+
+
+class TestBoundaryTolerance:
+    def test_last_plane_survives_float32_roundoff(self):
+        """A coordinate at D-1 + O(float32 eps) (what an index->world->index
+        warp chain produces for the last voxel plane) must sample the edge
+        value, not fall off the DefaultPixelValue cliff."""
+        import jax.numpy as jnp
+
+        from dosma_tpu.ops.interp import cubic_map_coordinates
+
+        rs = np.random.RandomState(5)
+        vol = rs.rand(12, 12, 6).astype(np.float32)
+        eps = 3e-6
+        coords = jnp.asarray(
+            [[11.0 + eps, -eps, 5.0], [5.0, 11.0 + eps, -eps], [5.0 + eps, 2.0, 5.0 + eps]],
+            jnp.float32,
+        )
+        out = np.asarray(cubic_map_coordinates(vol, coords))
+        ref = np.array([vol[11, 5, 5], vol[0, 11, 2], vol[5, 0, 5]])
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_genuinely_outside_still_zero(self):
+        import jax.numpy as jnp
+
+        from dosma_tpu.ops.interp import cubic_map_coordinates
+
+        vol = np.ones((8, 8, 4), np.float32)
+        coords = jnp.asarray([[7.6, -0.6, 3.0], [0, 0, 8.2], [0, 0, 0]], jnp.float32)
+        out = np.asarray(cubic_map_coordinates(vol, coords))
+        np.testing.assert_array_equal(out, [0.0, 0.0, 0.0])
