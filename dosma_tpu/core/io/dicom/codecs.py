@@ -617,7 +617,9 @@ def encode_frames(
                 pil_j2k_available,
             )
 
-            if not pil_j2k_available():
+            # Lossless (.90) encodes with the from-scratch in-repo codec;
+            # only the lossy 9/7 form needs the Pillow/OpenJPEG gate.
+            if transfer_syntax == JPEG_2000 and not pil_j2k_available():
                 raise unsupported_syntax_error(transfer_syntax)
             frag = jpeg_2000_encode(
                 frame, lossless=transfer_syntax == JPEG_2000_LOSSLESS

@@ -1,4 +1,4 @@
-"""From-scratch JPEG 2000 Part-1 LOSSLESS decoder (ITU-T T.800).
+"""From-scratch JPEG 2000 Part-1 LOSSLESS codec (ITU-T T.800).
 
 Decodes the raw codestreams DICOM encapsulates for transfer syntax
 1.2.840.10008.1.2.4.90 (JPEG 2000 Image Compression — Lossless Only):
@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["j2k_decode", "Unsupported"]
+__all__ = ["j2k_decode", "j2k_encode", "Unsupported"]
 
 
 class Unsupported(NotImplementedError):
@@ -828,3 +828,518 @@ def _inverse_53_2d(ll, hl, lh, hh, rx0, ry0, rx1, ry1) -> np.ndarray:
     a = _sr_1d_53(a, rx0, rx1, axis=1)   # horizontal first (F.3.4 HOR_SR)
     a = _sr_1d_53(a, ry0, ry1, axis=0)   # then vertical
     return a
+
+
+# ======================================================================
+# From-scratch LOSSLESS ENCODER (single component, reversible 5/3,
+# single tile, one quality layer — the form DICOM syntax .90 uses).
+# Validated two ways in tests: our decoder round-trips it bit-exactly,
+# and OpenJPEG (when present) decodes it to the identical image.
+# ======================================================================
+
+class _MQEncoder:
+    """MQ arithmetic encoder (T.88 software conventions, Annex C.2)."""
+
+    __slots__ = ("out", "c", "a", "ct", "b", "idx", "mps", "_started")
+
+    def __init__(self):
+        self.idx, self.mps = _init_contexts()
+        self.out = bytearray()
+        self.c = 0
+        self.a = 0x8000
+        self.ct = 12
+        self.b = -1  # index of the current byte in out (B register)
+        self._started = False
+
+    def _byteout(self):
+        out = self.out
+        if self.b >= 0 and out[self.b] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.b = len(out) - 1
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            if self.c < 0x8000000:
+                out.append((self.c >> 19) & 0xFF)
+                self.b = len(out) - 1
+                self.c &= 0x7FFFF
+                self.ct = 8
+            else:
+                if self.b >= 0:
+                    out[self.b] += 1
+                    if out[self.b] == 0xFF:
+                        self.c &= 0x7FFFFFF
+                        out.append((self.c >> 20) & 0xFF)
+                        self.b = len(out) - 1
+                        self.c &= 0xFFFFF
+                        self.ct = 7
+                        return
+                else:
+                    # carry with no byte yet: emit it as 0x01? cannot occur —
+                    # the first byteout always goes through the c<0x8000000
+                    # branch because c starts at 0.
+                    pass
+                out.append((self.c >> 19) & 0xFF)
+                self.b = len(out) - 1
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self):
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: int, bit: int):
+        i = self.idx[cx]
+        qe, nmps, nlps, switch = _MQ_TABLE[i]
+        if bit == self.mps[cx]:
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.idx[cx] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                self.mps[cx] = 1 - self.mps[cx]
+            self.idx[cx] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS
+        tempc = self.c + self.a - 1
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        # two final byteouts
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        out = self.out
+        # drop a trailing 0xFF (decoder treats EOD as an endless 0xFF run)
+        while out and out[-1] == 0xFF:
+            out.pop()
+        return bytes(out)
+
+
+class _BlockEncoder:
+    """Tier-1 encoder: exact mirror of :class:`_BlockDecoder`."""
+
+    def __init__(self, vals: np.ndarray, band: str):
+        self.h, self.w = vals.shape
+        self.band = band
+        self.mq = _MQEncoder()
+        h, w = self.h, self.w
+        self.sig = np.zeros((h + 2, w + 2), np.uint8)
+        self.sgn = np.zeros((h + 2, w + 2), np.int8)
+        self.visited = np.zeros((h + 2, w + 2), np.uint8)
+        self.refined = np.zeros((h, w), bool)
+        self.mag = np.abs(vals).astype(np.int64)
+        self.neg = vals < 0
+        self.nplanes = int(self.mag.max()).bit_length() if self.mag.any() else 0
+
+    _hvd = _BlockDecoder._hvd
+
+    def _encode_sign(self, y, x):
+        py, px = y + 1, x + 1
+        s, g = self.sig, self.sgn
+        hc = min(1, max(-1, int(s[py, px - 1]) * int(g[py, px - 1])
+                        + int(s[py, px + 1]) * int(g[py, px + 1])))
+        vc = min(1, max(-1, int(s[py - 1, px]) * int(g[py - 1, px])
+                        + int(s[py + 1, px]) * int(g[py + 1, px])))
+        ctx, xorbit = _SC_LUT[(hc, vc)]
+        negative = bool(self.neg[y, x])
+        self.mq.encode(ctx, int(negative) ^ xorbit)
+        self.sig[py, px] = 1
+        self.sgn[py, px] = -1 if negative else 1
+
+    def _bit(self, y, x) -> int:
+        return (int(self.mag[y, x]) >> self.plane) & 1
+
+    def _first_sig_here(self, y, x) -> bool:
+        """This sample's MSB is at the current plane."""
+        return int(self.mag[y, x]).bit_length() - 1 == self.plane and self.mag[y, x] != 0
+
+    def spp(self):
+        for y0 in range(0, self.h, 4):
+            for x in range(self.w):
+                px = x + 1
+                for y in range(y0, min(y0 + 4, self.h)):
+                    py = y + 1
+                    if self.sig[py, px]:
+                        continue
+                    hh, vv, dd = self._hvd(py, px)
+                    if hh + vv + dd == 0:
+                        continue
+                    self.visited[py, px] = 1
+                    bit = self._bit(y, x)
+                    self.mq.encode(_zc_context(hh, vv, dd, self.band), bit)
+                    if bit:
+                        self._encode_sign(y, x)
+
+    def mrp(self):
+        for y0 in range(0, self.h, 4):
+            for x in range(self.w):
+                px = x + 1
+                for y in range(y0, min(y0 + 4, self.h)):
+                    py = y + 1
+                    if not self.sig[py, px] or self.visited[py, px]:
+                        continue
+                    if self.refined[y, x]:
+                        ctx = 16
+                    else:
+                        hh, vv, dd = self._hvd(py, px)
+                        ctx = 15 if hh + vv + dd else 14
+                    self.mq.encode(ctx, self._bit(y, x))
+                    self.refined[y, x] = True
+
+    def cup(self):
+        for y0 in range(0, self.h, 4):
+            full = y0 + 4 <= self.h
+            for x in range(self.w):
+                px = x + 1
+                y = y0
+                if full:
+                    rl = True
+                    for yy in range(y0, y0 + 4):
+                        pyy = yy + 1
+                        if self.sig[pyy, px] or self.visited[pyy, px]:
+                            rl = False
+                            break
+                        hh, vv, dd = self._hvd(pyy, px)
+                        if hh + vv + dd:
+                            rl = False
+                            break
+                    if rl:
+                        first = -1
+                        for r in range(4):
+                            if self._bit(y0 + r, x):
+                                first = r
+                                break
+                        if first < 0:
+                            self.mq.encode(CTX_RL, 0)
+                            continue
+                        self.mq.encode(CTX_RL, 1)
+                        self.mq.encode(CTX_UNI, (first >> 1) & 1)
+                        self.mq.encode(CTX_UNI, first & 1)
+                        y = y0 + first
+                        self._encode_sign(y, x)
+                        y += 1
+                for yy in range(y, min(y0 + 4, self.h)):
+                    pyy = yy + 1
+                    if self.sig[pyy, px] or self.visited[pyy, px]:
+                        continue
+                    hh, vv, dd = self._hvd(pyy, px)
+                    bit = self._bit(yy, x)
+                    self.mq.encode(_zc_context(hh, vv, dd, self.band), bit)
+                    if bit:
+                        self._encode_sign(yy, x)
+        self.visited[:] = 0
+
+    def run(self):
+        """Encode ALL passes (lossless). Returns (data, total_passes)."""
+        n = self.nplanes
+        if n == 0:
+            return b"", 0
+        total = 1 + 3 * (n - 1)
+        for p in range(total):
+            if p == 0:
+                self.plane, kind = n - 1, 2
+            else:
+                self.plane = n - 1 - (1 + (p - 1) // 3)
+                kind = (p - 1) % 3
+            if kind == 0:
+                self.spp()
+            elif kind == 1:
+                self.mrp()
+            else:
+                self.cup()
+        return self.mq.flush(), total
+
+
+class _BitWriter:
+    """Packet-header bit writer with 0xFF stuffing (mirror of _BitReader)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def _cap(self) -> int:
+        return 7 if (self.out and self.out[-1] == 0xFF and self.nbits == 0) else 8
+
+    def bit(self, b: int):
+        # capacity of the CURRENT byte being assembled
+        if self.nbits == 0:
+            self._width = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        self.buf = (self.buf << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == self._width:
+            self.out.append(self.buf & 0xFF)
+            self.buf = 0
+            self.nbits = 0
+
+    def bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            width = self._width
+            self.out.append((self.buf << (width - self.nbits)) & 0xFF)
+            self.buf = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)  # stuffed byte is part of the header
+        return bytes(self.out)
+
+
+class _TagTreeEnc:
+    def __init__(self, w, h, values):
+        """values: (h, w) int leaf values."""
+        self.levels = []
+        vals = np.asarray(values, np.int64)
+        while True:
+            self.levels.append(vals)
+            if vals.shape[0] <= 1 and vals.shape[1] <= 1:
+                break
+            hh = (vals.shape[0] + 1) // 2
+            ww = (vals.shape[1] + 1) // 2
+            nxt = np.full((hh, ww), np.iinfo(np.int64).max)
+            for yy in range(vals.shape[0]):
+                for xx in range(vals.shape[1]):
+                    nxt[yy // 2, xx // 2] = min(nxt[yy // 2, xx // 2], vals[yy, xx])
+            vals = nxt
+        self.n = len(self.levels)
+        self.low = [np.zeros(v.shape, np.int64) for v in self.levels]
+        self.emitted = [np.zeros(v.shape, bool) for v in self.levels]
+
+    def encode(self, bw: _BitWriter, x: int, y: int, threshold: int):
+        """Emit just enough bits that the decoder's ``decode(x, y,
+        threshold)`` resolves (the dual of :meth:`_TagTree.decode`)."""
+        low = 0
+        for lev in range(self.n - 1, -1, -1):
+            xx, yy = x >> lev, y >> lev
+            if self.low[lev][yy, xx] < low:
+                self.low[lev][yy, xx] = low
+            v = int(self.levels[lev][yy, xx])
+            while (not self.emitted[lev][yy, xx]) and self.low[lev][yy, xx] < threshold:
+                if self.low[lev][yy, xx] < v:
+                    bw.bit(0)
+                    self.low[lev][yy, xx] += 1
+                else:
+                    bw.bit(1)
+                    self.emitted[lev][yy, xx] = True
+            if self.emitted[lev][yy, xx]:
+                low = v
+            else:
+                return  # decoder stops here too (value >= threshold so far)
+
+
+def _fwd_1d_53(x: np.ndarray, i0: int, i1: int, axis: int) -> np.ndarray:
+    """Forward reversible 5/3 over absolute span [i0, i1) along axis
+    (dual of :func:`_sr_1d_53`; output stays interleaved in place)."""
+    n = i1 - i0
+    if n == 1:
+        return x * 2 if (i0 % 2 == 1) else x
+    x = np.moveaxis(x, axis, 0)
+    period = 2 * n - 2
+    ext = np.empty((n + 4,) + x.shape[1:], np.int64)
+    ext[2:n + 2] = x
+    for j, rel in ((0, -2), (1, -1), (n + 2, n), (n + 3, n + 1)):
+        m = rel % period
+        ext[j] = x[min(m, period - m)]
+    a0 = i0 - 2
+    y = ext.copy()
+    # odd (high-pass) first: y[2k+1] = x[2k+1] - floor((x[2k]+x[2k+2])/2)
+    for j in range(1, n + 3):
+        if (a0 + j) % 2 == 1:
+            y[j] = ext[j] - ((ext[j - 1] + ext[j + 1]) >> 1)
+    # even: y[2k] = x[2k] + floor((y[2k-1]+y[2k+1]+2)/4)
+    for j in range(2, n + 2):
+        if (a0 + j) % 2 == 0:
+            y[j] = ext[j] + ((y[j - 1] + y[j + 1] + 2) >> 2)
+    res = y[2:n + 2]
+    return np.moveaxis(res, 0, axis)
+
+
+def j2k_encode(img: np.ndarray, levels: Optional[int] = None) -> bytes:
+    """Encode one grayscale frame as a LOSSLESS raw JPEG 2000 codestream.
+
+    Single component, single tile, reversible 5/3, one quality layer,
+    LRCP, 64x64 code-blocks — the profile DICOM syntax .90 carries.
+    ``img``: (H, W) unsigned integer array (uint8/uint16).
+    """
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("j2k_encode expects one (H, W) grayscale frame")
+    if img.dtype == np.uint8:
+        depth = 8
+    elif img.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError("j2k_encode expects uint8/uint16 input")
+    H, W = img.shape
+    if levels is None:
+        levels = 5
+        while levels > 0 and (min(H, W) + (1 << levels) - 1) >> levels < 1:
+            levels -= 1
+        levels = min(levels, max(min(H, W).bit_length() - 1, 0), 5)
+
+    # DC level shift + forward DWT (vertical then horizontal per level —
+    # the dual of the decoder's horizontal-then-vertical synthesis).
+    a = img.astype(np.int64) - (1 << (depth - 1))
+    # band coefficient storage keyed like the decoder: (r, bi). The image
+    # origin is 0, so every band/resolution origin is 0 and the DWT is a
+    # plain shape-driven recursion (dual of the decoder's 2D_SR order:
+    # analyze vertically, then horizontally, then deinterleave).
+    coeffs: Dict[Tuple[int, int], np.ndarray] = {}
+    cur = a
+    for r in range(levels, 0, -1):  # r = RESOLUTION index of the detail bands
+        h, w = cur.shape
+        t = _fwd_1d_53(cur, 0, h, axis=0)
+        t = _fwd_1d_53(t, 0, w, axis=1)
+        coeffs[(r, 0)] = t[0::2, 1::2]  # HL
+        coeffs[(r, 1)] = t[1::2, 0::2]  # LH
+        coeffs[(r, 2)] = t[1::2, 1::2]  # HH
+        cur = t[0::2, 0::2]             # LL
+    coeffs[(0, 0)] = cur
+
+    guard = 2
+    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    band_names = lambda r: ["LL"] if r == 0 else ["HL", "LH", "HH"]  # noqa: E731
+
+    # QCD exponents (reversible, Table A.30 order)
+    exps = []
+    exps.append(depth + gain["LL"])
+    for r in range(1, levels + 1):
+        for b in ("HL", "LH", "HH"):
+            exps.append(depth + gain[b])
+
+    cbw = cbh = 64
+    # Tier-1 encode every code-block; build per-resolution packets.
+    packets = []
+    for r in range(levels + 1):
+        bw_hdr = _BitWriter()
+        body = bytearray()
+        names = band_names(r)
+        # non-empty packet bit
+        bw_hdr.bit(1)
+        for bi, bname in enumerate(names):
+            vals = coeffs[(r, bi)]
+            bh, bwd = vals.shape
+            if bh <= 0 or bwd <= 0:
+                continue
+            ncbx = (bwd + cbw - 1) // cbw
+            ncby = (bh + cbh - 1) // cbh
+            Mb = exps[0 if r == 0 else 1 + 3 * (r - 1) + bi] + guard - 1
+            # encode blocks; collect inclusion/zbp values
+            blocks = []
+            incl_vals = np.zeros((ncby, ncbx), np.int64)
+            zbp_vals = np.zeros((ncby, ncbx), np.int64)
+            for cy in range(ncby):
+                for cx in range(ncbx):
+                    sub = vals[cy * cbh:(cy + 1) * cbh, cx * cbw:(cx + 1) * cbw]
+                    enc = _BlockEncoder(sub, bname)
+                    data, npasses = enc.run()
+                    if npasses == 0:
+                        incl_vals[cy, cx] = 1  # "first included in layer 1" = never
+                        blocks.append(None)
+                        zbp_vals[cy, cx] = 0
+                    else:
+                        incl_vals[cy, cx] = 0
+                        zbp = Mb - enc.nplanes
+                        if zbp < 0:
+                            raise ValueError(
+                                f"coefficient overflow: {enc.nplanes} planes > Mb={Mb}"
+                            )
+                        zbp_vals[cy, cx] = zbp
+                        blocks.append((data, npasses))
+            itree = _TagTreeEnc(ncbx, ncby, incl_vals)
+            ztree = _TagTreeEnc(ncbx, ncby, zbp_vals)
+            for cy in range(ncby):
+                for cx in range(ncbx):
+                    blk = blocks[cy * ncbx + cx]
+                    itree.encode(bw_hdr, cx, cy, 1)
+                    if blk is None:
+                        continue
+                    # zero bitplanes: encode until the leaf value resolves
+                    t = 1
+                    while True:
+                        ztree.encode(bw_hdr, cx, cy, t)
+                        if zbp_vals[cy, cx] < t:
+                            break
+                        t += 1
+                    data, npasses = blk
+                    # numpasses code
+                    if npasses == 1:
+                        bw_hdr.bit(0)
+                    elif npasses == 2:
+                        bw_hdr.bits(0b10, 2)
+                    elif npasses <= 5:
+                        bw_hdr.bits(0b11, 2)
+                        bw_hdr.bits(npasses - 3, 2)
+                    elif npasses <= 36:
+                        bw_hdr.bits(0b11, 2)
+                        bw_hdr.bits(0b11, 2)
+                        bw_hdr.bits(npasses - 6, 5)
+                    else:
+                        bw_hdr.bits(0b11, 2)
+                        bw_hdr.bits(0b11, 2)
+                        bw_hdr.bits(31, 5)
+                        bw_hdr.bits(npasses - 37, 7)
+                    # Lblock: need nbits >= bitlen(len(data))
+                    lblock = 3
+                    floor_log = int(math.floor(math.log2(npasses)))
+                    need = max(len(data).bit_length(), 1)
+                    add = max(0, need - (lblock + floor_log))
+                    for _ in range(add):
+                        bw_hdr.bit(1)
+                    bw_hdr.bit(0)
+                    lblock += add
+                    bw_hdr.bits(len(data), lblock + floor_log)
+                    body.extend(data)
+        packets.append(bytes(bw_hdr.flush()) + bytes(body))
+
+    # ---- assemble codestream
+    def m16(v):
+        return struct.pack(">H", v)
+
+    def m32(v):
+        return struct.pack(">I", v)
+
+    out = bytearray()
+    out += b"\xff\x4f"  # SOC
+    siz = (m16(0) + m32(W) + m32(H) + m32(0) + m32(0) + m32(W) + m32(H)
+           + m32(0) + m32(0) + m16(1) + bytes([depth - 1, 1, 1]))
+    out += b"\xff\x51" + m16(len(siz) + 2) + siz
+    spcod = bytes([0, 0, 0, 1, 0, levels, cbw.bit_length() - 3, cbh.bit_length() - 3, 0, 1])
+    # Scod=0; prog=LRCP(0) layers=1 mct=0 — note layers is 2 bytes:
+    cod = bytes([0]) + bytes([0]) + m16(1) + bytes([0, levels,
+                                                    cbw.bit_length() - 3,
+                                                    cbh.bit_length() - 3, 0, 1])
+    del spcod
+    out += b"\xff\x52" + m16(len(cod) + 2) + cod
+    qcd = bytes([0 | (guard << 5)]) + bytes((e << 3) & 0xFF for e in exps)
+    out += b"\xff\x5c" + m16(len(qcd) + 2) + qcd
+    tile_body = b"".join(packets)
+    sot = m16(0) + m32(12 + 2 + len(tile_body)) + bytes([0, 1])
+    out += b"\xff\x90" + m16(len(sot) + 2) + sot
+    out += b"\xff\x93" + tile_body
+    out += b"\xff\xd9"  # EOC
+    return bytes(out)

@@ -11,8 +11,11 @@ Covers the last two compressed transfer syntaxes:
   J2K (pydicom handler dispatch,
   ``/root/reference/dosma/core/io/dicom_io.py:264-270``).
 
-Encoding (compressed export) rides Pillow in both forms; when Pillow
-lacks OpenJPEG the encode path surfaces an actionable transcode error.
+Encoding: lossless export uses the from-scratch in-repo ENCODER too
+(:func:`dosma_tpu.core.io.dicom.j2k.j2k_encode` — forward 5/3, tier-1 MQ
+encoding, tag-tree packet headers; OpenJPEG decodes its output bit-exactly
+in tests). Only lossy encode rides Pillow; when Pillow lacks OpenJPEG
+that path surfaces an actionable transcode error.
 
 DICOM PS3.5 A.4.4 encapsulates the raw JPEG 2000 CODESTREAM (SOC marker
 ``FF4F``), not a JP2 container — Pillow writes raw codestreams when the
@@ -87,13 +90,21 @@ def jpeg_2000_decode(data: bytes) -> np.ndarray:
 
 
 def jpeg_2000_encode(frame: np.ndarray, lossless: bool = True) -> bytes:
-    """Encode one grayscale frame as a raw JPEG 2000 codestream."""
-    _require_pil()
-    from PIL import Image
+    """Encode one grayscale frame as a raw JPEG 2000 codestream.
 
+    Lossless (the DICOM .90 form) encodes with the from-scratch in-repo
+    codec; lossy (9/7) rides Pillow/OpenJPEG.
+    """
     arr = np.ascontiguousarray(frame)
     if arr.ndim != 2:
         raise NotImplementedError("JPEG 2000 encoder supports 1 component")
+    if lossless and arr.dtype in (np.uint8, np.uint16):
+        from dosma_tpu.core.io.dicom.j2k import j2k_encode
+
+        return j2k_encode(arr)
+    _require_pil()
+    from PIL import Image
+
     if arr.dtype == np.uint8:
         im = Image.frombytes("L", (arr.shape[1], arr.shape[0]), arr.tobytes())
     elif arr.dtype == np.uint16:

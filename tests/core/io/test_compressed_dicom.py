@@ -1527,3 +1527,73 @@ class TestJ2KNativeTwin:
         enc = jpeg_2000_encode(img, lossless=False)
         with pytest.raises(NotImplementedError):
             _native.j2k_decode(enc)
+
+
+class TestJ2KFromScratchEncoder:
+    """From-scratch lossless J2K ENCODER: self-roundtrip through both
+    in-repo decoders, and standards conformance — OpenJPEG must decode
+    our codestreams bit-exactly."""
+
+    def _cases(self):
+        rs = np.random.RandomState(6)
+        yield (rs.rand(48, 56) * 255).astype(np.uint8)
+        yield (rs.rand(33, 47) * 255).astype(np.uint8)
+        yield (rs.rand(300, 280) * 60000).astype(np.uint16)
+        yield (rs.rand(1, 64) * 255).astype(np.uint8)
+        yield (rs.rand(130, 3) * 4000).astype(np.uint16)
+        yy, xx = np.mgrid[0:80, 0:100]
+        yield (yy * 2 + xx).astype(np.uint8)
+        yield np.zeros((40, 40), np.uint8)
+
+    def test_self_roundtrip_python(self):
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode, j2k_encode
+
+        for img in self._cases():
+            out = j2k_decode(j2k_encode(img))
+            np.testing.assert_array_equal(out.astype(np.int64), img.astype(np.int64))
+
+    def test_self_roundtrip_native(self):
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.j2k import j2k_encode
+
+        if not _native.codecs_available():
+            pytest.skip("native codec library not built")
+        for img in self._cases():
+            out = _native.j2k_decode(j2k_encode(img))
+            np.testing.assert_array_equal(out.astype(np.int64), img.astype(np.int64))
+
+    def test_openjpeg_decodes_our_streams(self):
+        from dosma_tpu.core.io.dicom.j2k import j2k_encode
+        from dosma_tpu.core.io.dicom.jpeg_2000 import pil_j2k_available
+
+        if not pil_j2k_available():
+            pytest.skip("Pillow lacks OpenJPEG (conformance oracle)")
+        from PIL import Image
+
+        for img in self._cases():
+            arr = np.asarray(Image.open(io.BytesIO(j2k_encode(img))))
+            np.testing.assert_array_equal(arr.astype(np.int64), img.astype(np.int64))
+
+    def test_dicom_lossless_export_is_pillow_free(self, monkeypatch):
+        """Syntax .90 ENCODE must not import PIL either: poison the import
+        and write+read an encapsulated file end-to-end."""
+        import builtins
+        import sys
+
+        frame = (np.random.RandomState(8).rand(32, 48) * 3000).astype(np.uint16)
+        ds = _mr_dataset(frame)
+
+        for mod in [m for m in list(sys.modules) if m == "PIL" or m.startswith("PIL.")]:
+            monkeypatch.delitem(sys.modules, mod)
+        real_import = builtins.__import__
+
+        def poisoned(name, *a, **k):
+            if name == "PIL" or name.startswith("PIL."):
+                raise ImportError("PIL poisoned for this test")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", poisoned)
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_2000_LOSSLESS)
+        back = read_dicom_bytes(buf.getvalue())
+        np.testing.assert_array_equal(back.pixel_array, frame)
