@@ -383,9 +383,15 @@ def _predict(row_above, row_cur, col, x0, predictor):
 
 
 def jpeg_lossless_encode(
-    frame: np.ndarray, precision: Optional[int] = None, predictor: int = 1, point_transform: int = 0
+    frame: np.ndarray, precision: Optional[int] = None, predictor: int = 1,
+    point_transform: int = 0, restart_interval: int = 0,
 ) -> bytes:
-    """Encode a 2D unsigned array as a single-component JPEG-lossless scan."""
+    """Encode a 2D unsigned array as a single-component JPEG-lossless scan.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    samples (T.81 H.2.8 semantics: the sample after a restart predicts
+    from the default, and the remainder of its line predicts 1-D — the
+    entropy state resets as at the start of a scan)."""
     arr = np.asarray(frame)
     if arr.ndim != 2:
         raise ValueError("JPEG lossless encoder supports single-component 2D frames")
@@ -404,6 +410,8 @@ def jpeg_lossless_encode(
     # DHT: class 0, id 0
     out += struct.pack(">BBHB", 0xFF, _DHT, 2 + 1 + 16 + len(_ENC_VALUES), 0x00)
     out += bytes(_ENC_BITS) + bytes(_ENC_VALUES)
+    if restart_interval:
+        out += struct.pack(">BBHH", 0xFF, _DRI, 4, restart_interval)
     # SOS: 1 component, Ss=predictor, Se=0, Ah<<4|Al=point transform
     out += struct.pack(">BBHBBBBBB", 0xFF, _SOS, 8, 1, 1, 0x00, predictor, 0, point_transform)
 
@@ -411,10 +419,20 @@ def jpeg_lossless_encode(
     x0 = 1 << (precision - point_transform - 1)
     shifted = a >> point_transform
     prev_row = None
+    until = restart_interval if restart_interval else None
+    rst = 0
     for r in range(rows):
         row = shifted[r]
+        fresh_col = -1
         for c in range(cols):
-            px = _predict(prev_row, row, c, x0, predictor)
+            if until == 0:
+                bw.flush()  # byte-align with 1-bits
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                until = restart_interval
+                prev_row = None
+                fresh_col = c
+            px = x0 if c == fresh_col else _predict(prev_row, row, c, x0, predictor)
             diff = (int(row[c]) - px) & 0xFFFF
             if diff >= 0x8000:
                 diff -= 0x10000
@@ -427,6 +445,8 @@ def jpeg_lossless_encode(
             if 0 < ssss < 16:
                 v = diff if diff > 0 else diff + (1 << ssss) - 1
                 bw.write(v, ssss)
+            if until is not None:
+                until -= 1
         prev_row = row
     bw.flush()
     out += bw.buf
@@ -510,10 +530,13 @@ def jpeg_lossless_decode(data: bytes) -> np.ndarray:
 
     for r in range(rows):
         row = out[r]
+        fresh_col = -1
         for c in range(cols):
             if samples_until_restart == 0:
-                # Align to byte, consume RSTn, reset prediction. The bit
-                # reader may have already stepped past the 0xFF while
+                # Align to byte, consume RSTn, reset prediction as at the
+                # start of a scan (T.81 H.2.8): the next sample predicts
+                # from the default, the rest of its line predicts 1-D. The
+                # bit reader may have already stepped past the 0xFF while
                 # feeding padding, leaving pos ON the marker code.
                 br._nbits = 0
                 br._acc = 0
@@ -531,8 +554,7 @@ def jpeg_lossless_decode(data: bytes) -> np.ndarray:
                     br.pos += 1
                 prev_row = None
                 samples_until_restart = restart_interval
-                if c > 0:
-                    raise NotImplementedError("Restart mid-row is not supported")
+                fresh_col = c
             ssss = read_symbol()
             if ssss == 16:
                 diff = 32768
@@ -541,7 +563,7 @@ def jpeg_lossless_decode(data: bytes) -> np.ndarray:
             else:
                 v = br.read(ssss)
                 diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
-            px = _predict(prev_row, row, c, x0, predictor)
+            px = x0 if c == fresh_col else _predict(prev_row, row, c, x0, predictor)
             row[c] = (px + diff) & 0xFFFF
             if samples_until_restart is not None:
                 samples_until_restart -= 1

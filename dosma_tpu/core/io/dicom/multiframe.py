@@ -74,10 +74,9 @@ def expand_frames(ds: Dataset) -> List[Dataset]:
     arr = ds.pixel_array  # (F, R, C) or (F, R, C, S)
     if arr.ndim == 2:  # NumberOfFrames lied; treat as single-slice
         return [ds]
-    if arr.ndim != 3:
-        raise NotImplementedError(
-            "Multi-frame color (SamplesPerPixel > 1) datasets are not supported"
-        )
+    if arr.ndim not in (3, 4):
+        raise ValueError(f"Unexpected multi-frame pixel array rank {arr.ndim}")
+    is_color = arr.ndim == 4
     nframes = arr.shape[0]
 
     shared_seq = ds.get("SharedFunctionalGroupsSequence")
@@ -184,6 +183,9 @@ def expand_frames(ds: Dataset) -> List[Dataset]:
         frame = np.ascontiguousarray(arr[i])
         if frame.dtype.byteorder == ">":
             frame = frame.astype(frame.dtype.newbyteorder("="))
+        if is_color:
+            # Per-frame bytes are pixel-interleaved (R, C, S).
+            d.set_value("PlanarConfiguration", 0)
         d[T.DICT["PixelData"][0]] = frame.tobytes()
         out.append(d)
     return out

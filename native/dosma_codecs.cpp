@@ -11,7 +11,7 @@
 //   - RLE Lossless (PS3.5 Annex G): 64-byte header, PackBits segments,
 //     MSB-plane-first; output bytes are big-endian samples.
 //   - JPEG Lossless (ITU T.81 process 14, SOF3): single component,
-//     predictors 1-7, point transform, restart intervals (row-aligned),
+//     predictors 1-7, point transform, restart intervals (incl. mid-row),
 //     0xFF00 byte unstuffing, 16-bit wraparound arithmetic.
 //
 // Build: make -C native  (produces dosma_tpu/_lib/libdosma_codecs.so)
@@ -253,9 +253,12 @@ int dosma_jpeg_lossless_decode(const uint8_t *data, long long n, uint16_t *dst,
   for (int r = 0; r < rows; ++r) {
     uint16_t *row = dst + (long long)r * cols;
     const uint16_t *above = first_line ? nullptr : row - cols;
+    int fresh_col = -1;
     for (int c = 0; c < cols; ++c) {
       if (until_restart == 0) {
-        if (c > 0) return -2;  // restart mid-row unsupported (matches Python)
+        // Reset as at scan start (T.81 H.2.8): next sample predicts from
+        // the default, rest of its line predicts 1-D.
+        fresh_col = c;
         br.nbits = 0;
         br.acc = 0;
         if (br.pos + 1 < n && br.data[br.pos] == 0xFF &&
@@ -283,7 +286,9 @@ int dosma_jpeg_lossless_decode(const uint8_t *data, long long n, uint16_t *dst,
                                          : (int32_t)v - (1 << ssss) + 1;
       }
       int32_t px;
-      if (above == nullptr) {
+      if (c == fresh_col) {
+        px = x0;
+      } else if (above == nullptr) {
         px = c > 0 ? (int32_t)row[c - 1] : x0;
       } else if (c == 0) {
         px = (int32_t)above[0];
