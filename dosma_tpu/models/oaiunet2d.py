@@ -66,21 +66,13 @@ class OAIUnet2D(JaxSegModel):
         the network with zero extra host↔device round trips.
         """
         vol_copy = volume.reformat(SAGITTAL)
-
-        vol, xp = _vol_and_xp(vol_copy)
-        mean, std = self.__whiten_stats__(vol) or (0.0, 1.0)
-
-        # (slice, H, W, 1)
-        v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
-        mask = self.seg_model.predict_mask(
-            v, batch_size=self.batch_size,
-            threshold=self.sigmoid_threshold, mean=mean, std=std,
-        )
+        mask = self._predict_slices(vol_copy)  # (S, H, W, 1)
 
         mask = np.transpose(np.squeeze(mask, axis=-1), (1, 2, 0))
         vol_copy.volume = mask
         vol_copy.reformat(volume.orientation, inplace=True)
         return vol_copy
+
 
     def __preprocess_volume__(self, volume: np.ndarray):
         return whiten_volume(volume, eps=1e-8)
@@ -91,6 +83,11 @@ class OAIUnet2D(JaxSegModel):
         from dosma_tpu.models.seg_model import whiten_stats
 
         return whiten_stats(volume, eps=1e-8)
+
+    def __whiten_eps__(self):
+        """Whitening std-epsilon for the fused volume program; None = no
+        whitening (must agree with ``__whiten_stats__``)."""
+        return 1e-8
 
 
 class IWOAIOAIUnet2D(OAIUnet2D):
@@ -114,15 +111,7 @@ class IWOAIOAIUnet2D(OAIUnet2D):
 
     def generate_mask(self, volume: MedicalVolume):
         vol_copy = volume.reformat(SAGITTAL)
-
-        vol, xp = _vol_and_xp(vol_copy)
-        mean, std = self.__whiten_stats__(vol) or (0.0, 1.0)
-
-        v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
-        mask = self.seg_model.predict_mask(
-            v, batch_size=self.batch_size,
-            threshold=self.sigmoid_threshold, mean=mean, std=std,
-        )
+        mask = self._predict_slices(vol_copy)  # (S, H, W, C)
 
         # (H, W, slice, classes)
         mask = np.transpose(mask, (1, 2, 0, 3))
@@ -140,6 +129,9 @@ class IWOAIOAIUnet2D(OAIUnet2D):
     def __whiten_stats__(self, volume: np.ndarray):
         return None  # IWOAI 2019 T6 runs on raw intensities
 
+    def __whiten_eps__(self):
+        return None
+
 
 class IWOAIOAIUnet2DNormalized(IWOAIOAIUnet2D):
     """IWOAI 2019 Team 6 model with zero-mean/unit-std input normalization."""
@@ -154,3 +146,6 @@ class IWOAIOAIUnet2DNormalized(IWOAIOAIUnet2D):
         from dosma_tpu.models.seg_model import whiten_stats
 
         return whiten_stats(volume, eps=0.0)
+
+    def __whiten_eps__(self):
+        return 0.0

@@ -71,6 +71,38 @@ class JaxSegModel(SegModel):
     def __load_model__(self, input_shape):
         pass  # pragma: no cover
 
+    def __whiten_eps__(self):
+        """Whitening std-epsilon for the fused volume program; None = no
+        whitening. Must agree with the subclass's ``__whiten_stats__``."""
+        return None
+
+    def _predict_slices(self, vol_copy: MedicalVolume) -> np.ndarray:
+        """(S, H, W, C) uint8 masks for a sagittal-reformatted volume.
+
+        Preferred path: the single fused device program
+        (:func:`dosma_tpu.models.unet2d.unet2d_segment_volume` — one
+        dispatch, one packed D2H). Shapes outside its packing constraints
+        fall back to the batched predict_mask pipeline.
+        """
+        from dosma_tpu.models.oaiunet2d import _vol_and_xp
+
+        vol, xp = _vol_and_xp(vol_copy)
+        eps = self.__whiten_eps__()
+        try:
+            return self.seg_model.predict_mask_volume(
+                vol, batch_size=self.batch_size,
+                threshold=self.sigmoid_threshold,
+                whiten=eps is not None, whiten_eps=eps or 0.0,
+            )
+        except ValueError:
+            stats = self.__whiten_stats__(vol)
+            mean, std = stats if stats is not None else (0.0, 1.0)
+            v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
+            return self.seg_model.predict_mask(
+                v, batch_size=self.batch_size,
+                threshold=self.sigmoid_threshold, mean=mean, std=std,
+            )
+
 
 # Backwards-compat alias matching the reference class name.
 KerasSegModel = JaxSegModel

@@ -39,21 +39,12 @@ class StanfordQDessUNet2D(JaxSegModel):
         if ndim not in (3, 4):
             raise ValueError("`volume` must either be 3D or 4D")
 
-        from dosma_tpu.models.oaiunet2d import _vol_and_xp
-
         vol_copy = volume
         if ndim == 4:
             vol_copy = np.sqrt(np.sum(vol_copy**2, axis=-1))
         vol_copy = vol_copy.reformat(SAGITTAL)
 
-        vol, xp = _vol_and_xp(vol_copy)
-        mean, std = self.__whiten_stats__(vol)
-
-        v = xp.expand_dims(xp.transpose(vol, (2, 0, 1)), axis=-1)
-        mask = self.seg_model.predict_mask(
-            v, batch_size=self.batch_size,
-            threshold=self.sigmoid_threshold, mean=mean, std=std,
-        )
+        mask = self._predict_slices(vol_copy)  # (S, H, W, 4)
         mask = np.transpose(mask, (1, 2, 0, 3))
 
         vols = {}
@@ -70,3 +61,6 @@ class StanfordQDessUNet2D(JaxSegModel):
         from dosma_tpu.models.seg_model import whiten_stats
 
         return whiten_stats(volume, eps=1e-8)
+
+    def __whiten_eps__(self):
+        return 1e-8

@@ -285,3 +285,46 @@ def test_predict_mask_subbyte_packing_matches_per_class_path():
         assert got.dtype == np.uint8
         assert got.shape == oracle.shape
         np.testing.assert_array_equal(got, oracle)
+
+
+class TestSegmentVolumeFused:
+    """The single-program volume path (unet2d_segment_volume) must produce
+    the same masks as the batched predict_mask pipeline it replaces."""
+
+    def _model(self, num_classes=4):
+        import jax
+
+        from dosma_tpu.models.unet2d import Unet2D, init_unet2d_params
+
+        m = Unet2D((96, 96, 1), num_classes=num_classes)
+        m.params = init_unet2d_params(jax.random.PRNGKey(7), num_classes=num_classes)
+        return m
+
+    @pytest.mark.parametrize("num_classes,s", [(4, 10), (1, 5), (2, 3)])
+    def test_matches_batched_path(self, num_classes, s):
+        import jax.numpy as jnp
+
+        m = self._model(num_classes)
+        rs = np.random.RandomState(0)
+        vol = jnp.asarray(rs.rand(96, 96, s).astype(np.float32) * 900)
+
+        fused = m.predict_mask_volume(
+            vol, batch_size=4, threshold=0.5, whiten=True, whiten_eps=1e-8
+        )
+
+        from dosma_tpu.models.seg_model import whiten_stats
+
+        mean, std = whiten_stats(vol, eps=1e-8)
+        v = jnp.expand_dims(jnp.transpose(vol, (2, 0, 1)), axis=-1)
+        legacy = m.predict_mask(v, batch_size=4, threshold=0.5, mean=mean, std=std)
+        assert fused.shape == legacy.shape == (s, 96, 96, num_classes)
+        np.testing.assert_array_equal(fused, legacy)
+
+    def test_constraint_violation_raises(self):
+        import jax.numpy as jnp
+
+        m = self._model(4)
+        # width 97 not divisible by px_per_byte=2 -> ValueError (callers
+        # fall back to the batched path)
+        with pytest.raises(ValueError, match="constraints"):
+            m.predict_mask_volume(jnp.zeros((96, 97, 4), jnp.float32), batch_size=4)
