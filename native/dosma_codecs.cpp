@@ -1421,11 +1421,17 @@ const uint8_t MQ::SW[47] = {1,0,0,0,0,0,1,0,0,0,0,0,0,0,1,0,0,0,0,0,
   0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0};
 
 struct BitReader {
-  const uint8_t *data; long long pos; int bitbuf, nbits; uint8_t last;
-  void init(const uint8_t *d, long long p) { data = d; pos = p; bitbuf = 0; nbits = 0; last = 0; }
+  const uint8_t *data; long long pos, n; int bitbuf, nbits; uint8_t last;
+  void init(const uint8_t *d, long long p, long long len) {
+    data = d; pos = p; n = len; bitbuf = 0; nbits = 0; last = 0;
+  }
   int bit() {
     if (nbits == 0) {
-      uint8_t b = data[pos++];
+      // Past-end reads (truncated stream) feed 1-bits: tag trees resolve
+      // immediately and the decoded lengths overrun the buffer, which the
+      // caller's bounds check turns into a clean -1.
+      uint8_t b = pos < n ? data[pos] : 0xFF;
+      pos++;
       if (last == 0xFF) { bitbuf = b & 0x7F; nbits = 7; }
       else { bitbuf = b; nbits = 8; }
       last = b;
@@ -1867,7 +1873,7 @@ extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
       if (tc.sop && p + 2 <= (long long)tdata.size() &&
           tdata[p] == 0xFF && tdata[p + 1] == 0x91) p += 6;
       if (p >= (long long)tdata.size()) return -1;
-      j2k::BitReader br; br.init(tdata.data(), p);
+      j2k::BitReader br; br.init(tdata.data(), p, (long long)tdata.size());
       if (!br.bit()) {
         br.align(); p = br.pos;
         if (tc.eph && p + 2 <= (long long)tdata.size() &&

@@ -6,6 +6,7 @@ Round-trips synthetic encapsulated files through the from-scratch codecs
 """
 
 import io
+import struct
 
 import numpy as np
 import pytest
@@ -1676,3 +1677,52 @@ class TestMultiFrameColor:
         frames = expand_frames(back)
         assert len(frames) == 4
         np.testing.assert_array_equal(frames[2].pixel_array, arr[2])
+
+
+class TestJ2KMalformedInputs:
+    """Truncated/corrupt codestreams must fail with bounded, clean errors
+    (the I/O fuzz policy) — never hang or index out of range silently."""
+
+    def _enc(self):
+        from dosma_tpu.core.io.dicom.j2k import j2k_encode
+
+        img = (np.random.RandomState(0).rand(48, 56) * 255).astype(np.uint8)
+        return j2k_encode(img)
+
+    def test_truncations(self):
+        from dosma_tpu.core.io.dicom.j2k import Unsupported, j2k_decode
+
+        enc = self._enc()
+        rs = np.random.RandomState(1)
+        cuts = sorted(set(int(x) for x in rs.randint(2, len(enc) - 1, 40)))
+        for cut in cuts:
+            try:
+                j2k_decode(enc[:cut])
+            except (ValueError, Unsupported, IndexError, struct.error):
+                pass  # clean, bounded failure
+
+    def test_bitflips(self):
+        from dosma_tpu.core.io.dicom.j2k import Unsupported, j2k_decode
+
+        enc = bytearray(self._enc())
+        rs = np.random.RandomState(2)
+        for _ in range(40):
+            i = int(rs.randint(2, len(enc)))
+            b = bytes(enc[:i]) + bytes([enc[i] ^ (1 << int(rs.randint(8)))]) + bytes(enc[i + 1:])
+            try:
+                j2k_decode(b)
+            except (ValueError, Unsupported, IndexError, KeyError, struct.error):
+                pass
+
+    def test_native_truncations(self):
+        from dosma_tpu.core.io import _native
+
+        if not _native.codecs_available():
+            pytest.skip("native codec library not built")
+        enc = self._enc()
+        rs = np.random.RandomState(3)
+        for cut in sorted(set(int(x) for x in rs.randint(2, len(enc) - 1, 40))):
+            try:
+                _native.j2k_decode(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
