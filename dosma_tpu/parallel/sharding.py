@@ -94,17 +94,20 @@ def sharded_lm_fit(
     ``kernel`` selects the per-shard engine:
 
     - ``"auto"``: the fused Pallas kernel when ``model_fn`` is the library
-      monoexponential or biexponential and the backend compiles Pallas TPU
-      kernels; the generic vmapped LM otherwise.
-    - ``"pallas_monoexp"`` / ``"pallas_biexp"``: force the fused kernel
-      (each shard runs it under ``shard_map``; works in interpret mode on
-      CPU for tests).
-    - ``"generic"``: force the generic engine.
+      monoexponential or biexponential; otherwise the generic VMEM-resident
+      Pallas kernel for traceable models with P <= 4 (falling back to the
+      HBM-streaming engine when the model does not lower to Mosaic).
+    - ``"pallas_monoexp"`` / ``"pallas_biexp"`` / ``"pallas_generic"``:
+      force a Pallas kernel (each shard runs it under ``shard_map``; works
+      in interpret mode on CPU for tests).
+    - ``"generic"``: skip the library-model identity check (the generic
+      Pallas kernel still applies when eligible).
     """
     from dosma_tpu.ops.monoexp_pallas import pallas_supported
     from dosma_tpu.ops.nlls import lm_fit
 
-    if kernel not in ("auto", "pallas_monoexp", "pallas_biexp", "generic"):
+    if kernel not in ("auto", "pallas_monoexp", "pallas_biexp",
+                      "pallas_generic", "generic"):
         raise ValueError(f"Unknown kernel {kernel!r}")
     if mesh is None:
         mesh = get_mesh()
@@ -143,7 +146,31 @@ def sharded_lm_fit(
                     params[3] * x_col
                 )
 
-        popt, r2, converged = lm_fit(model_fn, x, y_sharded, p0_sharded, **kwargs)
+        # Generic VMEM-resident Pallas kernel per shard for any traceable
+        # model with P <= 4 (same engine order as the curve_fit facade);
+        # Mosaic-incompatible models fall back to the HBM-streaming engine.
+        P_n = p0.shape[-1] if p0.ndim else 0
+        done = False
+        # "pallas_generic" forces the kernel (tests run it in interpret
+        # mode on CPU, where pallas_supported() is False).
+        if kernel == "pallas_generic" or (
+            pallas_supported() and 1 <= P_n <= 4
+        ):
+            try:
+                popt, r2, converged = _shard_mapped_generic(
+                    model_fn, x, y_sharded, p0_sharded, mesh, axis_name,
+                    p0_is_per_voxel, **kwargs
+                )
+                done = True
+            except Exception as e:  # Mosaic lowering / compile failure
+                import warnings
+
+                warnings.warn(
+                    f"Sharded generic Pallas LM unavailable "
+                    f"({type(e).__name__}); using the HBM-streaming engine."
+                )
+        if not done:
+            popt, r2, converged = lm_fit(model_fn, x, y_sharded, p0_sharded, **kwargs)
     if pad:
         popt, r2, converged = popt[:N], r2[:N], converged[:N]
     return popt, r2, converged
@@ -185,6 +212,35 @@ def _shard_mapped_pallas(
         in_specs=(row, p0_spec),
         out_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
         # pallas_call out_shapes carry no varying-mesh-axes info; skip the check.
+        check_vma=False,
+    )
+    return fn(y_sharded, jnp.asarray(p0_sharded, jnp.float32))
+
+
+def _shard_mapped_generic(
+    model_fn, x, y_sharded, p0_sharded, mesh: Mesh, axis_name: str,
+    p0_is_per_voxel: bool, **kwargs
+):
+    """Per-shard :func:`dosma_tpu.ops.generic_lm_pallas.generic_lm_pallas`
+    under ``shard_map`` — the multi-chip form of the generic VMEM-resident
+    LM engine. Voxel-independent: no collectives."""
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    from dosma_tpu.ops.generic_lm_pallas import generic_lm_pallas
+
+    x = jnp.asarray(x, jnp.float32)
+    row = P(axis_name, *([None] * (y_sharded.ndim - 1)))
+
+    def per_shard(y_local, p0_local):
+        return generic_lm_pallas(model_fn, x, y_local, p0_local, **kwargs)
+
+    p0_spec = P(axis_name, None) if p0_is_per_voxel else P()
+    fn = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(row, p0_spec),
+        out_specs=(P(axis_name, None), P(axis_name), P(axis_name)),
         check_vma=False,
     )
     return fn(y_sharded, jnp.asarray(p0_sharded, jnp.float32))
