@@ -800,8 +800,11 @@ def curve_fit(
 
         if _generic_pallas_ok():
             try:
+                # y is already (T, N) here — the kernel consumes that
+                # layout natively (no host transpose; lm_fit below is the
+                # one that wants (N, T)).
                 popt, r2, _converged = generic_lm_pallas(
-                    model, x, np.ascontiguousarray(y.T), p0_mat,
+                    model, x, y, p0_mat,
                     max_iter=int(maxfev), ftol=ftol, y_bounds=y_bounds,
                     y_layout="tn",
                 )
@@ -872,6 +875,8 @@ def _scipy_curve_fit_loop(func, x, y, y_bounds, p0_mat, maxfev, ftol, eps, npara
     pickler rejects (lambdas, closures) degrade to a thread pool with a
     warning rather than erroring."""
     N = y.shape[-1]
+    if N == 0:
+        return np.empty((0, nparams)), np.empty(0)
     fitter = _ScipyVoxelFitter(func, x, y_bounds, p0_mat, maxfev, ftol, eps, nparams, kwargs)
     items = [(i, y[:, i]) for i in range(N)]
 

@@ -288,7 +288,7 @@ def j2k_decode(data: bytes):
     import numpy as np
 
     lib = _load_codecs()
-    meta = (ctypes.c_int * 4)()
+    meta = (ctypes.c_int * 5)()
     fn = lib.dosma_j2k_decode
     fn.restype = ctypes.c_int
     rc = fn(
@@ -299,7 +299,7 @@ def j2k_decode(data: bytes):
         raise NotImplementedError("native J2K: out-of-profile codestream")
     if rc != 0:
         raise ValueError(f"native J2K header parse failed (code {rc})")
-    h, w, ncomp, maxdepth = meta[0], meta[1], meta[2], meta[3]
+    h, w, ncomp, maxdepth, any_signed = meta[0], meta[1], meta[2], meta[3], meta[4]
     out = np.empty((h, w, ncomp), np.int32)
     rc = fn(
         ctypes.c_char_p(data), ctypes.c_longlong(len(data)),
@@ -310,8 +310,13 @@ def j2k_decode(data: bytes):
         raise NotImplementedError("native J2K: out-of-profile codestream")
     if rc != 0:
         raise ValueError(f"native J2K decode failed (code {rc})")
-    if maxdepth <= 8:
+    # Dtype policy mirrors the Python twin (j2k.py): unsigned components
+    # narrow to uint8/uint16; signed images keep a signed dtype (casting
+    # -1 to uint8 would wrap to 255).
+    if any_signed:
+        out = out.astype(np.int16) if maxdepth <= 8 else out
+    elif maxdepth <= 8:
         out = out.astype(np.uint8)
-    elif out.min() >= 0:
+    else:
         out = out.astype(np.uint16)
     return out[..., 0] if ncomp == 1 else out

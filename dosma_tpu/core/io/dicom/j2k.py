@@ -463,7 +463,6 @@ def j2k_decode(data: bytes) -> np.ndarray:
     siz = None
     cod: Optional[_Cod] = None
     qcd_exp: Optional[List[int]] = None
-    qcd_guard = 0
     tiles: Dict[int, List[bytes]] = {}
     tile_cod: Dict[int, _Cod] = {}
 
@@ -492,7 +491,6 @@ def j2k_decode(data: bytes) -> np.ndarray:
             cod = _parse_cod(body)
         elif marker == 0xFF5C:  # QCD
             style = body[0] & 0x1F
-            qcd_guard = body[0] >> 5
             if style != 0:
                 raise Unsupported("quantized subbands (lossy codestream)")
             qcd_exp = [b >> 3 for b in body[1:]]
@@ -544,9 +542,7 @@ def j2k_decode(data: bytes) -> np.ndarray:
         ty0 = max(siz["yto"] + ty * siz["yts"], siz["yo"])
         tx1 = min(siz["xto"] + (tx + 1) * siz["xts"], siz["xs"])
         ty1 = min(siz["yto"] + (ty + 1) * siz["yts"], siz["ys"])
-        comps_out = _decode_tile(
-            tdata, tcod, qcd_exp, qcd_guard, ncomp, (tx0, ty0, tx1, ty1)
-        )
+        comps_out = _decode_tile(tdata, tcod, ncomp, (tx0, ty0, tx1, ty1))
         if tcod.mct == 1:
             if ncomp < 3:
                 raise ValueError("MCT with < 3 components")
@@ -587,7 +583,7 @@ def _band_rect(tcx0, tcy0, tcx1, tcy1, lev, band):
     return bx0, by0, bx1, by1
 
 
-def _decode_tile(tdata: bytes, cod: _Cod, qcd_exp, guard, ncomp, rect):
+def _decode_tile(tdata: bytes, cod: _Cod, ncomp, rect):
     tx0, ty0, tx1, ty1 = rect
     levels = cod.levels
 
@@ -605,14 +601,9 @@ def _decode_tile(tdata: bytes, cod: _Cod, qcd_exp, guard, ncomp, rect):
                 bands.append((b, lev, _band_rect(tx0, ty0, tx1, ty1, lev, b)))
         band_list.append(bands)
 
-    # QCD exponent per band, reversible (Table A.30 ordering: LL, then per
-    # level from the highest (coarsest) down: HL, LH, HH).
-    def band_exp(band, lev):
-        if band == "LL":
-            return qcd_exp[0]
-        k = levels - lev  # 0 for the coarsest detail level
-        i = 1 + 3 * k + {"HL": 0, "LH": 1, "HH": 2}[band]
-        return qcd_exp[min(i, len(qcd_exp) - 1)]
+    # (Reversible lossless decode never consults the QCD exponents: the
+    # zero-bitplane tag trees position magnitudes and all passes decode,
+    # so reconstruction is exact integers regardless of Mb.)
 
     # Code-block grids + tier-2 state, per component/resolution/band.
     cb_grid = {}
@@ -1080,9 +1071,6 @@ class _BitWriter:
         self.buf = 0
         self.nbits = 0
 
-    def _cap(self) -> int:
-        return 7 if (self.out and self.out[-1] == 0xFF and self.nbits == 0) else 8
-
     def bit(self, b: int):
         # capacity of the CURRENT byte being assembled
         if self.nbits == 0:
@@ -1328,12 +1316,11 @@ def j2k_encode(img: np.ndarray, levels: Optional[int] = None) -> bytes:
     siz = (m16(0) + m32(W) + m32(H) + m32(0) + m32(0) + m32(W) + m32(H)
            + m32(0) + m32(0) + m16(1) + bytes([depth - 1, 1, 1]))
     out += b"\xff\x51" + m16(len(siz) + 2) + siz
-    spcod = bytes([0, 0, 0, 1, 0, levels, cbw.bit_length() - 3, cbh.bit_length() - 3, 0, 1])
-    # Scod=0; prog=LRCP(0) layers=1 mct=0 — note layers is 2 bytes:
-    cod = bytes([0]) + bytes([0]) + m16(1) + bytes([0, levels,
-                                                    cbw.bit_length() - 3,
-                                                    cbh.bit_length() - 3, 0, 1])
-    del spcod
+    # Scod=0; SGcod: prog=LRCP(0), layers=1 (2 bytes), mct=0; SPcod:
+    # levels, cb exponents, style=0, transform=1 (reversible 5/3).
+    cod = bytes([0, 0]) + m16(1) + bytes([0, levels,
+                                          cbw.bit_length() - 3,
+                                          cbh.bit_length() - 3, 0, 1])
     out += b"\xff\x52" + m16(len(cod) + 2) + cod
     qcd = bytes([0 | (guard << 5)]) + bytes((e << 3) & 0xFF for e in exps)
     out += b"\xff\x5c" + m16(len(qcd) + 2) + qcd

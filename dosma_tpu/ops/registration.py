@@ -592,7 +592,10 @@ def _pyramid_core(
         # scale; annealing converges to a tighter optimum in the same
         # iteration budget (elastix's ASGD decays its step size similarly).
         opt = optax.adam(
-            optax.cosine_decay_schedule(learning_rate, iterations, alpha=0.1)
+            # max(1, ..): iterations=0 is a legal no-op stage (the scan body
+            # never runs, so the schedule is never evaluated, but optax
+            # rejects decay_steps=0 at construction).
+            optax.cosine_decay_schedule(learning_rate, max(1, iterations), alpha=0.1)
         )
 
         # Polyak tail averaging (same policy as the FFD chain): the
@@ -613,13 +616,16 @@ def _pyramid_core(
             return (theta_n, opt_state, acc), loss
 
         theta_n0 = theta / param_scale
-        (_, _, acc), losses = jax.lax.scan(
+        (theta_fin, _, acc), losses = jax.lax.scan(
             step,
             (theta_n0, opt.init(theta_n0), jnp.zeros_like(theta_n0)),
             (fixed_vals_all, w0_all, world_all,
              jnp.arange(iterations, dtype=jnp.int32)),
         )
-        theta_n = acc / float(iterations - tail_start)
+        # iterations == 0 is a legal no-op stage: the scan leaves theta at
+        # its seed and the tail average has no samples — use the carry.
+        n_tail = iterations - tail_start
+        theta_n = acc / float(n_tail) if n_tail > 0 else theta_fin
         return theta_n * param_scale, losses
 
     n_levels = sigmas.shape[0]
@@ -1217,7 +1223,9 @@ def _optimize_bspline_chain(
                 data_loss = _mse(fixed_vals, moving_vals, weights)
             return data_loss + bending_weight * bending_energy(ctrl_g)
 
-        opt = optax.adam(optax.cosine_decay_schedule(lr, iterations, alpha=0.1))
+        opt = optax.adam(
+            optax.cosine_decay_schedule(lr, max(1, iterations), alpha=0.1)
+        )
 
         # Polyak tail averaging: the stochastic per-iteration metric makes
         # the annealed iterates bounce around the optimum at the final-step
@@ -1237,13 +1245,15 @@ def _optimize_bspline_chain(
             return (ctrl_g, opt_state, acc), loss
 
         # Only the Polyak tail average propagates — the last iterate is
-        # deliberately discarded.
-        (_, _, acc), losses = jax.lax.scan(
+        # deliberately discarded. (iterations=0 is a legal no-op stage:
+        # no tail samples, keep the carried control grid.)
+        (ctrl_fin, _, acc), losses = jax.lax.scan(
             step, (ctrl, opt.init(ctrl), jnp.zeros_like(ctrl)),
             (fixed_vals_all, w0_all, world_all, idx_all,
              jnp.arange(iterations, dtype=jnp.int32)),
         )
-        ctrl = acc / float(iterations - tail_start)
+        n_tail = iterations - tail_start
+        ctrl = acc / float(n_tail) if n_tail > 0 else ctrl_fin
         losses_all.append(losses)
 
         if g + 1 < n_stages:

@@ -1710,9 +1710,9 @@ static void sr_1d_53(int64_t *buf, long long i0, long long i1, long long stride)
 }  // namespace j2k
 
 // Decode a raw J2K codestream. dst receives h*w*ncomp int32 samples
-// (component-interleaved, DC shift applied). out_meta = {h, w, ncomp, maxdepth}.
-// probe=1: parse main header only, fill out_meta. Returns 0 ok, -1 bad
-// stream, -2 unsupported feature, -3 buffer too small.
+// (component-interleaved, DC shift applied). out_meta = {h, w, ncomp,
+// maxdepth, any_signed}. probe=1: parse main header only, fill out_meta.
+// Returns 0 ok, -1 bad stream, -2 unsupported feature, -3 buffer too small.
 extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
                      long long cap, int *out_meta, int probe) {
   using namespace j2k;
@@ -1805,7 +1805,13 @@ extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
   long long H = ys - yo, W = xs - xo;
   int maxdepth = 0;
   for (int c = 0; c < ncomp; c++) maxdepth = depth[c] > maxdepth ? depth[c] : maxdepth;
-  if (out_meta) { out_meta[0] = (int)H; out_meta[1] = (int)W; out_meta[2] = ncomp; out_meta[3] = maxdepth; }
+  if (out_meta) {
+    out_meta[0] = (int)H; out_meta[1] = (int)W;
+    out_meta[2] = ncomp; out_meta[3] = maxdepth;
+    int any_signed = 0;
+    for (int c = 0; c < ncomp; c++) any_signed |= is_signed[c] ? 1 : 0;
+    out_meta[4] = any_signed;
+  }
   if (probe) return 0;
   if (cap < H * W * ncomp) return -3;
 

@@ -1726,3 +1726,31 @@ class TestJ2KMalformedInputs:
                 _native.j2k_decode(enc[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestJ2KSignedComponents:
+    def test_signed_dtype_parity_python_vs_native(self):
+        """Review r5: the native wrapper cast signed results to uint8,
+        wrapping negatives. Flip the Ssiz sign bit on an encoded stream:
+        both decoders must return SIGNED dtypes and identical values
+        (= unsigned samples minus the DC offset the decoder now skips)."""
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode, j2k_encode
+
+        img = (np.random.RandomState(4).rand(24, 28) * 255).astype(np.uint8)
+        enc = bytearray(j2k_encode(img))
+        # SIZ body starts at offset 6 (SOC + marker + length); Ssiz of
+        # component 0 is byte 36 of the body.
+        ssiz_off = 6 + 36
+        assert enc[ssiz_off] == 7  # depth 8, unsigned
+        enc[ssiz_off] |= 0x80  # mark component signed
+        enc = bytes(enc)
+
+        py = j2k_decode(enc)
+        assert py.dtype == np.int16
+        np.testing.assert_array_equal(py, img.astype(np.int16) - 128)
+
+        if _native.codecs_available():
+            nat = _native.j2k_decode(enc)
+            assert nat.dtype == np.int16
+            np.testing.assert_array_equal(nat, py)

@@ -504,3 +504,54 @@ class TestFittingParityMatrix:
         assert "monoexponential" in str(cf)
         pf = PolyFitter(2)
         assert "PolyFitter" in str(pf) or "deg" in str(pf)
+
+
+class TestGenericPallasRouting:
+    def test_curve_fit_routes_generic_pallas_correctly(self, monkeypatch):
+        """Review r5: curve_fit passed y.T with y_layout='tn' (transposed
+        semantics) — the generic Pallas engine must receive (T, N) and
+        match the HBM engine, with NO fallback warning."""
+        import warnings as _w
+
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        import dosma_tpu.ops.generic_lm_pallas as glp
+
+        monkeypatch.setattr(glp, "pallas_supported", lambda: True)
+
+        def offset_exp(x, a, b, c):
+            return a * jnp.exp(b * x) + c
+
+        rs = np.random.RandomState(2)
+        # T == N is the poison case: a transposed layout produces the right
+        # SHAPES but garbage fits, so shape checks alone can't catch it.
+        N = 5
+        x = np.array([5.0, 15.0, 30.0, 50.0, 80.0], np.float32)
+        a = rs.rand(N).astype(np.float32) + 0.5
+        b = -1 / (rs.rand(N).astype(np.float32) * 70 + 10)
+        c = rs.rand(N).astype(np.float32) * 0.2
+        Y = (a[:, None] * np.exp(b[:, None] * x) + c[:, None]).astype(np.float32).T  # (T, N)
+
+        with pltpu.force_tpu_interpret_mode():
+            with _w.catch_warnings():
+                _w.simplefilter("error")  # any fallback warning -> failure
+                popt, r2 = curve_fit(offset_exp, x, Y, p0=(1.0, -1 / 30, 0.0), maxfev=60)
+        assert popt.shape == (N, 3)
+        ok = np.isfinite(popt[:, 1])
+        assert ok.all()
+        assert np.abs(popt[:, 1] - b).max() < 1e-3
+
+    def test_scipy_fallback_zero_sequences(self):
+        """Review r5: the parallel scipy loop must return empty arrays for
+        zero sequences, as the pre-rewrite loop did."""
+        def np_only(x, a, b):
+            import math
+
+            return a * np.vectorize(math.exp)(b * x)
+
+        x = np.array([1.0, 2.0, 3.0])
+        Y = np.zeros((3, 0), np.float32)
+        with pytest.warns(UserWarning, match="not jax-traceable"):
+            popt, r2 = curve_fit(np_only, x, Y, p0=(1.0, -0.1))
+        assert popt.shape == (0, 2) and r2.shape == (0,)

@@ -532,3 +532,24 @@ class TestElastixGridSpacingAndSchedules:
         ctrl, spacing_vox, _ = register_pair_bspline(vol, aff, vol, aff, params)
         assert np.all(np.isfinite(np.asarray(ctrl)))
         assert np.allclose(np.asarray(ctrl), 0.0)
+
+
+class TestZeroIterationStage:
+    def test_iterations_zero_is_identity_noop(self):
+        """Review r5: iterations=0 divided the Polyak tail average by zero,
+        NaNing a previously legal no-op stage. The seed transform must
+        pass through unchanged."""
+        import numpy as np
+
+        from dosma_tpu.ops.registration import RegistrationParams, register_pair
+
+        rs = np.random.RandomState(0)
+        vol = rs.rand(16, 16, 6).astype(np.float32)
+        A = np.eye(4)
+        params = RegistrationParams(
+            transform="rigid", metric="mse", resolutions=1, iterations=0
+        )
+        M, losses, _ = register_pair(vol, A, vol, A, params)
+        M = np.asarray(M)
+        assert np.all(np.isfinite(M))
+        np.testing.assert_allclose(M, np.eye(4), atol=1e-5)
