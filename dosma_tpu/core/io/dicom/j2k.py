@@ -1171,17 +1171,19 @@ def j2k_encode(img: np.ndarray, levels: Optional[int] = None) -> bytes:
 
     Single component, single tile, reversible 5/3, one quality layer,
     LRCP, 64x64 code-blocks — the profile DICOM syntax .90 carries.
-    ``img``: (H, W) unsigned integer array (uint8/uint16).
+    ``img``: (H, W) integer array (uint8/uint16/int8/int16; signed sets
+    the Ssiz sign bit and skips the DC level shift, ITU-T T.800 B.2).
     """
     img = np.asarray(img)
     if img.ndim != 2:
         raise ValueError("j2k_encode expects one (H, W) grayscale frame")
-    if img.dtype == np.uint8:
+    if img.dtype in (np.uint8, np.int8):
         depth = 8
-    elif img.dtype == np.uint16:
+    elif img.dtype in (np.uint16, np.int16):
         depth = 16
     else:
-        raise ValueError("j2k_encode expects uint8/uint16 input")
+        raise ValueError("j2k_encode expects uint8/uint16/int8/int16 input")
+    signed = img.dtype.kind == "i"
     H, W = img.shape
     if levels is None:
         levels = 5
@@ -1189,9 +1191,9 @@ def j2k_encode(img: np.ndarray, levels: Optional[int] = None) -> bytes:
             levels -= 1
         levels = min(levels, max(min(H, W).bit_length() - 1, 0), 5)
 
-    # DC level shift + forward DWT (vertical then horizontal per level —
-    # the dual of the decoder's horizontal-then-vertical synthesis).
-    a = img.astype(np.int64) - (1 << (depth - 1))
+    # DC level shift (unsigned only) + forward DWT (vertical then
+    # horizontal per level — the dual of the decoder's synthesis order).
+    a = img.astype(np.int64) - (0 if signed else 1 << (depth - 1))
     # band coefficient storage keyed like the decoder: (r, bi). The image
     # origin is 0, so every band/resolution origin is 0 and the DWT is a
     # plain shape-driven recursion (dual of the decoder's 2D_SR order:
@@ -1314,7 +1316,8 @@ def j2k_encode(img: np.ndarray, levels: Optional[int] = None) -> bytes:
     out = bytearray()
     out += b"\xff\x4f"  # SOC
     siz = (m16(0) + m32(W) + m32(H) + m32(0) + m32(0) + m32(W) + m32(H)
-           + m32(0) + m32(0) + m16(1) + bytes([depth - 1, 1, 1]))
+           + m32(0) + m32(0) + m16(1)
+           + bytes([(depth - 1) | (0x80 if signed else 0), 1, 1]))
     out += b"\xff\x51" + m16(len(siz) + 2) + siz
     # Scod=0; SGcod: prog=LRCP(0), layers=1 (2 bytes), mct=0; SPcod:
     # levels, cb exponents, style=0, transform=1 (reversible 5/3).

@@ -98,7 +98,7 @@ def jpeg_2000_encode(frame: np.ndarray, lossless: bool = True) -> bytes:
     arr = np.ascontiguousarray(frame)
     if arr.ndim != 2:
         raise NotImplementedError("JPEG 2000 encoder supports 1 component")
-    if lossless and arr.dtype in (np.uint8, np.uint16):
+    if lossless and arr.dtype in (np.uint8, np.uint16, np.int8, np.int16):
         from dosma_tpu.core.io.dicom.j2k import j2k_encode
 
         return j2k_encode(arr)

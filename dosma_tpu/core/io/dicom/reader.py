@@ -304,10 +304,18 @@ def pixel_array(ds: Dataset) -> np.ndarray:
             bits_allocated=bits,
             nframes=int(nframes) if nframes else 1,
         )
-        # The codecs work on unsigned sample bytes; PixelRepresentation=1
-        # means those bytes ARE two's-complement signed values.
-        if signed and out.dtype.kind == "u":
-            out = out.view(out.dtype.str.replace("u", "i"))
+        # Coerce to the dtype the header declares. Codecs that work on
+        # unsigned sample bytes need a same-width REINTERPRET when
+        # PixelRepresentation=1 (the bytes ARE two's-complement); codecs
+        # that decode true signed components (J2K Ssiz sign bit) may
+        # surface a wider container (e.g. int32 for 16-bit) whose values
+        # fit the declared width by construction — narrow those.
+        target = np.dtype(("i" if signed else "u") + str(bits // 8))
+        if out.dtype != target:
+            if signed and out.dtype.kind == "u" and out.dtype.itemsize == target.itemsize:
+                out = out.view(target)
+            else:
+                out = out.astype(target)
         return out
     rows = int(ds.get("Rows"))
     cols = int(ds.get("Columns"))

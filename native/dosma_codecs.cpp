@@ -1723,7 +1723,6 @@ extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
   int ncomp = 0;
   int depth[16]; bool is_signed[16];
   Cod cod;
-  int qcd_exp[64]; int qcd_n = 0;
   std::vector<std::vector<std::pair<long long, long long>>> tile_parts;  // per tile: (start, end)
   std::vector<int> tile_has_cod; std::vector<Cod> tile_cods;
 
@@ -1764,8 +1763,8 @@ extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
       if (blen < 1) return -1;
       int style = body[0] & 0x1F;
       if (style != 0) return -2;  // quantized -> lossy
-      qcd_n = 0;
-      for (int i = 1; i < blen && qcd_n < 64; i++) qcd_exp[qcd_n++] = body[i] >> 3;
+      // Reversible 5/3 needs no quantization step sizes; Kmax comes from
+      // the per-codeblock zero-bitplane counts in packet headers.
       have_qcd = true;
     } else if (marker == 0xFF90) {  // SOT
       if (!have_siz || blen < 8) return -1;
@@ -1984,7 +1983,7 @@ extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
     for (int c = 0; c < ncomp; c++) {
       std::vector<int64_t> ll = bands[bidx(c, 0)][0].coeff;
       long long llx0 = bands[bidx(c, 0)][0].bx0, lly0 = bands[bidx(c, 0)][0].by0;
-      long long llx1 = bands[bidx(c, 0)][0].bx1, lly1 = bands[bidx(c, 0)][0].by1;
+      long long llx1 = bands[bidx(c, 0)][0].bx1;
       for (int r = 1; r < nres; r++) {
         int lev = levels - r + 1;
         BandInfo &HL = bands[bidx(c, r)][0];
@@ -2011,7 +2010,7 @@ extern "C" int dosma_j2k_decode(const uint8_t *data, long long n, int32_t *dst,
         for (long long y = 0; y < RH; y++) sr_1d_53(a.data() + (size_t)y * RW, rx0, rx1, 1);
         for (long long x = 0; x < RW; x++) sr_1d_53(a.data() + (size_t)x, ry0, ry1, RW);
         ll.swap(a);
-        llx0 = rx0; lly0 = ry0; llx1 = rx1; lly1 = ry1;
+        llx0 = rx0; lly0 = ry0; llx1 = rx1;
       }
       // write into dst (interleaved components) with DC shift
       long long tw = tx1 - tx0, th = ty1 - ty0;

@@ -1754,3 +1754,60 @@ class TestJ2KSignedComponents:
             nat = _native.j2k_decode(enc)
             assert nat.dtype == np.int16
             np.testing.assert_array_equal(nat, py)
+
+    @pytest.mark.parametrize("dtype", [np.int8, np.int16])
+    def test_signed_encode_roundtrip(self, dtype):
+        """r5: the ENCODER accepts signed frames too — Ssiz sign bit set,
+        no DC level shift (ITU-T T.800 B.2). Both in-repo decoders must
+        return the original signed samples."""
+        from dosma_tpu.core.io import _native
+        from dosma_tpu.core.io.dicom.j2k import j2k_decode, j2k_encode
+
+        info = np.iinfo(dtype)
+        img = np.random.RandomState(5).randint(
+            info.min, int(info.max) + 1, size=(47, 61)
+        ).astype(dtype)
+        enc = j2k_encode(img)
+        # Ssiz of component 0 (byte 36 of the SIZ body) carries the sign bit.
+        assert enc[6 + 36] == (img.dtype.itemsize * 8 - 1) | 0x80
+
+        py = j2k_decode(enc)
+        np.testing.assert_array_equal(py.astype(np.int64), img.astype(np.int64))
+        if _native.codecs_available():
+            nat = _native.j2k_decode(enc)
+            np.testing.assert_array_equal(nat.astype(np.int64), img.astype(np.int64))
+
+    def test_signed_encode_openjpeg_conformance(self):
+        """OpenJPEG presents signed samples with a +2^(depth-1) offset
+        (unsigned display convention); modulo that constant shift the
+        decode must be bit-exact — proving the signed stream is valid."""
+        from dosma_tpu.core.io.dicom.j2k import j2k_encode
+        from dosma_tpu.core.io.dicom.jpeg_2000 import pil_j2k_available
+
+        if not pil_j2k_available():
+            pytest.skip("Pillow lacks OpenJPEG (conformance oracle)")
+        from PIL import Image
+
+        img = np.random.RandomState(7).randint(-30000, 30000, size=(33, 29)).astype(
+            np.int16
+        )
+        arr = np.asarray(Image.open(io.BytesIO(j2k_encode(img))))
+        np.testing.assert_array_equal(
+            arr.astype(np.int64) - 32768, img.astype(np.int64)
+        )
+
+    def test_signed_dicom_write_read(self):
+        """End-to-end: int16 pixel data exported with syntax .90 and read
+        back bit-exactly (PixelRepresentation=1)."""
+        frame = np.random.RandomState(9).randint(-2000, 3000, size=(32, 48)).astype(
+            np.int16
+        )
+        ds = _mr_dataset(frame.astype(np.uint16))
+        ds.PixelRepresentation = 1
+        ds["PixelData"] = np.ascontiguousarray(frame).tobytes()
+
+        buf = io.BytesIO()
+        write_dicom(ds, buf, transfer_syntax=codecs.JPEG_2000_LOSSLESS)
+        back = read_dicom_bytes(buf.getvalue())
+        assert back.pixel_array.dtype == np.int16
+        np.testing.assert_array_equal(back.pixel_array, frame)
