@@ -767,10 +767,12 @@ def apply_warp(
             and np.allclose(m.affine, moving_mvs[0].affine)
             for m in moving_mvs
         ):
-            import jax
             import jax.numpy as jnp
 
-            from dosma_tpu.ops.registration import compose_transforms, warp_volume
+            from dosma_tpu.ops.registration import (
+                compose_transforms,
+                warp_volume_batch,
+            )
 
             fixed_affine = np.asarray(tdata[0]["fixed_affine"])
             fixed_shape = tuple(tdata[0]["fixed_shape"])
@@ -778,12 +780,10 @@ def apply_warp(
             M = compose_transforms([np.asarray(t["matrix"]) for t in tdata])
             stack = jnp.stack([jnp.asarray(m.volume, jnp.float32) for m in moving_mvs])
             warped = np.asarray(  # host-backed, matching the per-volume path
-                jax.vmap(
-                    lambda arr: warp_volume(
-                        arr, M, fixed_affine, moving_mvs[0].affine, fixed_shape,
-                        order=order,
-                    )
-                )(stack)
+                warp_volume_batch(
+                    stack, M, fixed_affine, moving_mvs[0].affine, fixed_shape,
+                    order=order,
+                )
             )
             return seq_type(
                 MedicalVolume(warped[i], fixed_affine) for i in range(num_volumes)

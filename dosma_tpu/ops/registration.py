@@ -39,6 +39,7 @@ __all__ = [
     "register_chain",
     "register_chain_batch",
     "warp_volume",
+    "warp_volume_batch",
     "warp_volume_chain",
     "compose_transforms",
 ]
@@ -325,6 +326,27 @@ def warp_volume(moving_arr, M, fixed_affine, moving_affine, fixed_shape,
 def _warp_volume_impl(moving_arr, M, fixed_affine, moving_affine, fixed_shape, order):
     B = _world_matrix_to_index_map(M, fixed_affine, moving_affine)
     return _warp_arr(moving_arr, B, fixed_shape, order)
+
+
+def warp_volume_batch(moving_stack, M, fixed_affine, moving_affine, fixed_shape,
+                      order: int = 1) -> jnp.ndarray:
+    """:func:`warp_volume` over a stack of same-grid volumes in one
+    program (the transformix-reuse path of :func:`apply_warp`)."""
+    return _warp_volume_batch_impl(
+        jnp.asarray(moving_stack, jnp.float32),
+        jnp.asarray(M, jnp.float32),
+        jnp.asarray(fixed_affine, jnp.float32),
+        jnp.asarray(moving_affine, jnp.float32),
+        tuple(int(s) for s in fixed_shape),
+        int(order),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("fixed_shape", "order"))
+def _warp_volume_batch_impl(moving_stack, M, fixed_affine, moving_affine,
+                            fixed_shape, order):
+    B = _world_matrix_to_index_map(M, fixed_affine, moving_affine)
+    return _warp_arr_batch(moving_stack, B, fixed_shape, order)
 
 
 # ----------------------------------------------------------------------
@@ -678,6 +700,27 @@ def _sample_order(moving_arr, m_idx, order: int):
 
 def _warp_arr(moving_arr, B, fixed_shape, order: int = 1):
     """Full-grid resample under a precomputed index-space map ``B``."""
+    batched = _warp_arr_batch(moving_arr[None], B, fixed_shape, order)
+    return batched[0]
+
+
+def _warp_arr_batch(moving_stack, B, fixed_shape, order: int = 1):
+    """Full-grid resample of a BATCH of same-grid volumes under ``B``.
+
+    Grid warps route through the gather-free Pallas tile kernel
+    (:mod:`dosma_tpu.ops.warp_pallas`) on TPU backends — the transform-
+    span gate inside falls back to the samplers for maps the static
+    blocks can't cover — and through the gather samplers elsewhere.
+    """
+    from dosma_tpu.ops.warp_pallas import grid_warp_viable, warp_grid_batched
+
+    if (
+        order in (1, 3)
+        and _grid_warp_backend_ok()
+        and grid_warp_viable(moving_stack.shape[1:], fixed_shape, order)
+    ):
+        return warp_grid_batched(moving_stack, B, fixed_shape, order)
+
     d0, d1, d2 = fixed_shape
     i, j, k = jnp.meshgrid(
         jnp.arange(d0, dtype=jnp.float32),
@@ -686,8 +729,22 @@ def _warp_arr(moving_arr, B, fixed_shape, order: int = 1):
         indexing="ij",
     )
     idx = jnp.stack([i.ravel(), j.ravel(), k.ravel(), jnp.ones(d0 * d1 * d2, jnp.float32)])
-    m_idx = _mm(B, idx)
-    return _sample_order(moving_arr, m_idx[:3], order).reshape(fixed_shape)
+    m_idx = _mm(B, idx)[:3]
+    return jnp.stack(
+        [
+            _sample_order(moving_stack[v], m_idx, order).reshape(fixed_shape)
+            for v in range(moving_stack.shape[0])
+        ]
+    )
+
+
+def _grid_warp_backend_ok() -> bool:
+    """Compiled Pallas TPU kernels need a TPU backend (the unit tests
+    drive the kernel directly under ``force_tpu_interpret_mode``)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
 
 @functools.partial(
@@ -740,11 +797,16 @@ def _optimize_chain_impl(
 
     B = _world_matrix_to_index_map(M, fixed_affine, moving_affine)
     fixed_shape = fixed_arr.shape
-    warped = _warp_arr(moving_arr, B, fixed_shape, final_order)
-    warped_extras = (
-        jax.vmap(lambda a: _warp_arr(a, B, fixed_shape, final_order))(extras)
-        if n_extras else None
-    )
+    if n_extras:
+        # One batched launch warps the moving volume and every extra —
+        # the Pallas grid-warp kernel shares each tile's weight profiles
+        # across the whole stack.
+        stack = jnp.concatenate([moving_arr[None], extras])
+        warped_all = _warp_arr_batch(stack, B, fixed_shape, final_order)
+        warped, warped_extras = warped_all[0], warped_all[1:]
+    else:
+        warped = _warp_arr(moving_arr, B, fixed_shape, final_order)
+        warped_extras = None
     return tuple(Ms), warped, warped_extras, tuple(losses_all)
 
 
